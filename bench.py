@@ -1,0 +1,52 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Execution uses the noop sink so the full physical plan runs (scan -> shuffle ->
+agg) without driver-side collection cost dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from insight_de_smart_grid_spark.session import get_spark  # noqa: E402
+from insight_de_smart_grid_spark.plans.registry import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        # one warm-free measured run per query; per-query timing isolates
+        # regressions, total is the headline
+        t0 = time.perf_counter()
+        try:
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable on failure
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

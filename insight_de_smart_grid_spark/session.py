@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-vs-DuckDB (UTC session timezone, ANSI off
+so divisions by zero yield NULL like the reference's tolerant pipeline) and for
+scale (AQE on with skew-join handling, Arrow for any pandas exchange). On a real
+cluster the same session config holds; only master/memory flow from the
+environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "insight_de_smart_grid_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``getOrCreate`` semantics: if the driver harness already created a session
+    we inherit it and only apply runtime-settable SQL confs.
+    """
+    n = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+    spark = builder.getOrCreate()
+    # Runtime-settable confs, applied even on an inherited session so oracle
+    # comparisons stay stable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

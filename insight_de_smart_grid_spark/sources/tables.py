@@ -1,0 +1,73 @@
+"""Parquet table loaders + the canonical ``readings`` mapping.
+
+The engine's storage layer is partitioned Parquet (columnar at rest, like the
+reference's Druid segments — ``Druid_conf_power_raw_avro:143-151`` uses
+lz4-compressed columns; Parquet+zstd is the Spark-native equivalent). Loads are
+plain ``spark.read.parquet`` so Catalyst gets predicate pushdown and column
+pruning for free.
+
+``readings_view`` maps the driver's ``events`` table onto the reference's
+power-reading record (``stream_processing/schema.avsc:1-27``):
+ts -> event time, user_id -> house_id, event_type -> appliance_name,
+user_id+'_'+event_type -> appliance_id, value -> power. The matching DuckDB
+CTE text is ``READINGS_SQL_VIEW`` so Spark queries and oracle SQL share one
+definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema/stream table from a scale-factor directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as nanos-since-epoch longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds —
+    the same precision DuckDB sees — JVM-side, no UDF.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            # integer DIV: float division would lose precision on ~1.7e18 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def readings_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` reshaped as the reference's power-reading stream.
+
+    Mirrors the producer's key synthesis (``producer_REDD_avro.py:170-171``
+    builds house_id/appliance_id via string concat — SURVEY P10) and the
+    stream projection (``duty_cycle_avro.py:72-73``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("ts"),
+        F.col("user_id").cast("string").alias("house_id"),
+        F.concat_ws("_", F.col("user_id").cast("string"),
+                    F.col("event_type")).alias("appliance_id"),
+        F.col("event_type").alias("appliance_name"),
+        F.col("value").alias("power"),
+    )
+
+
+# DuckDB twin of readings_view — interpolate as a CTE in oracle SQL.
+READINGS_SQL_VIEW = """
+  SELECT ts,
+         CAST(user_id AS VARCHAR) AS house_id,
+         CAST(user_id AS VARCHAR) || '_' || event_type AS appliance_id,
+         event_type AS appliance_name,
+         value AS power
+  FROM events
+"""

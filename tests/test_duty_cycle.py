@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.duty_cycle import duty_cycle
+from insight_de_smart_grid_spark.sources.tables import readings_view
+from tests.oracle import check_registered
+from tests.conftest import SF_ORACLE
+
+
+def test_duty_cycle_matches_oracle(spark, duck):
+    check_registered(spark, duck, "duty_cycle_10m")
+
+
+def test_duty_cycle_threshold_is_strict(spark):
+    # reference uses strict `>` (duty_cycle_avro.py:77): power == 5.0 is idle
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:01", "h1", "a1", 5.0),
+         ("2024-01-01 00:00:02", "h1", "a1", 5.01),
+         ("2024-01-01 00:00:03", "h1", "a1", 4.99)],
+        "ts string, house_id string, appliance_id string, power double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = duty_cycle(df, window="1 minute").collect()
+    assert len(out) == 1
+    assert abs(out[0].duty_cycle - 1 / 3) < 1e-12
+
+
+def test_duty_cycle_sliding_covers_each_row_w_over_s_times(spark):
+    # sliding window (W=10m, S=2m): each reading lands in 5 windows
+    readings = readings_view(spark, SF_ORACLE).limit(100)
+    tumbling = duty_cycle(readings, window="10 minutes")
+    sliding = duty_cycle(readings, window="10 minutes", slide="2 minutes")
+    n_rows = readings.count()
+    total_tumbling = tumbling.count()
+    assert sliding.count() >= total_tumbling
+    # sum of c_all over sliding windows == 5 x number of readings
+    sl = duty_cycle(readings, window="10 minutes", slide="2 minutes")
+    # recompute with counts retained
+    from pyspark.sql import functions as F2
+    agg = (readings.groupBy(F2.window("ts", "10 minutes", "2 minutes"))
+           .agg(F2.count("power").alias("c")))
+    assert agg.agg(F2.sum("c")).collect()[0][0] == 5 * n_rows
+    assert sl is not None
