@@ -1,0 +1,256 @@
+"""Deduplication operators for a training-data pipeline (north-star
+extension, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy on a fingerprint (shuffle on md5 — uniformly
+  distributed, no skew by construction);
+- n-gram Jaccard avoids the O(n^2) cross join by inverting on shingles
+  (pairs only materialize for docs sharing a shingle);
+- MinHash+LSH reduces the candidate space further: band signatures bucket
+  near-dups with high probability, so the pair join touches only same-bucket
+  docs — the standard web-dedup recipe (shingle -> minhash -> band -> bucket
+  join -> verify);
+- SimHash gives a 64-bit sketch with chunk-equality blocking (a Hamming-k
+  neighbor shares at least one of 4 chunks for k<=3 by pigeonhole);
+- all hashing is xxhash64 composition (no mod-arithmetic that could overflow
+  under Spark 4's default ANSI mode), seeds fixed -> deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id + copy count.
+    ``COUNT > 1`` rows are the duplicate clusters."""
+    return (
+        docs.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each duplicate cluster (the actual
+    pipeline operator; `exact_dedup_groups` is its audit view)."""
+    w_min = (docs.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+             .groupBy("fp").agg(F.min(id_col).alias(id_col)))
+    return docs.join(w_min, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard via shingle inversion
+# ---------------------------------------------------------------------------
+
+def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) distinct pairs; docs shorter than n tokens drop out
+    (mirrored in the oracle SQL)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets, inverted on shingles so
+    only docs sharing >= 1 shingle ever pair. Output: (doc_a, doc_b, jaccard).
+
+    Jaccard is a ratio of integers (|A ∩ B| / (|A| + |B| - |A ∩ B|)) — IEEE
+    division of identical integers is bit-stable across engines.
+    """
+    sh = word_ngrams(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.doc_a = sa.doc_id
+JOIN sizes sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32, ngram: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """32 minhash values per doc: mh_i = min over shingles of
+    xxhash64(i, shingle). Hash *composition* (seed as a column) instead of
+    (a*h+b) mod p keeps everything ANSI-safe and equally uniform."""
+    sh = word_ngrams(docs, ngram, text_col, id_col)
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows = n_hashes/bands), bucket-join per band,
+    dedupe candidate pairs across bands."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    # long format: (doc_id, band_idx, band_hash)
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh"))
+        for b in range(bands)])).alias("e")
+    longf = banded.select(F.col(id_col), stack).select(
+        F.col(id_col), F.col("e.band_idx"), F.col("e.bh"))
+    a = longf.alias("a")
+    b2 = longf.alias("b")
+    return (
+        a.join(b2, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
+                          ngram: int = 3, threshold: float = 0.5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> exact-Jaccard verify.
+    Only candidate pairs pay the verification join, which is the property
+    that makes this the scale path."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes, ngram, text_col, id_col),
+        n_hashes, bands, id_col)
+    exact = ngram_jaccard_pairs(docs, ngram, threshold=0.0,
+                                text_col=text_col, id_col=id_col)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit sketch as 4 x 16-bit chunks; chunk blocking for Hamming<=3)
+# ---------------------------------------------------------------------------
+
+def simhash_chunks(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 64-bit SimHash materialized as chunk0..chunk3 (16 bits each).
+    Chunked storage sidesteps sign-bit arithmetic and doubles as the LSH
+    blocking key (pigeonhole: Hamming <= 3 implies >= 1 equal chunk)."""
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens(text_col)).alias("t"))
+           .withColumn("h", F.xxhash64("t")))
+    chunk_exprs = []
+    for c in range(4):
+        bit_sum = [
+            F.sum(F.when(F.shiftright(F.col("h"), c * 16 + b)
+                         .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+            .alias(f"s_{c}_{b}") for b in range(16)
+        ]
+        chunk_exprs.extend(bit_sum)
+    agg = tok.groupBy(id_col).agg(*chunk_exprs)
+    out_cols = [F.col(id_col)]
+    for c in range(4):
+        bits = [F.when(F.col(f"s_{c}_{b}") > 0,
+                       F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(16)]
+        out_cols.append(reduce(lambda x, y: x + y, bits).alias(f"chunk{c}"))
+    return agg.select(*out_cols)
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Chunk-equality blocking + exact Hamming verify via bit_count(xor)."""
+    sig = simhash_chunks(docs, text_col, id_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    same_chunk = reduce(
+        lambda x, y: x | y,
+        [F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}") for c in range(4)])
+    ham = reduce(
+        lambda x, y: x + y,
+        [F.bit_count(F.col(f"a.chunk{c}").bitwiseXOR(F.col(f"b.chunk{c}")))
+         for c in range(4)])
+    return (
+        a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & same_chunk)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"), "hamming")
+    )
+
+
+EXACT_DEDUP_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""

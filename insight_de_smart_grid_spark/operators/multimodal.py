@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata
+structs. The Spark-side plumbing — schema, Arrow batch shape, partitioning,
+UDF signatures — is real and tested; the actual media decode is STUBBED
+(`decode_image` raises NotImplementedError unless the deterministic fake is
+requested) because no image/audio libraries exist in this container.
+
+Scale notes: media bytes never pass through the driver; ``mapInPandas``
+streams Arrow record batches through the decoder with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch memory, and
+``repartition`` before heavy decode stages spreads work independent of file
+layout. Feature outputs are plain columns, so everything downstream is
+ordinary DataFrame code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried beside the payload (parquet-friendly struct).
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("format", T.StringType()),       # jpeg|png|wav|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+])
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, sha256 string, "
+    "width int, height int, n_channels int, mean_intensity double"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test harness: treat utf-8 bytes of ``text`` as an opaque media payload
+    so the binary-column plumbing runs against driver tables."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for a real decoder: derives (width, height,
+    channels, mean_intensity) from the payload's sha256. Replace with
+    PIL/ffmpeg in a real deployment."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    channels = 1 + digest[2] % 3
+    mean_intensity = round(sum(digest[3:11]) / (8 * 255.0), 6)
+    return width, height, channels, mean_intensity
+
+
+def decode_media(binary_df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched ``mapInPandas`` over the
+    payload column. ``fake=False`` raises NotImplementedError (no media libs
+    in this container); ``fake=True`` runs the deterministic stub through the
+    exact same plumbing."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode needs PIL/ffmpeg; not in this container")
+            rows = []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                raw = bytes(payload)
+                w, h, c, mi = _fake_decode(raw)
+                rows.append((doc_id, len(raw),
+                             hashlib.sha256(raw).hexdigest(), w, h, c, mi))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_bytes", "sha256", "width", "height",
+                "n_channels", "mean_intensity"])
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(decode, DECODED_SCHEMA))
+
+
+def binary_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pure-JVM metadata over the binary payload (no UDF): byte length +
+    content hash — the dedup/integrity key for media lakes."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+BINARY_METADATA_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (north-star extension).
+
+Two tiers, as a 100 TB design demands:
+- ``cosine_topk``: brute-force exact top-K for one query vector. The dot
+  product stays JVM-side (zip_with + aggregate higher-order functions — no
+  Python). At cluster scale this is a broadcast of one vector and a single
+  TakeOrderedAndProject — scan-bound, embarrassingly parallel.
+- ``cosine_pairs_blocked`` / ``lsh_ann_topk``: all-pairs near-dup and
+  bucketed ANN. All-pairs uses a broadcast numpy matrix + Arrow-batched
+  ``mapInPandas`` (vectorized BLAS inner loop — the right slow-path shape);
+  the LSH variant blocks by random-hyperplane signature so only same-bucket
+  vectors pair.
+
+Scores are rounded to 6 decimals on both engine and oracle sides: numpy/BLAS,
+Spark fold, and DuckDB accumulate doubles in different orders, and rounding
+absorbs the last-ulp jitter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact top-K cosine neighbors of the vector with ``query_vec_id``.
+
+    Declarative: the query vector is a one-row broadcast join, the score is a
+    JVM higher-order fold over DOUBLE (float cast first — exact), the top-K is
+    orderBy+limit on the rounded score with id tie-break.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = (emb.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("v").alias("qv")))
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_dot(F.col("v"), F.col("qv"))
+                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_oracle_sql(query_vec_id: int, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id != {query_vec_id}
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine >= threshold via broadcast matrix + mapInPandas.
+
+    The full (normalized) matrix is broadcast to every task; each Arrow batch
+    of rows computes one BLAS matmul block against it. At 100 TB the same
+    shape applies with the broadcast side being an IVF centroid table or one
+    LSH bucket instead of 'everything'.
+    """
+    spark = embeddings.sparkSession
+    pdf = (embeddings.select(id_col, vec_col).toPandas()
+           .sort_values(id_col).reset_index(drop=True))
+    ids = pdf[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pb in batches:
+            rows = np.array([np.asarray(v, dtype=np.float64)
+                             for v in pb[vec_col]])
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            sims = rows @ all_mat.T
+            row_ids = pb[id_col].to_numpy()
+            ai, bj = np.nonzero(sims >= threshold)
+            da, db = row_ids[ai], all_ids[bj]
+            keep = da < db
+            yield pd.DataFrame({
+                "vec_a": da[keep], "vec_b": db[keep],
+                "cos_sim": np.round(sims[ai, bj][keep], 6),
+            })
+
+    return (embeddings.select(id_col, vec_col)
+            .mapInPandas(block, "vec_a long, vec_b long, cos_sim double"))
+
+
+def cosine_pairs_oracle_sql(threshold: float = 0.9) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {threshold}
+"""
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
+                          n_planes: int = 4, dim: int = 64, seed: int = 42,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent bucket ids,
+    each packing ``n_planes`` sign bits. Long format (id, v, table, bucket).
+    Planes come from a fixed-seed RNG -> deterministic across runs.
+
+    Recall for cosine c: p = 1 - acos(c)/pi per plane;
+    P(candidate) = 1 - (1 - p^n_planes)^n_tables — multiple small tables beat
+    one deep table on near-orthogonal data."""
+    rng = np.random.RandomState(seed)
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    table_buckets = []
+    for t in range(n_tables):
+        planes = rng.randn(n_planes, dim)
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            bucket = bucket + F.when(_dot(F.col("v"), plane) > 0,
+                                     F.lit(1 << p)).otherwise(F.lit(0))
+        table_buckets.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return (emb.select(F.col(id_col), F.col("v"),
+                       F.explode(F.array(*table_buckets)).alias("tb"))
+            .select(F.col(id_col), F.col("v"),
+                    F.col("tb.table"), F.col("tb.bucket")))
+
+
+def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                 n_tables: int = 16, n_planes: int = 4, dim: int = 64,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-K: candidates share the query's bucket in >= 1 of the
+    LSH tables; exact cosine re-rank over the (deduplicated) candidates.
+    At scale the signature table is the precomputed index (written bucketed
+    by (table, bucket)), and a query touches n_tables buckets, not the
+    corpus."""
+    sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
+                                vec_col=vec_col, id_col=id_col)
+    qb = (sig.filter(F.col(id_col) == query_vec_id)
+          .select(F.col("table").alias("qtable"),
+                  F.col("bucket").alias("qbucket"),
+                  F.col("v").alias("qv")))
+    cands = (
+        sig.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(qb), (F.col("table") == F.col("qtable"))
+              & (F.col("bucket") == F.col("qbucket")))
+        .select(id_col, "v", "qv")
+        .dropDuplicates([id_col])
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(_dot(F.col("v"), F.col("qv"))
+                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

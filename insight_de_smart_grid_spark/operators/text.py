@@ -1,0 +1,134 @@
+"""Text-analysis operators over a documents table (north-star extension,
+BASELINE.json: "text analysis" for LLM-data pipelines).
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen) —
+no Python in the row path. Tokenization is whitespace-based with a regex
+split; every expression has an exact DuckDB twin for the oracle.
+
+Scale notes: these are embarrassingly parallel projections — no shuffle at
+all; at 100 TB they run at scan speed and pair naturally with the dedup
+operators that consume their outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small English stopword core — enough for a ratio-based language heuristic.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column | str,
+                   stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — the language-ID signal."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def lang_id(col: Column | str, threshold: float = 0.02) -> Column:
+    """N-gram/stopword heuristic language ID: 'en' when the stopword ratio
+    clears the threshold, else 'unknown'. (Both engines compute the ratio as
+    the same integer division, so the comparison is bit-stable.)"""
+    return F.when(stopword_ratio(col) >= F.lit(threshold), F.lit("en")) \
+            .otherwise(F.lit("unknown"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (ASCII class, identical in Java regex
+    and RE2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length saturation + stopword
+    presence + low punctuation. Deterministic, oracle-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_part = F.least(token_count(c).cast("double") / F.lit(100.0),
+                          F.lit(1.0)) * F.lit(0.5)
+    stop_part = F.least(stopword_ratio(c) * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+    punct_part = (F.lit(1.0) - punct_ratio(c)) * F.lit(0.2)
+    return F.round(length_part + stop_part + punct_part, 6)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed text —
+    the exact-dedup key that survives formatting noise."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stats projection used by quality filtering in a training-data pipeline."""
+    toks = tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stop_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+_SW_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_raw,
+       list_max(list_transform(string_split_regex(trim(text), '\s+'),
+                t -> length(t))) AS max_token_len,
+       round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  t -> list_contains(""" + _SW_SQL + r""", t))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio
+FROM documents
+"""
+
+LANG_ID_SQL = r"""
+SELECT doc_id,
+       CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                      t -> list_contains(""" + _SW_SQL + r""", t))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+')) >= 0.02
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents
+"""
+
+QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n,
+         length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_nopunct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> list_contains(""" + _SW_SQL + r""", t))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+             + least((n_stop / len(toks)) * 5.0, 1.0) * 0.3
+             + (1.0 - CAST(n - n_nopunct AS DOUBLE) / n) * 0.2, 6) AS quality
+FROM t
+"""
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""

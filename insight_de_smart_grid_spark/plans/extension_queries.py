@@ -1,0 +1,103 @@
+"""North-star extension queries: dedup, text analysis, similarity search,
+multimodal plumbing (BASELINE.json; SURVEY §7.2 step 7).
+
+Oracle-checked where DuckDB can express the semantics; MinHash-LSH, SimHash,
+and the ANN bucket variant are registered without oracle SQL (hash families
+aren't portable across engines) — the driver records a rows-only check and
+dedicated tests assert their agreement with the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators import dedup as dd
+from insight_de_smart_grid_spark.operators import multimodal as mm
+from insight_de_smart_grid_spark.operators import similarity as sim
+from insight_de_smart_grid_spark.operators import text as tx
+from insight_de_smart_grid_spark.plans.registry import register
+from insight_de_smart_grid_spark.sources.tables import load_table
+
+
+# --- text analysis ---------------------------------------------------------
+
+@register("text_stats", tx.TEXT_STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.with_text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", tx.LANG_ID_SQL)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+@register("text_quality", tx.QUALITY_SQL)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@register("text_fingerprint", tx.FINGERPRINT_SQL)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+# --- dedup -----------------------------------------------------------------
+
+@register("dedup_exact", dd.EXACT_DEDUP_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", dd.ngram_jaccard_oracle_sql(3, 0.1))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                                  n=3, threshold=0.1)
+
+
+@register("dedup_minhash_lsh", None)  # hash family not oracle-portable
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_near_dups(load_table(spark, sf_dir, "documents"),
+                                    threshold=0.5)
+
+
+@register("dedup_simhash", None)  # hash family not oracle-portable
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_dups(load_table(spark, sf_dir, "documents"),
+                                max_hamming=3)
+
+
+@register("dedup_embedding_cosine", sim.cosine_pairs_oracle_sql(0.95))
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_pairs_blocked(load_table(spark, sf_dir, "embeddings"),
+                                    threshold=0.95)
+
+
+# --- similarity search -----------------------------------------------------
+
+@register("sim_cosine_topk", sim.cosine_topk_oracle_sql(0, 10))
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(load_table(spark, sf_dir, "embeddings"),
+                           query_vec_id=0, k=10)
+
+
+@register("sim_ann_lsh_topk", None)  # approximate by construction
+def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"),
+                            query_vec_id=0, k=10, n_planes=8)
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+@register("multimodal_binary_meta", mm.BINARY_METADATA_SQL)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.binary_metadata(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_decode_fake", None)  # decode is stubbed (no media libs)
+def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_media(mm.attach_binary_payload(docs), fake=True)

@@ -1,0 +1,101 @@
+"""Tests for the north-star extension operators (dedup, text, similarity,
+multimodal): oracle parity where expressible, self-consistency otherwise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators import dedup as dd
+from insight_de_smart_grid_spark.operators import multimodal as mm
+from insight_de_smart_grid_spark.operators import similarity as sim
+from insight_de_smart_grid_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import check_registered
+
+ORACLE_CHECKED = [
+    "text_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "multimodal_binary_meta",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_extension_matches_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark):
+    """LSH-found pairs at jaccard>=0.5 must be a subset of exact pairs, and
+    should recall nearly all of them (planted near-dups are ~0.9 similar,
+    where 8-band/4-row LSH has >0.99 detection probability)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {(r.doc_a, r.doc_b)
+             for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dd.minhash_lsh_near_dups(docs, threshold=0.5).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
+
+
+def test_simhash_flags_near_identical_docs(spark):
+    # simhash is weight-sensitive: near-dup detection needs the shared tokens
+    # to dominate (short docs flip ~25% of bits on a one-token edit, which is
+    # correct sketch behavior) — so test with repeated-token weighting
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango"]
+    base = " ".join(w for w in words for _ in range(5))
+    rows = [(1, base), (2, base + " extraword"),
+            (3, "totally different words unrelated content entirely here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dd.simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ann_lsh_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = [r.vec_id for r in sim.cosine_topk(emb, 0, k=10).collect()]
+    approx = [r.vec_id for r in
+              sim.lsh_ann_topk(emb, 0, k=10, n_tables=16, n_planes=4).collect()]
+    # these embeddings are near-orthogonal (top cosine ~0.37 -> per-plane
+    # agreement p~0.62): P(candidate) = 1-(1-p^4)^16 ~ 0.92, so expect most
+    # of the exact top-10 to be recalled
+    assert len(set(exact) & set(approx)) >= 6
+
+
+def test_exact_dedup_drops_planted_duplicates(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dups = docs.unionByName(dup)
+    kept = dd.drop_exact_dups(with_dups)
+    assert kept.count() == docs.count()
+    # representatives are the min ids -> original rows survive
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_multimodal_decode_stub_is_deterministic(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").limit(20)
+    binary = mm.attach_binary_payload(docs)
+    out1 = sorted(mm.decode_media(binary, fake=True).collect())
+    out2 = sorted(mm.decode_media(binary, fake=True).collect())
+    assert out1 == out2
+    r = out1[0]
+    assert 64 <= r.width < 256 and 64 <= r.height < 256
+    assert 1 <= r.n_channels <= 3
+
+
+def test_multimodal_decode_real_path_raises(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").limit(1)
+    binary = mm.attach_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        mm.decode_media(binary, fake=False).collect()

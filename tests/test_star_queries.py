@@ -1,0 +1,30 @@
+"""Oracle-parity tests for the general relational surface (SURVEY §2.3-§2.6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import check_registered
+
+STAR_QUERIES = [
+    "star_pricing_summary",
+    "star_top_revenue_orders",
+    "star_region_revenue",
+    "star_orders_with_lineitems_semi",
+    "star_customers_without_orders_anti",
+    "star_customer_order_counts_left",
+    "star_supplier_part_distinct",
+    "star_cube_quantity",
+    "star_rollup_orderpriority",
+    "star_top3_parts_per_supplier",
+    "star_running_quantity",
+    "star_order_gap_lag",
+    "star_setops",
+    "star_setops_except",
+    "star_pivot_linestatus",
+]
+
+
+@pytest.mark.parametrize("name", STAR_QUERIES)
+def test_star_query_matches_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
