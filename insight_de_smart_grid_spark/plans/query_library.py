@@ -202,3 +202,27 @@ def q_synth_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("house_id"),
         F.col("event_type").alias("appliance_name"))
         .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Streaming parity (SURVEY ST1-ST5) — non-SQL-expressible: append-mode
+# watermark semantics have no DuckDB twin, so the driver records a rows-only
+# check; tests/test_streaming.py proves batch≡stream equivalence instead.
+# ---------------------------------------------------------------------------
+
+@register("streaming_duty_cycle", None)
+def q_streaming_duty_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's continuous query (duty_cycle_avro.py:63-91) replayed
+    through Structured Streaming: watermark + sliding window + append mode +
+    availableNow trigger, memory sink."""
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+        run_stream_over_parquet,
+    )
+
+    return run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", events_to_readings,
+        query_name=f"sdc_{uuid.uuid4().hex[:8]}",
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")

@@ -1,0 +1,145 @@
+"""File-format sources mirroring the reference's ingest surface (SURVEY §2.1).
+
+- S6 delimited scans: space-delimited REDD ``channel_*.dat`` (ts, power) and
+  comma-delimited GREEND ``dataset_*.csv`` with header, ragged columns and
+  embedded repeated headers (``producer_REDD_avro.py:66-98``,
+  ``producer_GREEND_avro.py:45-85``);
+- S7 JSON lookup dim: ``labels.json`` house -> appliance-name list
+  (``producer_GREEND_avro.py:64-67``), exploded positionally to the
+  (house_id, channel_idx, appliance_name) dim that J1 joins on;
+- S2 Avro decode: ``from_avro`` behind an import gate (the spark-avro jar is
+  an external module; reference hand-rolled a py4j bridge at
+  ``duty_cycle_avro.py:12-19`` for the same reason);
+- S1/S4/S5 Kafka source/sink builders, constructed lazily so environments
+  without brokers (or the kafka connector jar) can still import the engine.
+
+All scans use explicit schemas (never inferSchema — SURVEY §1.3) and
+``input_file_name()`` to recover the house directory the reference encoded in
+the filesystem layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from insight_de_smart_grid_spark.operators.cleanse import try_double
+
+REDD_SCHEMA = T.StructType([
+    T.StructField("ts_raw", T.StringType()),
+    T.StructField("power_raw", T.StringType()),
+])
+
+
+def read_redd_channels(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Space-delimited (epoch_seconds, power) channel files; house and
+    channel recovered from the path (`.../house_<id>/channel_<idx>.dat`)."""
+    raw = (spark.read.schema(REDD_SCHEMA)
+           .option("sep", " ").csv(path_glob)
+           .withColumn("src", F.input_file_name()))
+    return raw.select(
+        F.timestamp_seconds(try_double("ts_raw").cast("long")).alias("ts"),
+        try_double("power_raw").alias("power"),
+        F.regexp_extract("src", r"house_(\d+)", 1).alias("house_id"),
+        F.regexp_extract("src", r"channel_(\d+)", 1).cast("int")
+        .alias("channel_idx"),
+    )
+
+
+def read_greend_csv(spark: SparkSession, path_glob: str,
+                    n_channels: int = 9) -> DataFrame:
+    """Comma-delimited GREEND building files: header row, a timestamp column
+    and up to ``n_channels`` power columns; dirty rows (embedded repeated
+    headers, non-numeric cells) cleaned exactly like the producer
+    (``producer_GREEND_avro.py:138-146,207-208``). Output is long format
+    (ts, channel_idx, power, building)."""
+    fields = [T.StructField("timestamp", T.StringType())] + [
+        T.StructField(f"c{i}", T.StringType()) for i in range(n_channels)]
+    raw = (spark.read.schema(T.StructType(fields))
+           .option("header", True).option("mode", "PERMISSIVE")
+           .csv(path_glob)
+           .withColumn("src", F.input_file_name()))
+    # skip embedded repeated headers (P11): rows whose ts cell is the header
+    clean = raw.filter(F.col("timestamp") != F.lit("timestamp"))
+    channels = F.array(*[
+        F.struct(F.lit(i).alias("channel_idx"),
+                 try_double(f"c{i}").alias("power"))
+        for i in range(n_channels)])
+    return (clean
+            .select(
+                F.timestamp_seconds(try_double("timestamp").cast("long"))
+                .alias("ts"),
+                F.explode(channels).alias("ch"),
+                F.regexp_extract("src", r"(building\w+)", 1).alias("building"))
+            .select("ts", F.col("ch.channel_idx"), F.col("ch.power"),
+                    "building"))
+
+
+def read_labels_json(spark: SparkSession, path: str) -> DataFrame:
+    """labels.json ({house: [name, ...]}) -> positional dim
+    (house_id, channel_idx, appliance_name) via posexplode — the J1 join key
+    the producers build with list indexing (producer_GREEND_avro.py:196-200)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    houses = [F.struct(F.lit(c).alias("house_id"),
+                       F.col(c).alias("names"))
+              for c in raw.columns]
+    return (raw.select(F.explode(F.array(*houses)).alias("h"))
+            .select(F.col("h.house_id"),
+                    F.posexplode(F.col("h.names"))
+                    .alias("channel_idx", "appliance_name")))
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro module is on the classpath."""
+    try:
+        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+        df = spark.range(1).select(F.lit(b"x").alias("v"))
+        df.select(from_avro("v", '{"type":"string"}')).schema
+        return True
+    except Exception:
+        return False
+
+
+def decode_avro_stream(stream: DataFrame, schema_json: str,
+                       value_col: str = "value") -> DataFrame:
+    """S2: Kafka envelope bytes -> struct via from_avro (Spark 3 built-in;
+    replaces the reference's py4j bridge, duty_cycle_avro.py:12-19).
+    Raises a clear error when spark-avro isn't deployed."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            "spark-avro module not on the classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from exc
+    return stream.select(
+        from_avro(F.col(value_col), schema_json).alias("r")).select("r.*")
+
+
+def kafka_reader(spark: SparkSession, brokers: str, topic: str,
+                 streaming: bool = True, fail_on_data_loss: bool = False):
+    """S1: Kafka source builder (ST8 knobs: failOnDataLoss, startingOffsets).
+    Returns an unloaded reader so callers compose options; requires the
+    spark-sql-kafka connector jar at runtime."""
+    reader = (spark.readStream if streaming else spark.read)
+    return (reader.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("failOnDataLoss", str(fail_on_data_loss).lower()))
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str,
+               checkpoint_dir: str, key_col: str | None = "house_id"):
+    """S4: streaming Kafka sink with checkpoint; key by house_id to preserve
+    the reference's per-house partition ordering (ST7,
+    producer_REDD_avro.py:173)."""
+    payload = F.to_json(F.struct(*df.columns)).alias("value")
+    cols = [payload] if key_col is None else [
+        F.col(key_col).cast("string").alias("key"), payload]
+    return (df.select(*cols)
+            .writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append"))

@@ -44,22 +44,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def readings_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` reshaped as the reference's power-reading stream.
+def events_to_readings(events: DataFrame) -> DataFrame:
+    """events-shaped frame (batch OR stream) -> the reference's power-reading
+    record. Handles a still-long ``ts`` (nanos) for streaming readers.
 
     Mirrors the producer's key synthesis (``producer_REDD_avro.py:170-171``
     builds house_id/appliance_id via string concat — SURVEY P10) and the
     stream projection (``duty_cycle_avro.py:72-73``).
     """
-    events = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    for field in events.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            ts = F.timestamp_micros(F.expr("ts DIV 1000"))
     return events.select(
-        F.col("ts"),
+        ts.alias("ts"),
         F.col("user_id").cast("string").alias("house_id"),
         F.concat_ws("_", F.col("user_id").cast("string"),
                     F.col("event_type")).alias("appliance_id"),
         F.col("event_type").alias("appliance_name"),
         F.col("value").alias("power"),
     )
+
+
+def readings_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch scan of ``events`` in readings shape."""
+    return events_to_readings(load_table(spark, sf_dir, "events"))
 
 
 # DuckDB twin of readings_view — interpolate as a CTE in oracle SQL.

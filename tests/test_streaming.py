@@ -1,0 +1,93 @@
+"""Streaming-semantics tests (SURVEY §5): batch≡stream equivalence and the
+documented watermark late-drop behavior — the coverage the reference never
+had."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.duty_cycle import duty_cycle
+from insight_de_smart_grid_spark.sources.tables import (
+    events_to_readings,
+    readings_view,
+)
+from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+    run_stream_over_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_batch_equals_stream_for_finalized_windows(spark):
+    """The same duty-cycle computed as a batch query and as an append-mode
+    streaming query must agree on every window the stream finalized."""
+    name = f"ds_{uuid.uuid4().hex[:8]}"
+    stream_out = run_stream_over_parquet(
+        spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+        query_name=name, window="10 minutes", slide="2 minutes",
+        watermark="2 seconds")
+
+    readings = readings_view(spark, SF_SMOKE)
+    batch = duty_cycle(readings, window="10 minutes", slide="2 minutes")
+    max_ts = readings.agg(F.max("ts")).collect()[0][0]
+
+    s_rows = {tuple(r) for r in stream_out.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    # append mode withholds windows not yet past the watermark
+    finalized = {r for r in b_rows
+                 if (max_ts - r[0]).total_seconds() >= 2}
+    assert s_rows == finalized
+    assert len(s_rows) > 0
+
+
+def test_watermark_drops_late_rows_across_restarts(spark):
+    """ST1: a row arriving after the watermark passed its window is dropped.
+    Two availableNow runs share a checkpoint; the second run's input is
+    entirely behind the persisted watermark."""
+    data_dir = tempfile.mkdtemp(prefix="late_data_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="late_out_") + "/sink"
+    try:
+        on_time = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:01", 5, "click", 10.0, "{}"),
+             (2, "2024-01-01 10:09:59", 5, "click", 10.0, "{}"),
+             (3, "2024-01-01 10:30:00", 5, "click", 10.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        on_time.write.mode("overwrite").parquet(data_dir)
+        out1 = run_stream_over_parquet(
+            spark, data_dir, events_to_readings,
+            window="10 minutes", slide=None, watermark="2 seconds",
+            checkpoint_dir=ckpt, out_dir=out_dir)
+        first = {(r.time_end.isoformat(), r.duty_cycle)
+                 for r in out1.collect()}
+        # watermark advanced to 10:29:58 -> the 10:00 window finalized
+        assert ("2024-01-01T10:10:00", 1.0) in first
+        n_first = len(first)
+
+        late = spark.createDataFrame(
+            [(4, "2024-01-01 10:05:00", 5, "click", 1.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        late.write.mode("append").parquet(data_dir)
+        out2 = run_stream_over_parquet(
+            spark, data_dir, events_to_readings,
+            window="10 minutes", slide=None, watermark="2 seconds",
+            checkpoint_dir=ckpt, out_dir=out_dir)
+        rows2 = out2.collect()
+        # the late row (power 1.0, below threshold -> duty would drop to 2/3)
+        # must NOT re-emit or alter the finalized 10:00 window
+        final_windows = {(r.time_end.isoformat(), r.duty_cycle)
+                         for r in rows2}
+        assert ("2024-01-01T10:10:00", 1.0) in final_windows
+        assert ("2024-01-01T10:10:00", 2 / 3) not in final_windows
+        assert len(rows2) == n_first  # nothing new finalized, nothing re-opened
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
