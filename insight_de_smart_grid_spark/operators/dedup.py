@@ -59,16 +59,24 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text",
 def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) distinct pairs; docs shorter than n tokens drop out
-    (mirrored in the oracle SQL)."""
+    (mirrored in the oracle SQL).
+
+    Formulated as posexplode + lead() windows rather than
+    ``transform(sequence(...), i -> element_at(...))``: nested higher-order
+    functions run interpreted (outside whole-stage codegen) and measured ~7x
+    slower; lead() stays codegen'd and its doc_id shuffle is the same one the
+    downstream ``distinct`` needs anyway."""
+    from pyspark.sql import Window
+
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
-    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tok = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "t0"))
+    for j in range(1, n):
+        tok = tok.withColumn(f"t{j}", F.lead("t0", j).over(w))
     return (
-        docs.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("g"))
+        tok.filter(F.col(f"t{n - 1}").isNotNull())
+        .select(F.col(id_col),
+                F.concat_ws(" ", *[f"t{j}" for j in range(n)]).alias("g"))
         .distinct()
     )
 
@@ -82,7 +90,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
     Jaccard is a ratio of integers (|A ∩ B| / (|A| + |B| - |A ∩ B|)) — IEEE
     division of identical integers is bit-stable across engines.
     """
-    sh = word_ngrams(docs, n, text_col, id_col)
+    # join on a 64-bit shingle hash, not the string: halves shuffle width and
+    # makes the equi-join key fixed-size (collision odds ~(n_shingles^2)/2^64)
+    sh = (word_ngrams(docs, n, text_col, id_col)
+          .select(F.col(id_col), F.xxhash64("g").alias("g")))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
