@@ -1,0 +1,176 @@
+"""Advanced relational extensions: sessionization, as-of join, statistical
+aggregates, approximate aggregates, and a scalar-function battery.
+
+These round out 'the operations a large-scale training-data / analytics
+pipeline would need' beyond SURVEY §2's literal inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.asof import asof_join
+from insight_de_smart_grid_spark.operators.sessionize import (
+    session_aggregates,
+    sessionize_oracle_sql,
+)
+from insight_de_smart_grid_spark.plans.registry import register
+from insight_de_smart_grid_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap = 30 min over events)
+# ---------------------------------------------------------------------------
+
+@register("sessionize_events", sessionize_oracle_sql(30))
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_aggregates(ev, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's latest click at/before it
+# ---------------------------------------------------------------------------
+
+@register("asof_purchase_click", """
+SELECT p.event_id, p.user_id, p.ts,
+       c.value AS asof_value, c.ts AS asof_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    return asof_join(purchases, clicks, on="user_id",
+                     payload_cols=("value",))
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (stddev / corr / regression slope / exact median)
+# ---------------------------------------------------------------------------
+
+@register("star_stats_agg", """
+SELECT l_returnflag,
+       round(stddev(l_quantity), 6) AS std_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_qty,
+       round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS median_qty
+FROM lineitem
+GROUP BY 1
+""")
+def q_star_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded to 6 decimals: variance/correlation accumulate in different
+    orders across engines (one-pass vs pairwise), so raw doubles differ in
+    the last ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.stddev("l_quantity"), 6).alias("std_qty"),
+             F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+             .alias("corr_qty_price"),
+             F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+             .alias("slope_price_qty"),
+             F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
+             .alias("median_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — engine-specific sketches, no cross-engine oracle;
+# tests assert tolerance vs the exact answers instead
+# ---------------------------------------------------------------------------
+
+@register("star_approx_agg", None)
+def q_star_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+             F.percentile_approx("l_extendedprice", 0.5)
+             .alias("approx_median_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function battery (§2.8 generalized: string/date/math/conditional)
+# ---------------------------------------------------------------------------
+
+@register("scalar_battery", """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS type_first_word,
+       concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       abs(p_retailprice - 1000.0) AS price_dev,
+       round(sqrt(p_retailprice), 6) AS price_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       cast(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+       mod(p_partkey, 7) AS key_mod,
+       greatest(p_size, 25) AS size_floor25,
+       CASE WHEN p_size > 40 THEN 'L' WHEN p_size > 20 THEN 'M'
+            ELSE 'S' END AS size_class,
+       coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other
+FROM part
+""")
+def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("type_first_word"),
+        F.concat(F.col("p_brand"), F.lit("#"),
+                 F.col("p_size").cast("string")).alias("brand_size"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("size_floor25"),
+        F.when(F.col("p_size") > 40, "L").when(F.col("p_size") > 20, "M")
+        .otherwise("S").alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")),
+                   F.lit("OTHER")).alias("brand_or_other"),
+    )
+
+
+@register("scalar_dates", """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(extract(dow FROM o_orderdate) AS INT) AS order_dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS INT) AS days_since_epoch95,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+FROM orders
+""")
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB dow: 0=Sunday..6
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        # trunc() returns DATE, matching DuckDB's date_trunc('month', ts)
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_epoch95"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )

@@ -67,3 +67,4 @@ def q_duty_cycle_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 from insight_de_smart_grid_spark.plans import query_library  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import star_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import extension_queries  # noqa: E402,F401
+from insight_de_smart_grid_spark.plans import advanced_queries  # noqa: E402,F401

@@ -1,0 +1,56 @@
+"""Tests for sessionization, as-of join, stats/approx aggregates, scalar
+batteries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.sessionize import (
+    session_agg_builtin,
+    session_aggregates,
+)
+from insight_de_smart_grid_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import check_registered
+
+ORACLE_CHECKED = [
+    "sessionize_events",
+    "asof_purchase_click",
+    "star_stats_agg",
+    "scalar_battery",
+    "scalar_dates",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_advanced_matches_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
+
+
+def test_builtin_session_window_agrees_with_lag_cumsum(spark):
+    """Two independent sessionization formulations (window-function recipe vs
+    native session_window) must produce identical session boundaries."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    manual = {(r.user_id, r.session_start, r.n_events, round(r.sum_value, 6))
+              for r in session_aggregates(ev, gap="30 minutes").collect()}
+    builtin = {(r.user_id, r.session_start, r.n_events, round(r.sum_value, 6))
+               for r in session_agg_builtin(ev, gap="30 minutes").collect()}
+    assert manual == builtin
+
+
+def test_approx_agg_within_tolerance_of_exact(spark):
+    exact = {
+        r.l_returnflag: (r.n, float(r.m)) for r in
+        load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"),
+             F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+    approx = QUERIES["star_approx_agg"].fn(spark, SF_ORACLE).collect()
+    for r in approx:
+        n_exact, m_exact = exact[r.l_returnflag]
+        assert abs(r.approx_parts - n_exact) / n_exact < 0.05
+        assert abs(r.approx_median_price - m_exact) / m_exact < 0.05
