@@ -191,15 +191,28 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> exact-Jaccard verify.
-    Only candidate pairs pay the verification join, which is the property
-    that makes this the scale path."""
+
+    Verification joins each candidate pair to the two docs' shingle-hash sets
+    and intersects them with `array_intersect` — cost proportional to the
+    number of LSH candidates, never to the all-pairs shingle inversion. That
+    candidate-bounded verify is the property that makes this the 100 TB path
+    (the exact `ngram_jaccard_pairs` inversion would pair every doc sharing
+    even one shingle)."""
+    sh = (word_ngrams(docs, ngram, text_col, id_col)
+          .select(F.col(id_col), F.xxhash64("g").alias("g")))
+    sets = sh.groupBy(id_col).agg(F.collect_set("g").alias("shingles"))
     cands = lsh_candidate_pairs(
         minhash_signatures(docs, n_hashes, ngram, text_col, id_col),
         n_hashes, bands, id_col)
-    exact = ngram_jaccard_pairs(docs, ngram, threshold=0.0,
-                                text_col=text_col, id_col=id_col)
+    sa = sets.select(F.col(id_col).alias("doc_a"),
+                     F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"),
+                     F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -238,23 +251,37 @@ def simhash_chunks(docs: DataFrame, text_col: str = "text",
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
-    """Chunk-equality blocking + exact Hamming verify via bit_count(xor)."""
+    """Chunk-equality blocking + exact Hamming verify via bit_count(xor).
+
+    The blocking is an *equi*-join on exploded (chunk_idx, chunk_val) rows —
+    an OR-of-chunk-equalities predicate would force a nested-loop O(n^2)
+    join; the exploded form hash-joins and only same-block docs ever pair."""
     sig = simhash_chunks(docs, text_col, id_col)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    same_chunk = reduce(
-        lambda x, y: x | y,
-        [F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}") for c in range(4)])
+    # explode to one row per (doc, chunk_idx); each row carries the full
+    # 4-chunk signature so the pair join verifies Hamming inline (no join-back)
+    blocks = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("ci"), F.col(f"chunk{c}").alias("cv"))
+            for c in range(4)])).alias("e"),
+        *[F.col(f"chunk{c}") for c in range(4)],
+    ).select(F.col(id_col), F.col("e.ci"), F.col("e.cv"),
+             *[F.col(f"chunk{c}") for c in range(4)])
+    a = blocks.alias("a")
+    b = blocks.alias("b")
     ham = reduce(
         lambda x, y: x + y,
         [F.bit_count(F.col(f"a.chunk{c}").bitwiseXOR(F.col(f"b.chunk{c}")))
          for c in range(4)])
     return (
-        a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & same_chunk)
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"), "hamming")
+                F.col(f"b.{id_col}").alias("doc_b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -65,6 +65,7 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
                             to_readings, query_name: str = "duty_stream",
                             checkpoint_dir: str | None = None,
                             out_dir: str | None = None,
+                            state_partitions: int | None = 8,
                             **plan_kwargs) -> DataFrame:
     """Replay a parquet table through the streaming plan with
     ``availableNow`` + memory sink; returns the finalized (append-mode)
@@ -75,10 +76,19 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
     source would be ``readStream.format("kafka")`` (S1) and the sink Kafka or
     partitioned Parquet (S4/S9); file-in/memory-out keeps the identical plan
     testable without brokers.
+
+    ``state_partitions`` sizes the stateful shuffle (= number of state store
+    instances, fixed at first start). Per-store open/commit overhead dominates
+    when state is small, so default low; on a cluster size it to the
+    (window x key) cardinality. Scoped to this query — the session conf is
+    restored afterwards.
     """
     # nanos-precision parquet timestamps surface as longs (same policy as
     # sources.tables.load_table); events_to_readings converts them
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     # the streaming file source requires a directory; stage a symlink dir
     # when pointed at a single parquet file
     p = Path(parquet_path)
@@ -90,22 +100,25 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
     stream = (spark.readStream.schema(schema).format("parquet")
               .load(parquet_path))
     plan = duty_cycle_stream_plan(to_readings(stream), **plan_kwargs)
-    if out_dir:
-        # fault-tolerant file sink (exactly-once, checkpoint-recoverable) —
-        # the production shape (S9: plain append sink with timestamp column)
+    try:
+        if out_dir:
+            # fault-tolerant file sink (exactly-once, checkpoint-recoverable)
+            # — the production shape (S9: plain append sink with ts column)
+            writer = (plan.writeStream.outputMode("append")
+                      .format("parquet").option("path", out_dir)
+                      .trigger(availableNow=True))
+            if checkpoint_dir:
+                writer = writer.option("checkpointLocation", checkpoint_dir)
+            q = writer.start()
+            q.awaitTermination()
+            return spark.read.parquet(out_dir)
         writer = (plan.writeStream.outputMode("append")
-                  .format("parquet").option("path", out_dir)
+                  .format("memory").queryName(query_name)
                   .trigger(availableNow=True))
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         q = writer.start()
         q.awaitTermination()
-        return spark.read.parquet(out_dir)
-    writer = (plan.writeStream.outputMode("append")
-              .format("memory").queryName(query_name)
-              .trigger(availableNow=True))
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return spark.table(query_name)
+        return spark.table(query_name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
