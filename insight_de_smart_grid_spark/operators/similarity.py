@@ -158,6 +158,78 @@ def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
                     F.posexplode("bks").alias("table", "bucket")))
 
 
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 16,
+                    n_iter: int = 5, seed: int = 7, train_rows: int = 2048,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """IVF coarse quantizer: spherical k-means centroids trained on a
+    driver-side sample, then one Arrow-batched pass assigns every vector to
+    its nearest centroid (cosine).
+
+    Returns (centroids ndarray (C, dim) L2-normalized, assigned DataFrame
+    with a ``cluster`` column). At 100 TB: train on a ~1M-row sample (cheap,
+    driver/NumPy), broadcast the centroid matrix (KBs), and write the
+    assigned table partitioned by ``cluster`` — a query then scans only the
+    probed partitions. Training sample is taken by ascending id — fully
+    deterministic, no RNG in the data path."""
+    spark = embeddings.sparkSession
+    train = (embeddings.select(id_col, vec_col).orderBy(id_col)
+             .limit(train_rows).toPandas())
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in train[vec_col]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), n_centroids, replace=False)]
+    for _ in range(n_iter):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cluster_udf(vs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ b_cents.value.T).argmax(axis=1).astype("int32"))
+
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    return cents, emb.withColumn("cluster", cluster_udf("v"))
+
+
+def ivf_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-K: probe the ``nprobe`` centroids nearest the
+    query, exact cosine re-rank within those inverted lists only. The scan
+    touches nprobe/n_centroids of the corpus — the IVF scale contract."""
+    cents, assigned = ivf_assignments(embeddings, n_centroids,
+                                      vec_col=vec_col, id_col=id_col)
+    qrow = (assigned.filter(F.col(id_col) == query_vec_id)
+            .select("v").head())
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probes = [int(c) for c in (cents @ qn).argsort()[::-1][:nprobe]]
+    q = (assigned.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("v").alias("qv")))
+    return (
+        assigned
+        .filter(F.col("cluster").isin(probes)
+                & (F.col(id_col) != query_vec_id))
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_dot(F.col("v"), F.col("qv"))
+                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
                  n_tables: int = 16, n_planes: int = 4, dim: int = 64,
                  vec_col: str = "embedding",

@@ -71,6 +71,32 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to syntax shared by Java
+# regex (Spark) and RE2 (DuckDB): contractions, letter runs, digit runs,
+# symbol runs, each optionally preceded by one space.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (the split every byte-pair tokenizer applies
+    before merges) — the token-count estimator a training-data pipeline uses
+    when the real tokenizer is too expensive for a full-corpus pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def with_bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = bpe_tokens(text_col)
+    ws = tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(F.size(toks).cast("double") / F.size(ws), 6)
+        .alias("bpe_per_word"),
+    )
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stats projection used by quality filtering in a training-data pipeline."""
     toks = tokens(text_col)
@@ -130,5 +156,18 @@ FROM t
 FINGERPRINT_SQL = r"""
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+         AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       round(CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+         AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 6)
+         AS bpe_per_word
 FROM documents
 """

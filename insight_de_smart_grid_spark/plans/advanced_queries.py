@@ -10,10 +10,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.functions.arrays import (
+    ARRAY_BATTERY_SQL,
+    array_battery,
+)
 from insight_de_smart_grid_spark.operators.asof import asof_join
 from insight_de_smart_grid_spark.operators.sessionize import (
     session_aggregates,
     sessionize_oracle_sql,
+)
+from insight_de_smart_grid_spark.operators.similarity import ivf_ann_topk
+from insight_de_smart_grid_spark.operators.text import (
+    BPE_TOKENS_SQL,
+    with_bpe_token_stats,
 )
 from insight_de_smart_grid_spark.plans.registry import register
 from insight_de_smart_grid_spark.sources.tables import load_table
@@ -174,3 +183,54 @@ def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch95"),
         F.last_day("o_orderdate").alias("month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (text analysis, training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@register("text_bpe_tokens", BPE_TOKENS_SQL)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array-function battery over embeddings
+# ---------------------------------------------------------------------------
+
+@register("array_battery", ARRAY_BATTERY_SQL)
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return array_battery(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors (scale path beside the LSH variant);
+# engine-specific index -> no cross-engine oracle, recall asserted in tests
+# ---------------------------------------------------------------------------
+
+@register("sim_ivf_topk", None)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, query_vec_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState EWMA);
+# append-mode state semantics have no DuckDB twin -> rows-only check, the
+# batch≡stream test in tests/test_advanced.py is the correctness gate
+# ---------------------------------------------------------------------------
+
+@register("streaming_ewma", None)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stateful import ewma_stream
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: ewma_stream(events_to_readings(stream)),
+        query_name=f"ewma_{uuid.uuid4().hex[:8]}")

@@ -25,13 +25,11 @@ shared storage — both plain configs, no code change.
 
 from __future__ import annotations
 
-import tempfile
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators.duty_cycle import DEFAULT_THRESHOLD
+from insight_de_smart_grid_spark.streaming.replay import replay_parquet_stream
 
 
 def duty_cycle_stream_plan(stream: DataFrame,
@@ -77,48 +75,12 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
     partitioned Parquet (S4/S9); file-in/memory-out keeps the identical plan
     testable without brokers.
 
-    ``state_partitions`` sizes the stateful shuffle (= number of state store
-    instances, fixed at first start). Per-store open/commit overhead dominates
-    when state is small, so default low; on a cluster size it to the
-    (window x key) cardinality. Scoped to this query — the session conf is
-    restored afterwards.
+    ``state_partitions`` sizes the stateful shuffle; see
+    ``streaming.replay.replay_parquet_stream`` (the shared runner).
     """
-    # nanos-precision parquet timestamps surface as longs (same policy as
-    # sources.tables.load_table); events_to_readings converts them
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    # the streaming file source requires a directory; stage a symlink dir
-    # when pointed at a single parquet file
-    p = Path(parquet_path)
-    if p.is_file():
-        staged = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (staged / p.name).symlink_to(p)
-        parquet_path = str(staged)
-    schema = spark.read.parquet(parquet_path).schema
-    stream = (spark.readStream.schema(schema).format("parquet")
-              .load(parquet_path))
-    plan = duty_cycle_stream_plan(to_readings(stream), **plan_kwargs)
-    try:
-        if out_dir:
-            # fault-tolerant file sink (exactly-once, checkpoint-recoverable)
-            # — the production shape (S9: plain append sink with ts column)
-            writer = (plan.writeStream.outputMode("append")
-                      .format("parquet").option("path", out_dir)
-                      .trigger(availableNow=True))
-            if checkpoint_dir:
-                writer = writer.option("checkpointLocation", checkpoint_dir)
-            q = writer.start()
-            q.awaitTermination()
-            return spark.read.parquet(out_dir)
-        writer = (plan.writeStream.outputMode("append")
-                  .format("memory").queryName(query_name)
-                  .trigger(availableNow=True))
-        if checkpoint_dir:
-            writer = writer.option("checkpointLocation", checkpoint_dir)
-        q = writer.start()
-        q.awaitTermination()
-        return spark.table(query_name)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return replay_parquet_stream(
+        spark, parquet_path,
+        lambda stream: duty_cycle_stream_plan(to_readings(stream),
+                                              **plan_kwargs),
+        query_name=query_name, checkpoint_dir=checkpoint_dir,
+        out_dir=out_dir, state_partitions=state_partitions)

@@ -20,6 +20,8 @@ ORACLE_CHECKED = [
     "star_stats_agg",
     "scalar_battery",
     "scalar_dates",
+    "text_bpe_tokens",
+    "array_battery",
 ]
 
 
@@ -54,3 +56,29 @@ def test_approx_agg_within_tolerance_of_exact(spark):
         n_exact, m_exact = exact[r.l_returnflag]
         assert abs(r.approx_parts - n_exact) / n_exact < 0.05
         assert abs(r.approx_median_price - m_exact) / m_exact < 0.05
+
+
+def test_ivf_recall_against_exact_topk(spark):
+    """IVF with nprobe=4/16 must recover a majority of the exact top-10."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    approx = {r.vec_id for r in ivf_ann_topk(emb, 0, k=10).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_ewma_stream_equals_batch(spark):
+    """The applyInPandasWithState EWMA must equal the batch applyInPandas
+    run over the same input (state carried across micro-batches)."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+    from insight_de_smart_grid_spark.streaming.stateful import ewma_batch
+
+    batch = {(r.house_id, r.appliance_id, r.ts, round(r.ewma, 9))
+             for r in ewma_batch(readings_view(spark, SF_ORACLE)).collect()}
+    stream = {(r.house_id, r.appliance_id, r.ts, round(r.ewma, 9))
+              for r in QUERIES["streaming_ewma"].fn(spark, SF_ORACLE).collect()}
+    assert batch == stream

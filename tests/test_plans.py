@@ -1,0 +1,86 @@
+"""Physical-plan shape guards: the properties that decide whether a query
+survives a 100x scale-up, asserted on `.explain("formatted")` output so a
+regression (lost pushdown, accidental nested-loop join, extra shuffle) fails
+CI rather than surfacing as a cluster incident.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from insight_de_smart_grid_spark.plans.registry import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    # formatted explain lists each node twice (tree + detail section);
+    # count only the numbered detail headers
+    import re
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_enrich_labels_broadcasts_the_dim(spark):
+    """J1 must be a broadcast hash join — shuffling the fact side on a
+    lookup key is the classic 100 TB failure."""
+    assert "BroadcastHashJoin" in plan_of(spark, "enrich_labels")
+
+
+def test_region_revenue_joins_are_hash_joins(spark):
+    p = plan_of(spark, "star_region_revenue")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_near_dup_blocking_is_equi_join(spark):
+    """simhash/LSH blocking must hash-join on block keys; an OR-of-equalities
+    predicate silently degrades to a nested-loop O(n^2) join."""
+    for name in ("dedup_simhash", "dedup_minhash_lsh"):
+        p = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_pricing_summary_prunes_columns(spark):
+    """The lineitem scan must read only the 7 columns the query touches —
+    a full-width scan of the largest table is wrong at any scale."""
+    p = plan_of(spark, "star_pricing_summary")
+    assert "l_comment" not in p and "l_partkey" not in p
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """Predicates on raw columns must appear in PushedFilters on the scan."""
+    p = plan_of(spark, "star_top_revenue_orders")
+    assert "PushedFilters: [" in p
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any(s.strip() for s in pushed), pushed
+
+
+def test_duty_cycle_has_single_shuffle(spark):
+    """One shuffle at the groupBy (partial+final HashAggregate around it);
+    more means a lost map-side combine."""
+    p = plan_of(spark, "duty_cycle_10m")
+    assert n_exchanges(p) == 1, p
+
+
+def test_sessionize_reuses_partitioning(spark):
+    """The session aggregation groups by (user_id, session_seq) on data
+    already hash-partitioned by user_id; subset-key partitioning satisfies
+    the clustered distribution, so there must be exactly one exchange."""
+    p = plan_of(spark, "sessionize_events")
+    assert n_exchanges(p) == 1, p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """orderBy+limit must plan TakeOrderedAndProject (O(K) per partition),
+    never a full global Sort."""
+    p = plan_of(spark, "dash_top10_appliance")
+    assert "TakeOrderedAndProject" in p
