@@ -44,3 +44,29 @@ def with_lag(df: DataFrame, partition_by: list[str], order_by: list[Column],
     """lag() — previous row's value within the group ordering."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(out, F.lag(col, offset).over(w))
+
+
+def salted_sum(df: DataFrame, keys: list[str], value_col: str,
+               salt_from: str, n_salts: int = 8) -> DataFrame:
+    """Skew-resistant grouped sum: two-stage aggregation through a salt.
+
+    A single hot key (one chatty house, one viral document) makes one reducer
+    the straggler at 100 TB. Salting splits each key's rows across
+    ``n_salts`` partial groups (stage 1 shuffles on (key, salt) — uniform by
+    construction), then the tiny partial table re-aggregates on the key
+    alone. AQE's skew handling covers joins; this is the aggregation-side
+    equivalent, worth it only for additive aggregates on known-skewed keys —
+    for uniform keys Spark's map-side partial aggregation already does this.
+
+    ``salt_from`` is a row-level column hashed into the salt, keeping the
+    operator fully deterministic (no rand()). Output: keys + sum_<value_col>
+    + n_rows.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)))
+    partial = (salted.groupBy(*keys, "__salt")
+               .agg(F.sum(F.col(value_col).cast("double")).alias("__psum"),
+                    F.count(F.lit(1)).alias("__pcnt")))
+    return (partial.groupBy(*keys)
+            .agg(F.round(F.sum("__psum"), 6).alias(f"sum_{value_col}"),
+                 F.sum("__pcnt").alias("n_rows")))

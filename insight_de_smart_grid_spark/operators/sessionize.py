@@ -77,6 +77,30 @@ def session_agg_builtin(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def session_stream_plan(events_stream: DataFrame, gap: str = "30 minutes",
+                        watermark: str = "1 minute", key: str = "user_id",
+                        time_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Streaming sessionization: the same ``session_window`` aggregate under
+    a watermark (Spark's stateful merge-on-gap operator — SURVEY §2.7 notes
+    session windows as the extension the reference lacked). Append mode emits
+    a session once the watermark passes its end (last event + gap).
+
+    State per key is one open session struct; the watermark bounds it. For
+    100 TB keyspaces use the RocksDB state store provider."""
+    return (
+        events_stream
+        .withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("sw"),
+                 F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(value_col).alias("sum_value"))
+        .select(F.col(key), F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
+
+
 def sessionize_oracle_sql(gap_minutes: int = 30) -> str:
     """DuckDB twin of session_aggregates over `events`."""
     return f"""

@@ -234,3 +234,44 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet",
         lambda stream: ewma_stream(events_to_readings(stream)),
         query_name=f"ewma_{uuid.uuid4().hex[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant salted aggregation (two-stage sum; same answer as plain SUM)
+# ---------------------------------------------------------------------------
+
+@register("salted_agg", """
+SELECT user_id,
+       round(sum(value), 6) AS sum_value,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1
+""")
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from insight_de_smart_grid_spark.operators.relational import salted_sum
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum(ev, keys=["user_id"], value_col="value",
+                      salt_from="event_id", n_salts=8)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (session_window + watermark, append mode);
+# state semantics -> rows-only check, batch equality proven in tests
+# ---------------------------------------------------------------------------
+
+@register("streaming_sessions", None)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.operators.sessionize import (
+        session_stream_plan,
+    )
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: session_stream_plan(normalize_event_ts(stream)),
+        query_name=f"sess_{uuid.uuid4().hex[:8]}")

@@ -44,6 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def normalize_event_ts(events: DataFrame) -> DataFrame:
+    """Convert a nanos-long ``ts`` (the legacy-reader surface of
+    TIMESTAMP(NANOS) parquet) to a proper timestamp; no-op when already a
+    timestamp. Integer DIV keeps the full microsecond precision."""
+    for field in events.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long",
+                                                                "bigint"):
+            return events.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return events
+
+
 def events_to_readings(events: DataFrame) -> DataFrame:
     """events-shaped frame (batch OR stream) -> the reference's power-reading
     record. Handles a still-long ``ts`` (nanos) for streaming readers.
@@ -52,12 +64,9 @@ def events_to_readings(events: DataFrame) -> DataFrame:
     builds house_id/appliance_id via string concat — SURVEY P10) and the
     stream projection (``duty_cycle_avro.py:72-73``).
     """
-    ts = F.col("ts")
-    for field in events.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
-            ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    events = normalize_event_ts(events)
     return events.select(
-        ts.alias("ts"),
+        F.col("ts"),
         F.col("user_id").cast("string").alias("house_id"),
         F.concat_ws("_", F.col("user_id").cast("string"),
                     F.col("event_type")).alias("appliance_id"),

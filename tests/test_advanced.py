@@ -22,6 +22,7 @@ ORACLE_CHECKED = [
     "scalar_dates",
     "text_bpe_tokens",
     "array_battery",
+    "salted_agg",
 ]
 
 
@@ -82,3 +83,33 @@ def test_ewma_stream_equals_batch(spark):
     stream = {(r.house_id, r.appliance_id, r.ts, round(r.ewma, 9))
               for r in QUERIES["streaming_ewma"].fn(spark, SF_ORACLE).collect()}
     assert batch == stream
+
+
+def test_streaming_sessions_match_batch_finalized(spark):
+    """session_window under readStream (append mode) must agree with the
+    batch session_window on every session the watermark finalized."""
+    from pyspark.sql import functions as F2
+
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+    from insight_de_smart_grid_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_ORACLE, "events")
+    batch = (
+        ev.groupBy(F2.session_window(F2.col("ts"), "30 minutes").alias("sw"),
+                   "user_id")
+        .agg(F2.count(F2.lit(1)).alias("n_events"),
+             F2.sum("value").alias("sum_value"))
+        .select("user_id", F2.col("sw.start").alias("session_start"),
+                F2.col("sw.end").alias("session_end"), "n_events",
+                "sum_value"))
+    max_ts = ev.agg(F2.max("ts")).collect()[0][0]
+    b_rows = {(r.user_id, r.session_start, r.session_end, r.n_events,
+               round(r.sum_value, 6))
+              for r in batch.collect()
+              if (max_ts - r.session_end).total_seconds() >= 60}
+    s_rows = {(r.user_id, r.session_start, r.session_end, r.n_events,
+               round(r.sum_value, 6))
+              for r in QUERIES["streaming_sessions"].fn(spark, SF_ORACLE)
+              .collect()}
+    assert s_rows == b_rows
+    assert len(s_rows) > 0

@@ -84,3 +84,43 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     never a full global Sort."""
     p = plan_of(spark, "dash_top10_appliance")
     assert "TakeOrderedAndProject" in p
+
+
+def test_rollup_materialization_prunes_partitions(spark, tmp_path):
+    """The materialized rollup (Druid-segment analog) must serve an
+    interval query via partition pruning: the (date, hour) filter appears in
+    PartitionFilters and the re-aggregated answer matches the raw query."""
+    from pyspark.sql import functions as F
+
+    from insight_de_smart_grid_spark.operators.rollup import (
+        reaggregate,
+        rollup_time,
+        write_rollup,
+    )
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+
+    readings = readings_view(spark, SF_ORACLE)
+    path = str(tmp_path / "rollup")
+    write_rollup(rollup_time(readings), path)
+
+    cube = spark.read.parquet(path)
+    some = cube.select("date", "hour").distinct().limit(1).collect()[0]
+    sliced = cube.filter((F.col("date") == some.date)
+                         & (F.col("hour") == some.hour))
+
+    buf_plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in buf_plan
+    assert "date" in buf_plan.split("PartitionFilters", 1)[1][:200]
+
+    got = {(r.house_id, r.appliance_id, r.cnt, round(r.sum_power, 6))
+           for r in reaggregate(sliced, ("house_id", "appliance_id"),
+                                avg_col=None).collect()}
+    want = {(r.house_id, r.appliance_id, r.cnt, round(r.sum_power, 6))
+            for r in (readings
+                      .filter((F.to_date("ts") == some.date)
+                              & (F.hour("ts") == some.hour))
+                      .groupBy("house_id", "appliance_id")
+                      .agg(F.count(F.lit(1)).alias("cnt"),
+                           F.sum(F.col("power").cast("double"))
+                           .alias("sum_power"))).collect()}
+    assert got == want
