@@ -94,6 +94,44 @@ def decode_media(binary_df: DataFrame, fake: bool = False) -> DataFrame:
             .mapInPandas(decode, DECODED_SCHEMA))
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary, frame_sha string"
+
+
+def sample_frames(binary_df: DataFrame, frame_size: int = 256,
+                  every_n: int = 4, fake: bool = False) -> DataFrame:
+    """Frame-sampling stage: one payload row fans out to many frame rows
+    (the video → keyframe shape). Arrow-batched ``mapInPandas`` so a batch
+    yields a variable number of output rows without a UDTF.
+
+    ``fake=True`` chunks the payload into fixed-size pseudo-frames and keeps
+    every ``every_n``-th — deterministic, exercising the exact fan-out
+    plumbing; ``fake=False`` raises (a real build would shell to ffmpeg).
+    At scale: repartition before this stage (decode cost, not input size,
+    balances work) and write the frames table partitioned by media type.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction needs ffmpeg; not in this container")
+            doc, idx, fb, sha = [], [], [], []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                raw = bytes(payload)
+                frames = [raw[i:i + frame_size]
+                          for i in range(0, len(raw), frame_size)]
+                for j in range(0, len(frames), every_n):
+                    doc.append(doc_id)
+                    idx.append(j)
+                    fb.append(frames[j])
+                    sha.append(hashlib.sha256(frames[j]).hexdigest())
+            yield pd.DataFrame({"doc_id": doc, "frame_idx": idx,
+                                "frame_bytes": fb, "frame_sha": sha})
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(sample, FRAME_SCHEMA))
+
+
 def binary_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Pure-JVM metadata over the binary payload (no UDF): byte length +
     content hash — the dedup/integrity key for media lakes."""

@@ -101,3 +101,9 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_media(mm.attach_binary_payload(docs), fake=True)
+
+
+@register("multimodal_frame_sample", None)  # fan-out plumbing, stubbed decode
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.attach_binary_payload(docs), fake=True)

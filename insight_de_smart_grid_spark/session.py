@@ -54,5 +54,9 @@ def get_spark(app_name: str = "insight_de_smart_grid_spark",
     # Runtime-settable confs, applied even on an inherited session so oracle
     # comparisons stay stable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # tolerant arithmetic (NULL on div-by-zero / overflow), matching the
+    # reference's coerce-don't-fail ingestion policy (producer_GREEND_avro.py:
+    # 138-146); Spark 4 defaults ANSI on
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     return spark

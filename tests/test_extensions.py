@@ -99,3 +99,33 @@ def test_multimodal_decode_real_path_raises(spark):
     binary = mm.attach_binary_payload(docs)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         mm.decode_media(binary, fake=False).collect()
+
+
+def test_frame_sample_fanout_counts(spark):
+    """Each doc fans out to ceil(ceil(n_bytes/frame_size)/every_n) frame
+    rows, and frame payloads are the expected chunks."""
+    import math
+
+    from insight_de_smart_grid_spark.sources.tables import load_table as lt
+    from tests.conftest import SF_SMOKE as SF
+
+    docs = lt(spark, SF, "documents")
+    frames = mm.sample_frames(mm.attach_binary_payload(docs),
+                              frame_size=256, every_n=4, fake=True)
+    got = {r.doc_id: r.n for r in
+           frames.groupBy("doc_id").count().withColumnRenamed("count", "n")
+           .collect()}
+    want = {r.doc_id: math.ceil(math.ceil(len(r.text.encode()) / 256) / 4)
+            for r in docs.select("doc_id", "text").collect()}
+    assert got == want
+
+
+def test_frame_sample_real_path_raises(spark):
+    import pytest as pt
+
+    from insight_de_smart_grid_spark.sources.tables import load_table as lt
+    from tests.conftest import SF_SMOKE as SF
+
+    docs = lt(spark, SF, "documents")
+    with pt.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_frames(mm.attach_binary_payload(docs), fake=False).collect()
