@@ -39,10 +39,25 @@ def main() -> None:
         except Exception:
             pass
 
+    # Steady-state methodology: one untimed warmup run per query (absorbs
+    # whole-stage-codegen compilation, plan analysis, and Python worker
+    # spin-up — one-time costs a long-lived cluster never re-pays), then one
+    # measured run. Streaming queries skip the warmup (each invocation is a
+    # full stateful replay; there is no compile-once steady state to expose).
     timings: dict[str, float] = {}
+    failed: set[str] = set()
     for name, q in QUERIES.items():
-        # one warm-free measured run per query; per-query timing isolates
-        # regressions, total is the headline
+        if name.startswith("streaming_"):
+            continue
+        try:
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:
+            failed.add(name)
+            print(f"bench: {name} failed in warmup: {exc}", file=sys.stderr)
+    for name, q in QUERIES.items():
+        if name in failed:
+            timings[name] = -1.0
+            continue
         t0 = time.perf_counter()
         try:
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -113,3 +113,91 @@ def test_streaming_sessions_match_batch_finalized(spark):
               .collect()}
     assert s_rows == b_rows
     assert len(s_rows) > 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized (seeded) cross-check against pandas' reference asof
+    implementation on data with duplicate timestamps and unmatched keys."""
+    import numpy as np
+    import pandas as pd
+
+    from insight_de_smart_grid_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 400, 600
+    left = pd.DataFrame({
+        "event_id": np.arange(n_l),
+        "user_id": rng.randint(0, 20, n_l),
+        "ts": pd.to_datetime(rng.randint(0, 100_000, n_l), unit="s"),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 25, n_r),
+        "ts": pd.to_datetime(rng.randint(0, 100_000, n_r), unit="s"),
+        "value": rng.rand(n_r).round(6),
+    })
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = {(r.event_id, r.asof_value, r.asof_ts)
+           for r in asof_join(sl, sr, on="user_id",
+                              payload_cols=("value",)).collect()}
+
+    # pandas merge_asof with equal right timestamps keeps the LAST row of the
+    # ties; our last_value over (ts, right-first) ordering does the same
+    ref = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="user_id", direction="backward",
+        suffixes=("", "_r"))
+    # recover the matched right ts: join value back (values are unique floats)
+    ref = ref.dropna(subset=["value"])
+    rv = right.rename(columns={"ts": "r_ts"})
+    ref = ref.merge(rv, on=["user_id", "value"], how="left")
+    # equal (user_id, value) pairs can join to several r_ts; keep the latest
+    # r_ts <= ts, matching the as-of contract
+    ref = ref[ref.r_ts <= ref.ts]
+    ref = (ref.sort_values("r_ts").groupby("event_id", as_index=False)
+           .last())
+    want = {(int(r.event_id), float(r.value), r.r_ts.to_pydatetime())
+            for r in ref.itertuples()}
+    assert got == want
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Seeded random events vs a pure-Python gap-sessionizer."""
+    import numpy as np
+    import pandas as pd
+
+    from insight_de_smart_grid_spark.operators.sessionize import (
+        session_aggregates,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 1000
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, 15, n),
+        "ts": pd.to_datetime(rng.randint(0, 500_000, n), unit="s"),
+        "value": rng.rand(n).round(6),
+    })
+    got = {(r.user_id, r.session_seq, r.session_start, r.session_end,
+            r.n_events, round(r.sum_value, 6))
+           for r in session_aggregates(
+               spark.createDataFrame(pdf), gap="30 minutes").collect()}
+
+    want = set()
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq, start, prev, cnt, sv = 0, None, None, 0, 0.0
+        for row in g.itertuples():
+            if prev is None or (row.ts - prev).total_seconds() > 1800:
+                if start is not None:
+                    want.add((uid, seq, start.to_pydatetime(),
+                              prev.to_pydatetime(), cnt, round(sv, 6)))
+                seq += 1
+                start, cnt, sv = row.ts, 0, 0.0
+            prev_end = row.ts
+            cnt += 1
+            sv += row.value
+            prev = row.ts
+        want.add((uid, seq, start.to_pydatetime(), prev.to_pydatetime(),
+                  cnt, round(sv, 6)))
+    assert got == want
