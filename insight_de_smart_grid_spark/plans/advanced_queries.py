@@ -275,3 +275,28 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet",
         lambda stream: session_stream_plan(normalize_event_ts(stream)),
         query_name=f"sess_{uuid.uuid4().hex[:8]}")
+
+
+# ---------------------------------------------------------------------------
+# Corpus profiling by source/lang (the pipeline-health view a training-data
+# curation run starts from)
+# ---------------------------------------------------------------------------
+
+@register("docs_by_source", """
+SELECT source, lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT doc_id) AS n_distinct_ids
+FROM documents
+GROUP BY 1, 2
+""")
+def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.countDistinct("doc_id").alias("n_distinct_ids")))

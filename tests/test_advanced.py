@@ -23,6 +23,7 @@ ORACLE_CHECKED = [
     "text_bpe_tokens",
     "array_battery",
     "salted_agg",
+    "docs_by_source",
 ]
 
 

@@ -124,3 +124,43 @@ def test_rollup_materialization_prunes_partitions(spark, tmp_path):
                            F.sum(F.col("power").cast("double"))
                            .alias("sum_power"))).collect()}
     assert got == want
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Bucketing both fact tables on the join key lets the join run with
+    ZERO exchanges — the co-located-join strategy that amortizes one write
+    across every future join at 100 TB."""
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for t in ("orders", "lineitem"):
+            key = "o_orderkey" if t == "orders" else "l_orderkey"
+            (load_table(spark, SF_ORACLE, t)
+             .write.mode("overwrite")
+             .option("path", str(tmp_path / t))
+             .bucketBy(8, key).sortBy(key)
+             .saveAsTable(f"bkt_{t}"))
+        joined = spark.sql("""
+            SELECT o.o_orderkey, count(*) AS n_items
+            FROM bkt_orders o JOIN bkt_lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        """)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert n_exchanges(p) == 0, p
+        # and it computes the right thing
+        got = dict(joined.collect())
+        want = dict(
+            load_table(spark, SF_ORACLE, "lineitem")
+            .groupBy("l_orderkey").count().collect())
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
