@@ -197,17 +197,22 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     number of LSH candidates, never to the all-pairs shingle inversion. That
     candidate-bounded verify is the property that makes this the 100 TB path
     (the exact `ngram_jaccard_pairs` inversion would pair every doc sharing
-    even one shingle)."""
+    even one shingle).
+
+    Signature and shingle set come out of ONE aggregation pass (minhashes
+    composed over the 64-bit shingle hash, not the string): one shuffle, one
+    scan of the shingle stream, two outputs."""
     sh = (word_ngrams(docs, ngram, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g")))
-    sets = sh.groupBy(id_col).agg(F.collect_set("g").alias("shingles"))
-    cands = lsh_candidate_pairs(
-        minhash_signatures(docs, n_hashes, ngram, text_col, id_col),
-        n_hashes, bands, id_col)
-    sa = sets.select(F.col(id_col).alias("doc_a"),
-                     F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"),
-                     F.col("shingles").alias("sh_b"))
+          .select(F.col(id_col), F.xxhash64("g").alias("gh")))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    sig_sets = (sh.groupBy(id_col)
+                .agg(F.collect_set("gh").alias("shingles"), *mins))
+    cands = lsh_candidate_pairs(sig_sets, n_hashes, bands, id_col)
+    sa = sig_sets.select(F.col(id_col).alias("doc_a"),
+                         F.col("shingles").alias("sh_a"))
+    sb = sig_sets.select(F.col(id_col).alias("doc_b"),
+                         F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
