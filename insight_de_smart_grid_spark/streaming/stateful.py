@@ -15,6 +15,12 @@ batch≡stream contract testable exactly like the duty-cycle query.
 Scale notes: state per key is two scalars (last ewma, last ts) — KBs per
 million keys; one shuffle on the key, Arrow both ways, NumPy inside. Use the
 RocksDB state store provider for 100 TB keyspaces.
+
+Ordering contract: EWMA is order-sensitive; rows are sorted by event time
+*within* each micro-batch, but a row arriving in a later batch with an
+earlier timestamp is smoothed out of order (the operator has no retraction).
+Feed it a per-key-ordered stream — Kafka keyed by house_id gives exactly
+that (SURVEY ST7) — or widen micro-batches until order holds.
 """
 
 from __future__ import annotations
