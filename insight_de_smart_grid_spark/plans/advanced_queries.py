@@ -15,6 +15,10 @@ from insight_de_smart_grid_spark.functions.arrays import (
     array_battery,
 )
 from insight_de_smart_grid_spark.operators.asof import asof_join
+from insight_de_smart_grid_spark.operators.interval_join import (
+    clicks_before_purchases,
+    clicks_before_purchases_oracle_sql,
+)
 from insight_de_smart_grid_spark.operators.sessionize import (
     session_aggregates,
     sessionize_oracle_sql,
@@ -300,3 +304,54 @@ def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("n_chars").alias("min_chars"),
                  F.max("n_chars").alias("max_chars"),
                  F.countDistinct("doc_id").alias("n_distinct_ids")))
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: clicks in the 4 hours before each purchase.
+# Equi key + range predicate -> hash/SMJ join, never a nested loop.
+# ---------------------------------------------------------------------------
+
+@register("range_join_clicks_before_purchase",
+          clicks_before_purchases_oracle_sql("4 HOUR"))
+def q_range_join_clicks_before_purchase(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return clicks_before_purchases(ev, lookback="4 hours")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream self-join (watermarked, append mode) and streaming exact
+# dedup (dropDuplicatesWithinWatermark): stateful semantics -> rows-only
+# driver check; batch≡stream equality proven in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+@register("streaming_interval_join", None)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        purchase_click_stream_plan,
+    )
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet", purchase_click_stream_plan,
+        query_name=f"ssj_{uuid.uuid4().hex[:8]}")
+
+
+@register("streaming_dedup", None)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        dedup_stream_plan,
+    )
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet", dedup_stream_plan,
+        query_name=f"sdd_{uuid.uuid4().hex[:8]}")

@@ -1,0 +1,90 @@
+"""Stream-stream join and streaming dedup: the two Structured-Streaming
+operator classes the reference pipeline never needed but a continuous
+training-data pipeline does.
+
+Both are plain plan builders over an events-shaped stream, shaped so their
+batch twins (`operators/interval_join.py`, `dropDuplicates`) produce
+identical output — which is what the batch≡stream tests assert.
+
+Scale notes:
+* Stream-stream join buffers both sides in the state store until the
+  watermark passes the time bound in the join condition — the condition's
+  explicit range on both event-time columns is what makes state evictable
+  (an unbounded condition would grow state forever). RocksDB provider for
+  large buffered sides.
+* ``dropDuplicatesWithinWatermark`` keeps one state row per key seen within
+  the watermark horizon; the key should be the business identity, not the
+  full payload, so state rows stay small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+
+DEDUP_KEY = ("user_id", "event_type", "ts", "value")
+
+
+def purchase_click_stream_plan(events_stream: DataFrame,
+                               lookback: str = "4 hours",
+                               watermark: str = "2 seconds") -> DataFrame:
+    """Stream-stream self-join: every (purchase, prior click ≤ lookback)
+    pair per user, emitted as matches arrive (inner join, append mode)."""
+    ev = normalize_event_ts(events_stream)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""user_id = click_user_id
+                   AND click_ts > purchase_ts - INTERVAL {lookback}
+                   AND click_ts <= purchase_ts"""),
+        "inner")
+    return joined.select("user_id", "purchase_id", "purchase_ts",
+                         "click_id", "click_ts")
+
+
+def purchase_click_batch(events: DataFrame,
+                         lookback: str = "4 hours") -> DataFrame:
+    """Batch twin of the stream-stream join (same output schema)."""
+    from insight_de_smart_grid_spark.operators.interval_join import (
+        interval_join,
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    return interval_join(purchases, clicks, on="user_id",
+                         left_ts="purchase_ts", right_ts="click_ts",
+                         lookback=lookback)
+
+
+def dedup_stream_plan(events_stream: DataFrame,
+                      watermark: str = "10 seconds") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each business key wins;
+    re-deliveries within the watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark``). Output is the key columns only so
+    the result is deterministic regardless of which physical row survives."""
+    ev = normalize_event_ts(events_stream).select(*DEDUP_KEY)
+    return (ev.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(DEDUP_KEY)))
+
+
+def dedup_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: plain distinct over the same key columns."""
+    return events.select(*DEDUP_KEY).dropDuplicates()

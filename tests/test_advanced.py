@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "array_battery",
     "salted_agg",
     "docs_by_source",
+    "range_join_clicks_before_purchase",
 ]
 
 

@@ -164,3 +164,10 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_interval_join_uses_equi_key_not_nested_loop(spark):
+    """The range join must ride its user_id equi key into a hash/SMJ join;
+    a range-only condition degrades to BroadcastNestedLoopJoin."""
+    p = plan_of(spark, "range_join_clicks_before_purchase")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

@@ -91,3 +91,90 @@ def test_watermark_drops_late_rows_across_restarts(spark):
         shutil.rmtree(data_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_interval_join_batch_equals_stream(spark):
+    """Stream-stream self-join (purchases x prior clicks, watermarked) must
+    emit exactly the batch interval join's pairs once drained."""
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import load_table
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        purchase_click_batch,
+        purchase_click_stream_plan,
+    )
+
+    streamed = replay_parquet_stream(
+        spark, f"{SF_SMOKE}/events.parquet", purchase_click_stream_plan,
+        query_name=f"ssj_{uuid.uuid4().hex[:8]}")
+    batch = purchase_click_batch(load_table(spark, SF_SMOKE, "events"))
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows
+    assert len(s_rows) > 0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark over a replay (duplicates arrive inside
+    the horizon) must equal batch distinct on the same key."""
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import (
+        load_table,
+        normalize_event_ts,
+    )
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        dedup_batch,
+        dedup_stream_plan,
+    )
+
+    streamed = replay_parquet_stream(
+        spark, f"{SF_SMOKE}/events.parquet", dedup_stream_plan,
+        query_name=f"sdd_{uuid.uuid4().hex[:8]}")
+    batch = dedup_batch(normalize_event_ts(
+        load_table(spark, SF_SMOKE, "events")))
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows
+    # the streamed output must itself be duplicate-free
+    assert streamed.count() == len(s_rows)
+
+
+def test_streaming_dedup_drops_planted_duplicate(spark):
+    """A re-delivered record (same business key, new event_id) within the
+    watermark horizon is dropped; a distinct record survives."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        dedup_stream_plan,
+    )
+
+    data_dir = tempfile.mkdtemp(prefix="sdd_data_")
+    try:
+        rows = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 5, "click", 10.0, "{}"),
+             (2, "2024-01-01 10:00:00", 5, "click", 10.0, "{}"),  # re-delivery
+             (3, "2024-01-01 10:00:01", 5, "click", 10.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows.write.mode("overwrite").parquet(data_dir)
+        out = replay_parquet_stream(
+            spark, data_dir, dedup_stream_plan,
+            query_name=f"sdd_{uuid.uuid4().hex[:8]}")
+        got = {(r.user_id, r.ts.isoformat(), r.value) for r in out.collect()}
+        assert got == {(5, "2024-01-01T10:00:00", 10.0),
+                       (5, "2024-01-01T10:00:01", 10.0)}
+    finally:
+        shutil.rmtree(data_dir, ignore_errors=True)
