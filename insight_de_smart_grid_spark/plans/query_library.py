@@ -226,3 +226,22 @@ def q_streaming_duty_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", events_to_readings,
         query_name=f"sdc_{uuid.uuid4().hex[:8]}",
         window="10 minutes", slide="2 minutes", watermark="2 seconds")
+
+
+@register("streaming_rollup", None)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingest path (S8): continuous per-second rollup
+    materialized into an hour-partitioned cube via availableNow; returns the
+    cube. Stateful append semantics -> rows-only driver check; finalized-
+    subset equality with the batch rollup is proven in tests."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.rollup_stream import (
+        materialize_rollup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_rollup_")
+    return materialize_rollup_stream(
+        spark, f"{sf_dir}/events.parquet", events_to_readings,
+        out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt")

@@ -16,6 +16,22 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def parquet_stream_source(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Schema-pinned streaming file source over a parquet table. The file
+    source requires a directory, so a single parquet file is staged behind a
+    symlink dir; nanos-precision timestamps surface as longs (same policy as
+    ``sources.tables.load_table``) for the plan's projection to convert."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p = Path(parquet_path)
+    if p.is_file():
+        staged = Path(tempfile.mkdtemp(prefix="stream_src_"))
+        (staged / p.name).symlink_to(p)
+        parquet_path = str(staged)
+    schema = spark.read.parquet(parquet_path).schema
+    return (spark.readStream.schema(schema).format("parquet")
+            .load(parquet_path))
+
+
 def replay_parquet_stream(spark: SparkSession, parquet_path: str,
                           plan_fn: Callable[[DataFrame], DataFrame],
                           query_name: str,
@@ -32,23 +48,10 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
     when state is small, so default low; on a cluster size it to the key
     cardinality. Scoped to this query — the session conf is restored after.
     """
-    # nanos-precision parquet timestamps surface as longs (same policy as
-    # sources.tables.load_table); plan_fn's projection converts them
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    # the streaming file source requires a directory; stage a symlink dir
-    # when pointed at a single parquet file
-    p = Path(parquet_path)
-    if p.is_file():
-        staged = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (staged / p.name).symlink_to(p)
-        parquet_path = str(staged)
-    schema = spark.read.parquet(parquet_path).schema
-    stream = (spark.readStream.schema(schema).format("parquet")
-              .load(parquet_path))
-    plan = plan_fn(stream)
+    plan = plan_fn(parquet_stream_source(spark, parquet_path))
     try:
         if out_dir:
             writer = (plan.writeStream.outputMode("append")

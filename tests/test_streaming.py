@@ -178,3 +178,61 @@ def test_streaming_dedup_drops_planted_duplicate(spark):
                        (5, "2024-01-01T10:00:01", 10.0)}
     finally:
         shutil.rmtree(data_dir, ignore_errors=True)
+
+
+def test_streaming_rollup_materializes_partitioned_cube(spark):
+    """S8 streaming form: the continuous rollup must (a) write real
+    (date, hour) partitions, (b) agree with the batch rollup on every
+    finalized window, and (c) satisfy the SUM(cnt) re-agg contract."""
+    import pathlib
+    import shutil
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators.rollup import (
+        reaggregate,
+        rollup_time,
+    )
+    from insight_de_smart_grid_spark.sources.tables import (
+        events_to_readings,
+        readings_view,
+    )
+    from insight_de_smart_grid_spark.streaming.rollup_stream import (
+        materialize_rollup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sr_test_")
+    try:
+        cube = materialize_rollup_stream(
+            spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+            out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt")
+        parts = [p.name for p in pathlib.Path(f"{base}/cube").iterdir()
+                 if p.is_dir() and not p.name.startswith("_")]
+        assert parts and all(p.startswith("date=") for p in parts)
+
+        readings = readings_view(spark, SF_SMOKE)
+        max_ts = readings.agg(F.max("ts")).collect()[0][0]
+        batch = rollup_time(readings).collect()
+        finalized = {
+            (r.window_start, r.house_id, r.appliance_id, r.appliance_name,
+             r.cnt, round(r.sum_power, 9))
+            for r in batch
+            if (max_ts - r.window_start).total_seconds() >= 3}
+        got = {(r.window_start, r.house_id, r.appliance_id, r.appliance_name,
+                r.cnt, round(r.sum_power, 9)) for r in cube.collect()}
+        assert finalized <= got and len(finalized) > 0
+        # anything extra must only be later windows the batch run also has
+        assert got <= {(r.window_start, r.house_id, r.appliance_id,
+                        r.appliance_name, r.cnt, round(r.sum_power, 9))
+                       for r in batch}
+
+        # SUM(cnt) contract straight off the materialized cube
+        reagg = reaggregate(cube.drop("date", "hour"),
+                            group_cols=("house_id",))
+        n_by_house = {(r.house_id, r.cnt) for r in reagg.collect()}
+        direct = {(r.house_id, r["count(1)"]) for r in
+                  spark.read.parquet(f"{base}/cube")
+                  .groupBy("house_id").agg(F.sum("cnt").alias("count(1)"))
+                  .collect()}
+        assert n_by_house == direct
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
