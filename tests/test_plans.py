@@ -171,3 +171,23 @@ def test_interval_join_uses_equi_key_not_nested_loop(spark):
     a range-only condition degrades to BroadcastNestedLoopJoin."""
     p = plan_of(spark, "range_join_clicks_before_purchase")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_repartition_by_house_colocates_keys(spark):
+    """ST7: the Kafka key-partitioned produce analog — repartition(house_id)
+    must land every row of a house in exactly one partition (the property the
+    reference gets from Kafka keying, producer_REDD_avro.py:173)."""
+    from pyspark.sql import functions as F
+
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+    from tests.conftest import SF_SMOKE
+
+    parts_per_key = (
+        readings_view(spark, SF_SMOKE)
+        .repartition(F.col("house_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("house_id")
+        .agg(F.countDistinct("pid").alias("n_parts"))
+        .agg(F.max("n_parts").alias("mx"))
+        .collect()[0].mx)
+    assert parts_per_key == 1

@@ -236,3 +236,54 @@ def test_streaming_rollup_materializes_partitioned_cube(spark):
         assert n_by_house == direct
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_rollup_is_incremental_across_runs(spark):
+    """A second availableNow run sharing the checkpoint must process only the
+    new file and append only newly-finalized windows, leaving run-1 output
+    untouched (exactly-once file sink)."""
+    import shutil
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.rollup_stream import (
+        materialize_rollup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sri_test_")
+    data_dir = f"{base}/data"
+
+    def events(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    try:
+        events([(1, "2024-01-01 10:00:00", 5, "click", 10.0, "{}"),
+                (2, "2024-01-01 10:00:00", 5, "click", 20.0, "{}"),
+                (3, "2024-01-01 10:00:30", 5, "click", 30.0, "{}")]
+               ).write.mode("overwrite").parquet(data_dir)
+        run1 = materialize_rollup_stream(
+            spark, data_dir, events_to_readings,
+            out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt")
+        got1 = {(r.window_start.isoformat(), r.cnt, r.sum_power)
+                for r in run1.collect()}
+        # 10:00:00 window (2 readings) finalized by the 10:00:30 row
+        assert ("2024-01-01T10:00:00", 2, 30.0) in got1
+
+        events([(4, "2024-01-01 10:01:00", 5, "click", 40.0, "{}")]
+               ).write.mode("append").parquet(data_dir)
+        run2 = materialize_rollup_stream(
+            spark, data_dir, events_to_readings,
+            out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt")
+        got2 = {(r.window_start.isoformat(), r.cnt, r.sum_power)
+                for r in run2.collect()}
+        # run 1 rows intact, 10:00:30 window finalized by the new row
+        assert got1 <= got2
+        assert ("2024-01-01T10:00:30", 1, 30.0) in got2
+        # nothing double-counted: the 10:00:00 window still has cnt=2
+        assert sum(1 for g in got2 if g[0] == "2024-01-01T10:00:00") == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
