@@ -171,3 +171,77 @@ SELECT doc_id,
          AS bpe_per_word
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: the end-to-end shape a training-data run takes
+# ---------------------------------------------------------------------------
+
+def curate_corpus(docs: DataFrame, text_col: str = "text",
+                  min_quality: float = 0.5) -> DataFrame:
+    """Language filter -> quality gate -> fingerprint dedup (min doc_id per
+    fingerprint wins) -> per-source corpus summary, all in one declarative
+    plan so Catalyst fuses the projections into the scan and the only
+    shuffles are the dedup window and the final group-by.
+
+    This is the composition every curation run performs; at 100 TB the
+    scoring stage runs at scan speed (pure Column expressions, no Python)
+    and the dedup window shuffles once on the fingerprint.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id", "source",
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+        F.size(bpe_tokens(text_col)).alias("n_bpe"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en")
+                         & (F.col("quality") >= F.lit(min_quality)))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canonical = (kept.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1))
+    return (canonical.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bpe").alias("n_bpe_tokens"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality")))
+
+
+_BPE_SQL = ("'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^A-Za-z0-9\s]+'")
+
+CURATE_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n,
+         length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_nopunct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> list_contains(""" + _SW_SQL + r""", t))) AS DOUBLE) AS n_stop,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         len(regexp_extract_all(text, """ + _BPE_SQL + r""")) AS n_bpe
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, fp, n_bpe,
+         round(least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)*0.5
+             + least((n_stop/len(toks))*5.0, 1.0)*0.3
+             + (1.0 - CAST(n - n_nopunct AS DOUBLE)/n)*0.2, 6) AS quality,
+         CASE WHEN n_stop/len(toks) >= 0.02
+              THEN 'en' ELSE 'unknown' END AS lang_pred
+  FROM scored
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM q
+  WHERE lang_pred = 'en' AND quality >= 0.5
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM kept
+WHERE rn = 1
+GROUP BY 1
+"""

@@ -107,3 +107,12 @@ def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.sample_frames(mm.attach_binary_payload(docs), fake=True)
+
+
+@register("curate_corpus", tx.CURATE_SQL)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: lang filter -> quality gate -> fingerprint
+    dedup -> per-source summary in one plan (the end-to-end shape of a
+    training-data curation run)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.curate_corpus(docs)

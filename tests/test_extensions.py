@@ -23,6 +23,7 @@ ORACLE_CHECKED = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "multimodal_binary_meta",
+    "curate_corpus",
 ]
 
 

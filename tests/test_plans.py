@@ -191,3 +191,13 @@ def test_repartition_by_house_colocates_keys(spark):
         .agg(F.max("n_parts").alias("mx"))
         .collect()[0].mx)
     assert parts_per_key == 1
+
+
+def test_curate_corpus_plan_shape(spark):
+    """The composed curation pipeline must fuse scoring into the scan
+    (3-column read), push the dedup's top-1-per-fingerprint below the
+    exchange (WindowGroupLimit partial), and shuffle exactly twice."""
+    p = plan_of(spark, "curate_corpus")
+    assert "WindowGroupLimit" in p
+    assert n_exchanges(p) == 2
+    assert "n_chars" not in p  # untouched documents columns stay unread
