@@ -257,3 +257,82 @@ def test_ewma_state_survives_checkpointed_restart(spark):
         shutil.rmtree(data_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_ewma_batch_boundary_carry_with_tiny_arrow_batches(spark):
+    """ewma_batch seeds the one group that spans an Arrow batch boundary;
+    force 3-row batches so every partition splits mid-group and compare
+    against a scalar-loop reference."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from insight_de_smart_grid_spark.streaming.stateful import ewma_batch
+
+    rng = __import__("random").Random(7)
+    rows = []
+    for i in range(200):
+        rows.append((f"h{rng.randrange(3)}", f"a{rng.randrange(2)}",
+                     f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}",
+                     round(rng.uniform(0, 100), 3)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["house_id", "appliance_id", "ts", "power"])
+    ).withColumn("ts", F2.to_timestamp("ts"))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {(r.house_id, r.appliance_id, r.ts, round(r.ewma, 9))
+               for r in ewma_batch(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    # scalar reference: y_0 = x_0; y_i = 0.3 x_i + 0.7 y_{i-1} per key
+    want = set()
+    by_key = {}
+    for h, a, ts, p in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        cur = by_key.get((h, a))
+        cur = p if cur is None else 0.3 * p + 0.7 * cur
+        by_key[(h, a)] = cur
+        want.add((h, a, pd.Timestamp(ts).to_pydatetime(), round(cur, 9)))
+    assert got == want
+
+
+def test_interval_join_randomized_against_duckdb(spark, duck):
+    """Property check: interval_join over random timestamps must equal the
+    equivalent DuckDB range join."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from insight_de_smart_grid_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    rng = __import__("random").Random(11)
+    evs = [(i, rng.randrange(5),
+            f"2024-01-01 00:{rng.randrange(60):02d}:{rng.randrange(60):02d}",
+            "left" if rng.random() < 0.5 else "right")
+           for i in range(300)]
+    pdf = pd.DataFrame(evs, columns=["eid", "uid", "ts", "side"])
+    df = (spark.createDataFrame(pdf)
+          .withColumn("ts", F2.to_timestamp("ts")))
+    left = (df.filter(F2.col("side") == "left")
+            .select("uid", F2.col("eid").alias("l_id"),
+                    F2.col("ts").alias("l_ts")))
+    right = (df.filter(F2.col("side") == "right")
+             .select("uid", F2.col("eid").alias("r_id"),
+                     F2.col("ts").alias("r_ts")))
+    got = {(r.uid, r.l_id, r.r_id) for r in
+           interval_join(left, right, on="uid", left_ts="l_ts",
+                         right_ts="r_ts", lookback="5 minutes").collect()}
+
+    duck.execute("CREATE OR REPLACE TABLE ij_ev AS SELECT * FROM pdf")
+    want = {tuple(r) for r in duck.execute("""
+        SELECT l.uid, l.eid, r.eid
+        FROM ij_ev l JOIN ij_ev r
+          ON r.uid = l.uid AND r.side = 'right'
+         AND CAST(r.ts AS TIMESTAMP) > CAST(l.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+         AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+        WHERE l.side = 'left'""").fetchall()}
+    duck.execute("DROP TABLE ij_ev")
+    assert got == want
+    assert len(got) > 0
