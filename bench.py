@@ -54,14 +54,23 @@ def main() -> None:
         except Exception as exc:
             failed.add(name)
             print(f"bench: {name} failed in warmup: {exc}", file=sys.stderr)
+    # Batch queries: median of 3 measured runs (GC pauses and JIT
+    # recompilation make single runs noisy at these latencies). Streaming
+    # replays: one run — each invocation replays full state, so repeats cost
+    # far more than the noise they remove.
     for name, q in QUERIES.items():
         if name in failed:
             timings[name] = -1.0
             continue
-        t0 = time.perf_counter()
+        reps = 1 if name.startswith("streaming_") else 3
+        runs = []
         try:
-            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

@@ -202,10 +202,15 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     w = Window.partitionBy("fp").orderBy("doc_id")
     canonical = (kept.withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") == 1))
+    # quality is already 6-decimal; averaging via an exact integer sum of
+    # micro-units keeps the result identical across engines regardless of
+    # partial-aggregation order (a float sum can flip the last rounded digit)
+    micro = F.round(F.col("quality") * F.lit(1e6), 0).cast("long")
     return (canonical.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_bpe").alias("n_bpe_tokens"),
-                 F.round(F.avg("quality"), 6).alias("avg_quality")))
+                 F.round(F.sum(micro) / (F.count(F.lit(1)) * F.lit(1e6)), 6)
+                 .alias("avg_quality")))
 
 
 _BPE_SQL = ("'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
@@ -240,7 +245,8 @@ kept AS (
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-       round(avg(quality), 6) AS avg_quality
+       round(CAST(sum(CAST(round(quality * 1e6, 0) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e6), 6) AS avg_quality
 FROM kept
 WHERE rn = 1
 GROUP BY 1
