@@ -201,3 +201,40 @@ def test_curate_corpus_plan_shape(spark):
     assert "WindowGroupLimit" in p
     assert n_exchanges(p) == 2
     assert "n_chars" not in p  # untouched documents columns stay unread
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story must actually engage: with one key holding 90%
+    of the left side, AQE has to re-plan the sort-merge join with skew-split
+    partitions (SortMergeJoin(skew=true)) — and still return exact results."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        # 180000 rows collapse onto k=0 (+100 ids ending in 9 below 1000)
+        assert len(rows) == 180_100
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
