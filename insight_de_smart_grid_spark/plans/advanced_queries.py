@@ -226,7 +226,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("streaming_ewma", None)
 def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import tempfile
 
     from insight_de_smart_grid_spark.sources.tables import events_to_readings
     from insight_de_smart_grid_spark.streaming.replay import (
@@ -234,10 +234,12 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from insight_de_smart_grid_spark.streaming.stateful import ewma_stream
 
+    base = tempfile.mkdtemp(prefix="ewma_")
     return replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet",
         lambda stream: ewma_stream(events_to_readings(stream)),
-        query_name=f"ewma_{uuid.uuid4().hex[:8]}")
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +267,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("streaming_sessions", None)
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import tempfile
 
     from insight_de_smart_grid_spark.operators.sessionize import (
         session_stream_plan,
@@ -275,10 +277,12 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         replay_parquet_stream,
     )
 
+    base = tempfile.mkdtemp(prefix="sess_")
     return replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet",
         lambda stream: session_stream_plan(normalize_event_ts(stream)),
-        query_name=f"sess_{uuid.uuid4().hex[:8]}")
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +347,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("streaming_dedup", None)
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import tempfile
 
     from insight_de_smart_grid_spark.streaming.replay import (
         replay_parquet_stream,
@@ -352,6 +356,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream_plan,
     )
 
+    base = tempfile.mkdtemp(prefix="sdd_")
     return replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet", dedup_stream_plan,
-        query_name=f"sdd_{uuid.uuid4().hex[:8]}")
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")

@@ -215,16 +215,20 @@ def q_streaming_duty_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's continuous query (duty_cycle_avro.py:63-91) replayed
     through Structured Streaming: watermark + sliding window + append mode +
     availableNow trigger, memory sink."""
-    import uuid
+    import tempfile
 
     from insight_de_smart_grid_spark.sources.tables import events_to_readings
     from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
         run_stream_over_parquet,
     )
 
+    # parquet sink (S9): scales past the driver-memory sink and measures the
+    # production write path
+    base = tempfile.mkdtemp(prefix="sdc_")
     return run_stream_over_parquet(
         spark, f"{sf_dir}/events.parquet", events_to_readings,
-        query_name=f"sdc_{uuid.uuid4().hex[:8]}",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink",
         window="10 minutes", slide="2 minutes", watermark="2 seconds")
 
 
