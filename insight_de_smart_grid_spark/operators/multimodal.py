@@ -149,3 +149,62 @@ SELECT doc_id,
        sha256(text) AS sha256
 FROM documents
 """
+
+
+RESIZED_SCHEMA = ("doc_id long, width int, height int, payload binary, "
+                  "n_bytes long")
+
+
+def resize_media(binary_df: DataFrame, target_w: int = 64,
+                 target_h: int = 64, fake: bool = False) -> DataFrame:
+    """Resize stage: binary in, binary out (the memory-bound transform
+    shape — peak memory is decoded-pixels, not payload bytes, so partition
+    count must track decode size). ``fake=True`` emits a deterministic
+    proportional byte-slice with the target dims; ``fake=False`` raises
+    (a real build would use PIL)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize needs PIL; not in this container")
+            rows = []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                raw = bytes(payload)
+                w, h, _, _ = _fake_decode(raw)
+                keep = max(1, int(len(raw) * (target_w * target_h)
+                                  / (w * h)))
+                out = raw[:keep]
+                rows.append((doc_id, target_w, target_h, out, len(out)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "payload", "n_bytes"])
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(resize, RESIZED_SCHEMA))
+
+
+def extract_features(binary_df: DataFrame, dim: int = 16,
+                     fake: bool = False) -> DataFrame:
+    """Feature-extraction stage: payload -> fixed-dim ``array<float>``
+    embedding, the bridge from media columns into the similarity operators
+    (`operators/similarity.py` consumes exactly this shape). ``fake=True``
+    derives a deterministic unit-norm vector from the payload sha256;
+    ``fake=False`` raises (a real build would run a vision encoder)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction needs a vision model; "
+                    "not in this container")
+            ids, vecs = [], []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                digest = hashlib.sha256(bytes(payload)).digest()
+                raw = [digest[i % 32] / 255.0 - 0.5 for i in range(dim)]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                ids.append(doc_id)
+                vecs.append([round(x / norm, 6) for x in raw])
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(extract, "doc_id long, embedding array<float>"))

@@ -116,3 +116,18 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data curation run)."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.curate_corpus(docs)
+
+
+@register("multimodal_resize_fake", None)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub through the real mapInPandas plumbing (binary->binary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.resize_media(mm.attach_binary_payload(docs), fake=True)
+
+
+@register("multimodal_feature_extract", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stub: payload -> unit-norm array<float> embedding,
+    schema-compatible with the similarity operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_binary_payload(docs), fake=True)
