@@ -251,3 +251,47 @@ FROM kept
 WHERE rn = 1
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting, MOSS-style)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """Rolling-hash fingerprinting: hash every k-gram, keep the minimum of
+    each w-wide sliding window, dedupe — the winnowing scheme (Schleimer et
+    al., MOSS) guaranteeing any shared substring of length >= k+w-1 yields a
+    shared fingerprint. All higher-order functions (sequence / transform /
+    slice / array_min), zero UDFs, one pass at scan speed; md5 keeps the
+    k-gram hash portable across engines for the oracle."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: F.md5(c.substr(i, F.lit(k))))
+    docs = docs.select("doc_id", grams.alias("grams"))
+    winnowed = F.array_distinct(F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(F.col("grams")) - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("grams"), j, w))))
+    return docs.select(
+        "doc_id",
+        F.size(winnowed).alias("n_fp"),
+        F.array_min(F.col("grams")).alias("min_fp"))
+
+
+def winnow_oracle_sql(k: int = 8, w: int = 4) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {k} + 1, 1) + 1),
+                        i -> md5(substring(text, CAST(i AS INT), {k}))) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(list_transform(
+           range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+           j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+{w - 1}])))) AS n_fp,
+       list_min(grams) AS min_fp
+FROM g
+"""

@@ -131,3 +131,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-compatible with the similarity operators."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.extract_features(mm.attach_binary_payload(docs), fake=True)
+
+
+@register("text_winnow_fingerprint", tx.winnow_oracle_sql())
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprints per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(docs)

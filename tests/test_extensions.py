@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "sim_cosine_topk",
     "multimodal_binary_meta",
     "curate_corpus",
+    "text_winnow_fingerprint",
 ]
 
 
