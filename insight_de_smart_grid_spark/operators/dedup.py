@@ -297,3 +297,80 @@ SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
 FROM documents
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing near-dup detection (MOSS): rare shared rolling-hash fingerprints
+# ---------------------------------------------------------------------------
+
+def winnow_near_dups(docs: DataFrame, k: int = 8, w: int = 4,
+                     max_df: int = 5, min_shared: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints (MOSS-style).
+
+    Stop-fingerprint pruning is the scale lever: a fingerprint occurring in
+    more than max(``max_df``, 1% of the corpus) docs (a common phrase) is
+    discarded *before* the pair join, which bounds each block and the join
+    fanout to df^2 per fingerprint — without it, stopword-heavy grams pair
+    every document with every other. Fingerprints are raw window-min k-grams
+    (see ``text.kgrams``): winnowing's guarantee needs only deterministic
+    selection, and skipping the per-position hash is ~3x cheaper at scan
+    time. One aggregation for document frequency, one equi-join on the
+    fingerprint, one pair aggregation; no UDFs anywhere.
+    """
+    from insight_de_smart_grid_spark.operators.text import (
+        kgrams,
+        winnowed_of,
+    )
+
+    # materialize the gram array in its own projection: inlining it into the
+    # winnow lambda would recompute every gram per window (O(n^2) per doc)
+    grams = docs.select(F.col(id_col), kgrams(text_col, k).alias("grams"))
+    fps = grams.select(
+        F.col(id_col),
+        F.explode(winnowed_of(F.col("grams"), w)).alias("fp"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    rare = (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.greatest(F.lit(max_df),
+                                              F.floor(F.col("__n") / 100)))
+            .select("fp"))
+    rare_fps = fps.join(rare, "fp")
+    a, b = rare_fps.alias("wa"), rare_fps.alias("wb")
+    return (
+        a.join(b, (F.col("wa.fp") == F.col("wb.fp"))
+               & (F.col(f"wa.{id_col}") < F.col(f"wb.{id_col}")))
+        .groupBy(F.col(f"wa.{id_col}").alias("doc_a"),
+                 F.col(f"wb.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_near_dups_oracle_sql(k: int = 8, w: int = 4, max_df: int = 5,
+                                min_shared: int = 5) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {k} + 1, 1) + 1),
+                        i -> substring(text, CAST(i AS INT), {k})) AS grams
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+           j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+{w - 1}])))) AS fp
+  FROM g
+),
+rare AS (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING count(*) <= greatest({max_df}, (SELECT count(*)//100 FROM documents))
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE a.fp IN (SELECT fp FROM rare)
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -265,19 +265,41 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     shared fingerprint. All higher-order functions (sequence / transform /
     slice / array_min), zero UDFs, one pass at scan speed; md5 keeps the
     k-gram hash portable across engines for the oracle."""
-    c = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
-        lambda i: F.md5(c.substr(i, F.lit(k))))
-    docs = docs.select("doc_id", grams.alias("grams"))
-    winnowed = F.array_distinct(F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.size(F.col("grams")) - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(F.col("grams"), j, w))))
+    docs = docs.select("doc_id", kgram_hashes(text_col, k).alias("grams"))
+    winnowed = winnowed_of(F.col("grams"), w)
     return docs.select(
         "doc_id",
         F.size(winnowed).alias("n_fp"),
         F.array_min(F.col("grams")).alias("min_fp"))
+
+
+def kgram_hashes(text_col: str, k: int = 8) -> Column:
+    """Portable rolling k-gram hash array (md5 per k-char window)."""
+    c = F.col(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: F.md5(c.substr(i, F.lit(k))))
+
+
+def kgrams(text_col: str, k: int = 8) -> Column:
+    """Raw rolling k-gram array (no hash). Winnowing's shared-substring
+    guarantee needs only a *deterministic* window selection, so selecting
+    minima over raw grams is valid — and skips one hash per position, the
+    dominant cost at scan time. The lexicographic bias (space-leading grams
+    win more often) surfaces as common fingerprints, which the detector's
+    document-frequency pruning removes anyway."""
+    c = F.col(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(k)))
+
+
+def winnowed_of(grams: Column, w: int = 4) -> Column:
+    """Distinct per-w-window minima of a gram-hash array (the winnowed
+    fingerprint set)."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w))))
 
 
 def winnow_oracle_sql(k: int = 8, w: int = 4) -> str:

@@ -138,3 +138,10 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) fingerprints per document."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.winnow_fingerprints(docs)
+
+
+@register("dedup_winnow", dd.winnow_near_dups_oracle_sql())
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs: >= 5 shared rare winnowed fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_near_dups(docs)

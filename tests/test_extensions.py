@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "multimodal_binary_meta",
     "curate_corpus",
     "text_winnow_fingerprint",
+    "dedup_winnow",
 ]
 
 
