@@ -361,3 +361,23 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", dedup_stream_plan,
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink")
+
+
+# ---------------------------------------------------------------------------
+# Complete-output-mode streaming top-K (the live dashboard tile); result is
+# the full refreshed table each trigger -> rows-only driver check, equality
+# with the batch top-K proven in tests.
+# ---------------------------------------------------------------------------
+
+@register("streaming_topk", None)
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        run_complete_mode_topk,
+    )
+
+    return run_complete_mode_topk(
+        spark, f"{sf_dir}/events.parquet", events_to_readings,
+        query_name=f"topk_{uuid.uuid4().hex[:8]}")

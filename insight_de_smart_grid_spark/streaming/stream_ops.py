@@ -88,3 +88,40 @@ def dedup_stream_plan(events_stream: DataFrame,
 def dedup_batch(events: DataFrame) -> DataFrame:
     """Batch twin: plain distinct over the same key columns."""
     return events.select(*DEDUP_KEY).dropDuplicates()
+
+
+def top_appliances_stream_plan(readings_stream: DataFrame,
+                               k: int = 10) -> DataFrame:
+    """Continuously-maintained top-K (dashboard tile T1 as a live query):
+    running sum per appliance, emitted in **complete** output mode — the
+    whole (small) result table refreshes every trigger, which is exactly the
+    contract a dashboard sink wants. State is one row per appliance (the
+    aggregate), not per reading; the orderBy+limit runs on the tiny result,
+    so complete mode stays cheap at any input scale."""
+    return (readings_stream
+            .groupBy("appliance_name")
+            .agg(F.sum(F.col("power").cast("double")).alias("sum_power"))
+            .orderBy(F.desc("sum_power"))
+            .limit(k))
+
+
+def run_complete_mode_topk(spark, parquet_path: str, to_readings,
+                           query_name: str, k: int = 10) -> DataFrame:
+    """Drain the complete-mode top-K over a parquet replay; memory sink is
+    the natural complete-mode target (it holds the last full result)."""
+    from insight_de_smart_grid_spark.streaming.replay import (
+        parquet_stream_source,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        plan = top_appliances_stream_plan(
+            to_readings(parquet_stream_source(spark, parquet_path)), k=k)
+        q = (plan.writeStream.outputMode("complete")
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)

@@ -287,3 +287,26 @@ def test_streaming_rollup_is_incremental_across_runs(spark):
         assert sum(1 for g in got2 if g[0] == "2024-01-01T10:00:00") == 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_complete_mode_topk_equals_batch(spark):
+    """Complete output mode must refresh the full top-K table each trigger;
+    after draining, it equals the batch top-K exactly (values and order)."""
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        run_complete_mode_topk,
+    )
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+
+    got = run_complete_mode_topk(
+        spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+        query_name=f"topk_{uuid.uuid4().hex[:8]}", k=5)
+    want = (readings_view(spark, SF_SMOKE)
+            .groupBy("appliance_name")
+            .agg(F.sum(F.col("power").cast("double")).alias("sum_power"))
+            .orderBy(F.desc("sum_power")).limit(5))
+    g = [(r.appliance_name, round(r.sum_power, 6)) for r in got.collect()]
+    w = [(r.appliance_name, round(r.sum_power, 6)) for r in want.collect()]
+    assert g == w and len(g) == 5
