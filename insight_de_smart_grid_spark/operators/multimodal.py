@@ -17,6 +17,7 @@ ordinary DataFrame code.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -183,6 +184,20 @@ def resize_media(binary_df: DataFrame, target_w: int = 64,
             .mapInPandas(resize, RESIZED_SCHEMA))
 
 
+def _fake_unit_vec(payload: bytes, dim: int) -> list[float]:
+    """Deterministic unit-norm embedding from the payload sha256.
+
+    Exact-integer core: component_i = k_i / sqrt(sum_j k_j^2) with
+    k_i = 2*digest[i] - 255 (odd integers), so the norm term is an exact
+    integer sum — order-independent — and the only float ops are one sqrt
+    and one division, bit-identical in any IEEE engine (the DuckDB oracle
+    reproduces them exactly; no rounding tolerance needed)."""
+    digest = hashlib.sha256(payload).digest()
+    ks = [2 * digest[i % 32] - 255 for i in range(dim)]
+    inv = math.sqrt(sum(x * x for x in ks))
+    return [x / inv for x in ks]
+
+
 def extract_features(binary_df: DataFrame, dim: int = 16,
                      fake: bool = False) -> DataFrame:
     """Feature-extraction stage: payload -> fixed-dim ``array<float>``
@@ -199,12 +214,113 @@ def extract_features(binary_df: DataFrame, dim: int = 16,
                     "not in this container")
             ids, vecs = [], []
             for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
-                digest = hashlib.sha256(bytes(payload)).digest()
-                raw = [digest[i % 32] / 255.0 - 0.5 for i in range(dim)]
-                norm = sum(x * x for x in raw) ** 0.5 or 1.0
                 ids.append(doc_id)
-                vecs.append([round(x / norm, 6) for x in raw])
+                vecs.append(_fake_unit_vec(bytes(payload), dim))
             yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
     return (binary_df.select("doc_id", "payload")
             .mapInPandas(extract, "doc_id long, embedding array<float>"))
+
+
+def extract_features_exploded(binary_df: DataFrame, dim: int = 16,
+                              fake: bool = False) -> DataFrame:
+    """Driver-facing twin of :func:`extract_features`: one scalar row per
+    embedding component, ``(doc_id, dim_idx, value)``. Array cells break
+    order-insensitive hashing harnesses (pandas can't sort/factorize list
+    cells), so the checked shape is exploded; all values are full-precision
+    doubles reproduced exactly by FEATURE_EXTRACT_SQL."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction needs a vision model; "
+                    "not in this container")
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                for i, v in enumerate(_fake_unit_vec(bytes(payload), dim)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    vals.append(v)
+            yield pd.DataFrame({"doc_id": ids, "dim_idx": idxs,
+                                "value": vals})
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(extract, "doc_id long, dim_idx int, value double"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins for the deterministic fakes. The payload is the utf-8
+# encoding of `text` (attach_binary_payload) and the driver corpus is pure
+# ASCII, so varchar substr/sha256/length coincide with the byte semantics the
+# Python side uses. Digest bytes come from the sha256 hex string.
+# ---------------------------------------------------------------------------
+
+def _hexbyte_sql(i) -> str:
+    """SQL for byte ``i`` (0-based) of hex digest column ``h``; ``i`` may be
+    an int literal or a SQL expression string."""
+    return (f"((strpos('0123456789abcdef', substr(h, 2*({i})+1, 1))-1)*16 + "
+            f"strpos('0123456789abcdef', substr(h, 2*({i})+2, 1))-1)")
+
+
+DECODE_FAKE_SQL = f"""
+WITH d AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       h AS sha256,
+       CAST(64 + {_hexbyte_sql(0)} % 192 AS INT) AS width,
+       CAST(64 + {_hexbyte_sql(1)} % 192 AS INT) AS height,
+       CAST(1 + {_hexbyte_sql(2)} % 3 AS INT) AS n_channels,
+       round(({' + '.join(_hexbyte_sql(i) for i in range(3, 11))})
+             / 2040.0, 6) AS mean_intensity
+FROM d
+"""
+
+RESIZE_FAKE_SQL = f"""
+WITH d AS (SELECT doc_id, text, sha256(text) AS h FROM documents),
+wh AS (
+  SELECT doc_id, text,
+         64 + {_hexbyte_sql(0)} % 192 AS w,
+         64 + {_hexbyte_sql(1)} % 192 AS hh
+  FROM d
+),
+k AS (
+  SELECT doc_id, text,
+         CAST(greatest(1, trunc((length(text) * 4096) / (w * hh))) AS INT)
+           AS keep
+  FROM wh
+)
+SELECT doc_id,
+       CAST(64 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       CAST(keep AS BIGINT) AS n_bytes,
+       sha256(substr(text, 1, keep)) AS payload_sha
+FROM k
+"""
+
+FRAME_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(length(substr(text, CAST(i AS INT)*256 + 1, 256)) AS INT)
+         AS frame_len,
+       sha256(substr(text, CAST(i AS INT)*256 + 1, 256)) AS frame_sha
+FROM d
+WHERE i % 4 = 0
+"""
+
+FEATURE_EXTRACT_SQL = f"""
+WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+b AS (
+  SELECT doc_id, CAST(g.i AS INT) AS dim_idx,
+         2*{_hexbyte_sql('g.i')} - 255 AS k
+  FROM d, generate_series(0, 15) g(i)
+),
+s AS (SELECT doc_id, sum(CAST(k AS BIGINT) * k) AS ss FROM b GROUP BY doc_id)
+SELECT b.doc_id, b.dim_idx, b.k / sqrt(s.ss) AS value
+FROM b JOIN s USING (doc_id)
+"""

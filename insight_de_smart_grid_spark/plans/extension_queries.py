@@ -97,16 +97,25 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.binary_metadata(load_table(spark, sf_dir, "documents"))
 
 
-@register("multimodal_decode_fake", None)  # decode is stubbed (no media libs)
+@register("multimodal_decode_fake", mm.DECODE_FAKE_SQL)
 def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic decode stub through the real mapInPandas plumbing; the
+    sha256-arithmetic fake is reproduced exactly by the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_media(mm.attach_binary_payload(docs), fake=True)
 
 
-@register("multimodal_frame_sample", None)  # fan-out plumbing, stubbed decode
+@register("multimodal_frame_sample", mm.FRAME_SAMPLE_SQL)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame fan-out through mapInPandas; driver-facing shape hashes the
+    frame bytes instead of carrying them (bytearray cells aren't hashable
+    in the comparison harness)."""
     docs = load_table(spark, sf_dir, "documents")
-    return mm.sample_frames(mm.attach_binary_payload(docs), fake=True)
+    frames = mm.sample_frames(mm.attach_binary_payload(docs), fake=True)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame_bytes").alias("frame_len"),
+        "frame_sha")
 
 
 @register("curate_corpus", tx.CURATE_SQL)
@@ -118,19 +127,26 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.curate_corpus(docs)
 
 
-@register("multimodal_resize_fake", None)
+@register("multimodal_resize_fake", mm.RESIZE_FAKE_SQL)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stub through the real mapInPandas plumbing (binary->binary)."""
+    """Resize stub through the real mapInPandas plumbing (binary->binary);
+    driver-facing shape hashes the resized payload instead of carrying it."""
     docs = load_table(spark, sf_dir, "documents")
-    return mm.resize_media(mm.attach_binary_payload(docs), fake=True)
+    resized = mm.resize_media(mm.attach_binary_payload(docs), fake=True)
+    return resized.select(
+        "doc_id", "width", "height", "n_bytes",
+        F.sha2("payload", 256).alias("payload_sha"))
 
 
-@register("multimodal_feature_extract", None)
+@register("multimodal_feature_extract", mm.FEATURE_EXTRACT_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction stub: payload -> unit-norm array<float> embedding,
-    schema-compatible with the similarity operators."""
+    """Feature-extraction stub, exploded to one scalar row per embedding
+    component so the comparison harness can sort/hash it (array<float>
+    cells crash pandas factorize); the array-returning bridge op
+    ``mm.extract_features`` is what similarity search consumes."""
     docs = load_table(spark, sf_dir, "documents")
-    return mm.extract_features(mm.attach_binary_payload(docs), fake=True)
+    return mm.extract_features_exploded(mm.attach_binary_payload(docs),
+                                        fake=True)
 
 
 @register("text_winnow_fingerprint", tx.winnow_oracle_sql())

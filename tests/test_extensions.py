@@ -23,6 +23,10 @@ ORACLE_CHECKED = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "multimodal_binary_meta",
+    "multimodal_decode_fake",
+    "multimodal_resize_fake",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
     "curate_corpus",
     "text_winnow_fingerprint",
     "dedup_winnow",
