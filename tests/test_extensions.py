@@ -167,3 +167,56 @@ def test_multimodal_resize_and_features_are_deterministic(spark):
     emb = feats.select(F2.col("doc_id").alias("vec_id"), "embedding")
     top = cosine_topk(emb, query_vec_id=rows[0].doc_id, k=3)
     assert top.count() == 3
+
+
+def test_embedding_cosine_pairs_never_touch_driver(spark, monkeypatch):
+    """The all-pairs near-dup path must stay fully distributed: building AND
+    executing dedup_embedding_cosine may not call DataFrame.toPandas (the
+    round-1 implementation broadcast the whole corpus from the driver)."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side toPandas in cosine pairs path")
+
+    monkeypatch.setattr(SparkDataFrame, "toPandas", boom)
+    out = QUERIES["dedup_embedding_cosine"].fn(spark, SF_ORACLE)
+    out.collect()  # execution must not materialize on the driver either
+
+
+def test_embedding_cosine_pairs_find_planted_dups(spark):
+    """LSH-blocked pairs must equal the exact >=threshold pair set on a
+    corpus with planted near-duplicates (miss probability ~1e-12 at the
+    planted similarity), with exact cosine values."""
+    import numpy as np
+
+    emb = (load_table(spark, SF_ORACLE, "embeddings")
+           .select("vec_id", "embedding").limit(100))
+    base = emb.collect()
+    planted = []
+    for r in base[:5]:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v[0] += 0.05 * np.linalg.norm(v)  # cosine vs original ~0.999
+        planted.append((r.vec_id + 1_000_000, [float(x) for x in v]))
+    corpus = emb.unionByName(spark.createDataFrame(
+        planted, "vec_id long, embedding array<double>"))
+
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in sim.cosine_pairs_blocked(corpus, threshold=0.9).collect()}
+
+    ids = [r.vec_id for r in base] + [p[0] for p in planted]
+    mat = np.array([np.asarray(r.embedding, dtype=np.float64) for r in base]
+                   + [np.asarray(p[1]) for p in planted])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = ids[i], ids[j]
+            if a < b and sims[i, j] >= 0.9:
+                want[(a, b)] = round(sims[i, j], 6)
+    assert set(got) == set(want)
+    assert len(want) >= 5  # every planted pair qualifies
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6
