@@ -210,11 +210,17 @@ def q_synth_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # check; tests/test_streaming.py proves batch≡stream equivalence instead.
 # ---------------------------------------------------------------------------
 
-@register("streaming_duty_cycle", None)
+@register("streaming_duty_cycle", _SLIDING_ORACLE)
 def q_streaming_duty_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's continuous query (duty_cycle_avro.py:63-91) replayed
     through Structured Streaming: watermark + sliding window + append mode +
-    availableNow trigger, memory sink."""
+    availableNow trigger, parquet sink.
+
+    The end-of-replay flush sentinel advances the final watermark past every
+    real window, so the streamed append-mode result is the COMPLETE window
+    set — checkable against the same oracle as the batch
+    ``duty_cycle_sliding``. Sentinel windows are never finalized (their end
+    lies past the watermark); the marker filter is defense in depth."""
     import tempfile
 
     from insight_de_smart_grid_spark.sources.tables import events_to_readings
@@ -225,19 +231,21 @@ def q_streaming_duty_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet sink (S9): scales past the driver-memory sink and measures the
     # production write path
     base = tempfile.mkdtemp(prefix="sdc_")
-    return run_stream_over_parquet(
+    out = run_stream_over_parquet(
         spark, f"{sf_dir}/events.parquet", events_to_readings,
         query_name="unused", checkpoint_dir=f"{base}/ck",
-        out_dir=f"{base}/sink",
+        out_dir=f"{base}/sink", flush_sentinel=True,
         window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    return out.filter(F.col("house_id") != "-1")
 
 
-@register("streaming_rollup", None)
+@register("streaming_rollup", ru.rollup_oracle_sql(READINGS_SQL_VIEW, 1))
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ingest path (S8): continuous per-second rollup
     materialized into an hour-partitioned cube via availableNow; returns the
-    cube. Stateful append semantics -> rows-only driver check; finalized-
-    subset equality with the batch rollup is proven in tests."""
+    cube. The flush sentinel finalizes every real window, so the streamed
+    cube equals the batch ``rollup_1s`` and shares its oracle (the driver
+    shape drops the (date, hour) partition columns)."""
     import tempfile
 
     from insight_de_smart_grid_spark.sources.tables import events_to_readings
@@ -246,6 +254,10 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = tempfile.mkdtemp(prefix="stream_rollup_")
-    return materialize_rollup_stream(
+    cube = materialize_rollup_stream(
         spark, f"{sf_dir}/events.parquet", events_to_readings,
-        out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt")
+        out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt",
+        flush_sentinel=True)
+    return (cube.filter(F.col("house_id") != "-1")
+            .select("window_start", "house_id", "appliance_id",
+                    "appliance_name", "cnt", "sum_power"))

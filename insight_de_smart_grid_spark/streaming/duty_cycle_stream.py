@@ -64,6 +64,7 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
                             checkpoint_dir: str | None = None,
                             out_dir: str | None = None,
                             state_partitions: int | None = 8,
+                            flush_sentinel: bool = False,
                             **plan_kwargs) -> DataFrame:
     """Replay a parquet table through the streaming plan with
     ``availableNow`` + memory sink; returns the finalized (append-mode)
@@ -83,4 +84,5 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
         lambda stream: duty_cycle_stream_plan(to_readings(stream),
                                               **plan_kwargs),
         query_name=query_name, checkpoint_dir=checkpoint_dir,
-        out_dir=out_dir, state_partitions=state_partitions)
+        out_dir=out_dir, state_partitions=state_partitions,
+        flush_sentinel=flush_sentinel)

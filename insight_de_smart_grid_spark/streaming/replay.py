@@ -16,20 +16,63 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def parquet_stream_source(spark: SparkSession, parquet_path: str) -> DataFrame:
+def parquet_stream_source(spark: SparkSession, parquet_path: str,
+                          flush_sentinel: bool = False,
+                          sentinel_margin_s: int = 3600) -> DataFrame:
     """Schema-pinned streaming file source over a parquet table. The file
     source requires a directory, so a single parquet file is staged behind a
     symlink dir; nanos-precision timestamps surface as longs (same policy as
-    ``sources.tables.load_table``) for the plan's projection to convert."""
+    ``sources.tables.load_table``) for the plan's projection to convert.
+
+    ``flush_sentinel`` additionally stages a one-row file whose ``ts`` lies
+    ``sentinel_margin_s`` past the real maximum and whose ``user_id`` is -1:
+    once the stream drains, the final watermark sits past every real window
+    end, so append mode emits the COMPLETE window set (identical to the batch
+    aggregation) instead of holding back the tail windows. The sentinel's own
+    windows end after the watermark and are never emitted — the marker key is
+    only a belt-and-braces filter for callers. This is the standard
+    end-of-replay flush for finite sources; a live deployment doesn't need it
+    (the next real event plays the same role)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     p = Path(parquet_path)
-    if p.is_file():
+    if p.is_file() or flush_sentinel:
+        # always stage when adding a sentinel: the source dir may be
+        # read-only and must never be mutated
         staged = Path(tempfile.mkdtemp(prefix="stream_src_"))
-        (staged / p.name).symlink_to(p)
+        for src in ([p] if p.is_file() else sorted(p.iterdir())):
+            (staged / src.name).symlink_to(src)
         parquet_path = str(staged)
+    if flush_sentinel:
+        parquet_path = _stage_flush_sentinel(spark, parquet_path,
+                                             sentinel_margin_s)
     schema = spark.read.parquet(parquet_path).schema
     return (spark.readStream.schema(schema).format("parquet")
             .load(parquet_path))
+
+
+def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
+                          margin_s: int) -> str:
+    """Write the watermark-flush sentinel row beside the staged source files.
+
+    ``ts`` is still a nanos-since-epoch long at this layer (legacy reader
+    surface), so the margin is added in integer nanos. The sentinel copies
+    the latest real row, keeping the schema identical, and lands in a file
+    written AFTER the real data so mtime-ordered micro-batching can never
+    process it first."""
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(staged_dir)
+    sentinel = (batch.orderBy(F.desc("ts")).limit(1)
+                .withColumn("ts", (F.col("ts")
+                                   + F.lit(margin_s * 1_000_000_000))
+                            .cast("long"))
+                .withColumn("user_id", F.lit(-1)
+                            .cast(batch.schema["user_id"].dataType)))
+    tmp = tempfile.mkdtemp(prefix="sentinel_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(Path(tmp).glob("part-*.parquet"))
+    part.rename(Path(staged_dir) / "zz_flush_sentinel.parquet")
+    return staged_dir
 
 
 def replay_parquet_stream(spark: SparkSession, parquet_path: str,
@@ -37,7 +80,8 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
                           query_name: str,
                           checkpoint_dir: str | None = None,
                           out_dir: str | None = None,
-                          state_partitions: int | None = 8) -> DataFrame:
+                          state_partitions: int | None = 8,
+                          flush_sentinel: bool = False) -> DataFrame:
     """Build ``plan_fn(stream)`` over a parquet file source and drain it with
     ``trigger(availableNow=True)``; returns the sink contents as a batch
     DataFrame (memory sink by default, fault-tolerant parquet sink when
@@ -51,7 +95,8 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    plan = plan_fn(parquet_stream_source(spark, parquet_path))
+    plan = plan_fn(parquet_stream_source(spark, parquet_path,
+                                         flush_sentinel=flush_sentinel))
     try:
         if out_dir:
             writer = (plan.writeStream.outputMode("append")

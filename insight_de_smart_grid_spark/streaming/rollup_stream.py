@@ -51,6 +51,7 @@ def materialize_rollup_stream(spark: SparkSession, parquet_path: str,
                               to_readings, out_dir: str,
                               checkpoint_dir: str,
                               state_partitions: int = 8,
+                              flush_sentinel: bool = False,
                               **plan_kwargs) -> DataFrame:
     """Replay a parquet events table through the streaming rollup and persist
     the cube as (date, hour)-partitioned parquet; returns the table read
@@ -62,7 +63,8 @@ def materialize_rollup_stream(spark: SparkSession, parquet_path: str,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        stream = parquet_stream_source(spark, parquet_path)
+        stream = parquet_stream_source(spark, parquet_path,
+                                       flush_sentinel=flush_sentinel)
         plan = (rollup_stream_plan(to_readings(stream), **plan_kwargs)
                 .repartition("date", "hour"))
         q = (plan.writeStream.outputMode("append")

@@ -20,6 +20,10 @@ PARITY_QUERIES = [
     "events_json_extract",
     "enrich_labels",
     "synth_keys",
+    # flush-sentinel streaming replays: complete append-mode window sets,
+    # value-checked against the same oracles as their batch twins
+    "streaming_duty_cycle",
+    "streaming_rollup",
 ]
 
 
