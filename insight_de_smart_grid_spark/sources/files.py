@@ -20,6 +20,8 @@ the filesystem layout.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -101,11 +103,30 @@ def avro_available(spark: SparkSession) -> bool:
         return False
 
 
+# The reference's wire record (stream_processing/schema.avsc:1-27): one
+# power reading per Kafka message, epoch-millis timestamp, float power.
+REFERENCE_AVRO_SCHEMA: str = json.dumps({
+    "namespace": "powerraw",
+    "name": "valueall",
+    "type": "record",
+    "fields": [
+        {"name": "house_id", "type": "string"},
+        {"name": "appliance_name", "type": "string"},
+        {"name": "appliance_id", "type": "string"},
+        {"name": "timestamp", "type": "long"},
+        {"name": "power", "type": "float"},
+    ],
+})
+
+
 def decode_avro_stream(stream: DataFrame, schema_json: str,
                        value_col: str = "value") -> DataFrame:
-    """S2: Kafka envelope bytes -> struct via from_avro (Spark 3 built-in;
+    """S2: Kafka envelope bytes -> struct via from_avro (Spark built-in;
     replaces the reference's py4j bridge, duty_cycle_avro.py:12-19).
-    Raises a clear error when spark-avro isn't deployed."""
+    Raises a clear error when spark-avro isn't deployed — either as a
+    missing Python module or as the AVRO_NOT_LOADED analysis error."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
     try:
         from pyspark.sql.avro.functions import from_avro
     except ImportError as exc:  # pragma: no cover
@@ -113,20 +134,68 @@ def decode_avro_stream(stream: DataFrame, schema_json: str,
             "spark-avro module not on the classpath; submit with "
             "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
         ) from exc
-    return stream.select(
-        from_avro(F.col(value_col), schema_json).alias("r")).select("r.*")
+    try:
+        return stream.select(
+            from_avro(F.col(value_col), schema_json).alias("r")).select("r.*")
+    except AnalysisException as exc:
+        if "AVRO" in str(exc).upper():
+            raise RuntimeError(
+                "spark-avro module not on the classpath; submit with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from exc
+        raise
+
+
+def avro_envelope_to_readings(envelope: DataFrame,
+                              schema_json: str = REFERENCE_AVRO_SCHEMA
+                              ) -> DataFrame:
+    """Kafka envelope -> readings shape: from_avro decode, epoch-millis ->
+    timestamp, reference column order (duty_cycle_avro.py:71-73)."""
+    decoded = decode_avro_stream(envelope, schema_json)
+    return decoded.select(
+        F.timestamp_millis(F.col("timestamp")).alias("ts"),
+        "house_id", "appliance_id", "appliance_name", "power")
+
+
+def kafka_source_options(brokers: str, topic: str,
+                         starting_offsets: str | None = None,
+                         fail_on_data_loss: bool = False,
+                         max_offsets_per_trigger: int | None = None
+                         ) -> dict[str, str]:
+    """S1/ST8 source spec as a pure dict (testable without a broker or the
+    connector jar): subscription, replay position, loss tolerance, and the
+    per-trigger backpressure bound."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if starting_offsets is not None:
+        opts["startingOffsets"] = starting_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_sink_options(brokers: str, topic: str,
+                       checkpoint_dir: str) -> dict[str, str]:
+    """S4 sink spec as a pure dict."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
 
 
 def kafka_reader(spark: SparkSession, brokers: str, topic: str,
-                 streaming: bool = True, fail_on_data_loss: bool = False):
+                 streaming: bool = True, fail_on_data_loss: bool = False,
+                 **spec_kwargs):
     """S1: Kafka source builder (ST8 knobs: failOnDataLoss, startingOffsets).
     Returns an unloaded reader so callers compose options; requires the
     spark-sql-kafka connector jar at runtime."""
     reader = (spark.readStream if streaming else spark.read)
-    return (reader.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("subscribe", topic)
-            .option("failOnDataLoss", str(fail_on_data_loss).lower()))
+    return reader.format("kafka").options(**kafka_source_options(
+        brokers, topic, fail_on_data_loss=fail_on_data_loss, **spec_kwargs))
 
 
 def kafka_sink(df: DataFrame, brokers: str, topic: str,
@@ -139,7 +208,27 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str,
         F.col(key_col).cast("string").alias("key"), payload]
     return (df.select(*cols)
             .writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint_dir)
+            .options(**kafka_sink_options(brokers, topic, checkpoint_dir))
             .outputMode("append"))
+
+
+def duty_cycle_kafka_pipeline(spark: SparkSession, brokers: str,
+                              in_topic: str, out_topic: str,
+                              checkpoint_dir: str,
+                              schema_json: str = REFERENCE_AVRO_SCHEMA,
+                              **plan_kwargs):
+    """The reference's full deployment shape (duty_cycle_avro.py:63-89):
+    Kafka source -> from_avro decode -> readings projection -> watermarked
+    sliding duty cycle -> JSON-serialized Kafka sink. Returns the unstarted
+    DataStreamWriter; requires the connector + avro jars at analysis time
+    (environment-gated here; test_sources asserts the composition and
+    xfails on the known jar gaps only)."""
+    from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+        duty_cycle_stream_plan,
+    )
+
+    envelope = kafka_reader(spark, brokers, in_topic).load()
+    readings = avro_envelope_to_readings(envelope, schema_json)
+    result = duty_cycle_stream_plan(readings, **plan_kwargs)
+    return kafka_sink(result, brokers, out_topic, checkpoint_dir,
+                      key_col="house_id")
