@@ -88,6 +88,26 @@ def main() -> None:
         # reference baseline headline is >=100k msg/s sustained ingest
         # (README.md:27); flagship duty-cycle rows/sec is the comparable
         out["ingest_rows_per_sec"] = int(n_events / flagship)
+
+    # Round-over-round regression tracking against the frozen per-query
+    # baseline (BENCH_BASELINE.json = round-1 medians). Regression = >1.5x
+    # the baseline median AND >0.3 s absolute (absorbs noise on sub-100 ms
+    # queries). Reported on stderr + in the JSON; the stdout contract stays
+    # one line.
+    base_path = Path(REPO) / "BENCH_BASELINE.json"
+    if base_path.exists():
+        base = json.loads(base_path.read_text()).get("queries", {})
+        regressions = {
+            name: {"now": t, "baseline": base[name]}
+            for name, t in timings.items()
+            if name in base and base[name] > 0 and t > 0
+            and t > 1.5 * base[name] and t - base[name] > 0.3
+        }
+        if regressions:
+            out["regressions"] = regressions
+            for name, r in sorted(regressions.items()):
+                print(f"bench: REGRESSION {name}: {r['now']}s vs baseline "
+                      f"{r['baseline']}s", file=sys.stderr)
     print(json.dumps(out))
 
 

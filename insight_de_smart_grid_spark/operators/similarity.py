@@ -75,7 +75,7 @@ LIMIT {k}
 
 
 def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
-                         n_tables: int = 16, n_planes: int = 4,
+                         n_tables: int = 32, n_planes: int = 8,
                          dim: int = 64,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
@@ -87,22 +87,35 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
     key, never an all-pairs product); candidates are deduplicated across
     tables, then verified with the exact JVM cosine fold. Miss probability
     for a qualifying pair is (1 - p^n_planes)^n_tables with
-    p = 1 - acos(threshold)/pi — at the default 16x4 and threshold 0.9
-    that is ~4e-6, and ~5e-8 at 0.95, i.e. exact for practical purposes
-    while touching only same-bucket pairs.
+    p = 1 - acos(threshold)/pi — at the default 32x8: ~2e-8 at threshold
+    0.95 and ~5e-3 at 0.9 (near-dup pairs in practice sit near 1.0, where
+    the miss is ~1e-30). Deep 8-plane tables keep buckets thin on
+    near-orthogonal corpora — 2^8 buckets/table bounds the per-bucket pair
+    blowup, which matters more at scale than the last fraction of recall at
+    the exact threshold boundary.
     """
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
                                 vec_col=vec_col, id_col=id_col)
-    left = sig.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
-                      "table", "bucket")
-    right = sig.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
-                       "table", "bucket")
-    cands = (left.join(right, ["table", "bucket"])
-             .filter(F.col("vec_a") < F.col("vec_b"))
+    # candidate generation runs over NARROW rows (id, table, bucket) — the
+    # per-bucket pair explosion must never carry the vectors (16 bytes/row
+    # vs ~1 KB/row; at sf0.1 that is 200 MB vs 12 GB through the join)
+    slim = sig.select(F.col(id_col), "table", "bucket")
+    cands = (slim.alias("sa")
+             .join(slim.alias("sb"), ["table", "bucket"])
+             .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
+             .select(F.col(f"sa.{id_col}").alias("vec_a"),
+                     F.col(f"sb.{id_col}").alias("vec_b"))
              .dropDuplicates(["vec_a", "vec_b"]))
+    # vectors join back only for the deduplicated candidates (the bounded
+    # verify step), then the exact JVM cosine fold decides
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
     raw = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
                                             * _norm(F.col("vb")))
-    return (cands.withColumn("raw_sim", raw)
+    return (cands.join(ea, "vec_a").join(eb, "vec_b")
+            .withColumn("raw_sim", raw)
             .filter(F.col("raw_sim") >= F.lit(threshold))
             .select("vec_a", "vec_b",
                     F.round(F.col("raw_sim"), 6).alias("cos_sim")))

@@ -94,19 +94,37 @@ def q_star_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates — engine-specific sketches, no cross-engine oracle;
-# tests assert tolerance vs the exact answers instead
+# Approximate aggregates — the sketches are engine-specific (HLL++ / KLL),
+# so the driver-checkable shape carries the exact answers plus Spark-side
+# tolerance verdicts: the oracle row is deterministic (exact values + TRUE)
+# while the sketch accuracy is still asserted on every run
 # ---------------------------------------------------------------------------
 
-@register("star_approx_agg", None)
+@register("star_approx_agg", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_median_ok
+FROM lineitem
+GROUP BY 1
+""")
 def q_star_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"),
+             F.approx_count_distinct("l_partkey").alias("approx_parts"),
+             F.percentile("l_extendedprice", F.lit(0.5))
+             .alias("exact_median"),
              F.percentile_approx("l_extendedprice", 0.5)
-             .alias("approx_median_price"))
+             .alias("approx_median"))
     )
+    return agg.select(
+        "l_returnflag", "exact_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("approx_parts_ok"),
+        (F.abs(F.col("approx_median") - F.col("exact_median"))
+         <= 0.05 * F.abs(F.col("exact_median"))).alias("approx_median_ok"))
 
 
 # ---------------------------------------------------------------------------
@@ -261,11 +279,39 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Streaming sessionization (session_window + watermark, append mode);
-# state semantics -> rows-only check, batch equality proven in tests
+# Streaming sessionization (session_window + watermark, append mode). The
+# flush sentinel finalizes every real session, so the streamed set equals the
+# batch session_window answer; the oracle reproduces session_window's merge
+# semantics (a new session starts when ts >= prev + gap; end = last + gap).
 # ---------------------------------------------------------------------------
 
-@register("streaming_sessions", None)
+STREAM_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("streaming_sessions", STREAM_SESSIONS_SQL)
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -278,11 +324,15 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = tempfile.mkdtemp(prefix="sess_")
-    return replay_parquet_stream(
+    out = replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet",
         lambda stream: session_stream_plan(normalize_event_ts(stream)),
         query_name="unused", checkpoint_dir=f"{base}/ck",
-        out_dir=f"{base}/sink")
+        out_dir=f"{base}/sink", flush_sentinel=True)
+    # sentinel sessions never finalize (end > watermark); filter is defense
+    return (out.filter(F.col("user_id") != -1)
+            .select("user_id", "session_start", "session_end", "n_events",
+                    F.round("sum_value", 6).alias("sum_value")))
 
 
 # ---------------------------------------------------------------------------
@@ -324,12 +374,30 @@ def q_range_join_clicks_before_purchase(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
-# Stream-stream self-join (watermarked, append mode) and streaming exact
-# dedup (dropDuplicatesWithinWatermark): stateful semantics -> rows-only
-# driver check; batch≡stream equality proven in tests/test_streaming.py.
+# Stream-stream self-join (watermarked, append mode): an INNER join emits
+# matches in the micro-batch they occur (the watermark only bounds state),
+# so a full replay yields exactly the batch interval-join answer — oracle-
+# checkable with no sentinel. Streaming exact dedup stays rows-only (which
+# physical row survives a within-watermark re-delivery is order-dependent);
+# its batch≡stream equality is proven in tests/test_streaming.py.
 # ---------------------------------------------------------------------------
 
-@register("streaming_interval_join", None)
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 4 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("streaming_interval_join", STREAM_INTERVAL_JOIN_SQL)
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
@@ -364,12 +432,20 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Complete-output-mode streaming top-K (the live dashboard tile); result is
-# the full refreshed table each trigger -> rows-only driver check, equality
-# with the batch top-K proven in tests.
+# Complete-output-mode streaming top-K (the live dashboard tile): the last
+# trigger's complete table covers every input row, so the drained result IS
+# the batch top-K and shares its oracle.
 # ---------------------------------------------------------------------------
 
-@register("streaming_topk", None)
+from insight_de_smart_grid_spark.operators.dashboard import (  # noqa: E402
+    top_k_oracle_sql as _topk_sql,
+)
+from insight_de_smart_grid_spark.sources.tables import (  # noqa: E402
+    READINGS_SQL_VIEW as _READINGS,
+)
+
+
+@register("streaming_topk", _topk_sql(_READINGS, "appliance_name"))
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 

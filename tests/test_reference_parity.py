@@ -24,6 +24,9 @@ PARITY_QUERIES = [
     # value-checked against the same oracles as their batch twins
     "streaming_duty_cycle",
     "streaming_rollup",
+    "streaming_sessions",
+    "streaming_interval_join",
+    "streaming_topk",
 ]
 
 
