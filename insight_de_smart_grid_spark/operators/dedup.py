@@ -319,17 +319,11 @@ def winnow_near_dups(docs: DataFrame, k: int = 8, w: int = 4,
     time. One aggregation for document frequency, one equi-join on the
     fingerprint, one pair aggregation; no UDFs anywhere.
     """
-    from insight_de_smart_grid_spark.operators.text import (
-        kgrams,
-        winnowed_of,
-    )
+    from insight_de_smart_grid_spark.operators.text import winnow_fps_arrow
 
-    # materialize the gram array in its own projection: inlining it into the
-    # winnow lambda would recompute every gram per window (O(n^2) per doc)
-    grams = docs.select(F.col(id_col), kgrams(text_col, k).alias("grams"))
-    fps = grams.select(
-        F.col(id_col),
-        F.explode(winnowed_of(F.col("grams"), w)).alias("fp"))
+    # Arrow-vectorized winnowing (numpy strided rolling-min); byte-identical
+    # to the HOF formulation but ~3x faster — see winnow_fps_arrow docstring
+    fps = winnow_fps_arrow(docs, text_col=text_col, k=k, w=w, id_col=id_col)
     n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
     rare = (fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))

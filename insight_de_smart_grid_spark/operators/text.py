@@ -302,6 +302,68 @@ def winnowed_of(grams: Column, w: int = 4) -> Column:
         lambda j: F.array_min(F.slice(grams, j, w))))
 
 
+def winnow_fps_arrow(docs: DataFrame, text_col: str = "text",
+                     k: int = 8, w: int = 4,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exploded winnowed fingerprint set (doc_id, fp) — Arrow-vectorized
+    twin of ``explode(winnowed_of(kgrams(text)))``.
+
+    The per-position slice/array_min higher-order functions run interpreted
+    (outside whole-stage codegen) and dominate ``dedup_winnow``'s cost; this
+    variant computes the same window minima as one strided numpy pass: text
+    bytes -> sliding (n-k+1, k) byte view -> reinterpret each k=8-byte gram
+    as a big-endian uint64 (order-isomorphic to Spark's byte-wise UTF8String
+    comparison for equal-length ASCII grams) -> w-wide rolling minimum ->
+    unique. Non-ASCII docs (absent in this corpus, legal in general) take a
+    per-doc fallback that slices by character exactly like ``substr``.
+    Output is identical byte-for-byte, so the DuckDB oracle is unchanged."""
+    import numpy as np
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    if k != 8:  # the u64 reinterpretation trick is k=8-specific
+        return docs.select(
+            F.col(id_col),
+            F.explode(winnowed_of(kgrams(text_col, k), w)).alias("fp"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            ids_out: list = []
+            fps_out: list = []
+            for doc_id, text in zip(pb[id_col], pb[text_col]):
+                if text.isascii() and len(text) >= k:
+                    bs = text.encode()
+                    arr = np.frombuffer(bs, dtype=np.uint8)
+                    sw = np.ascontiguousarray(
+                        np.lib.stride_tricks.sliding_window_view(arr, k))
+                    g64 = sw.view(">u8").ravel()
+                    m = len(g64)
+                    # rolling minimum via w-1 pairwise minima; never a numpy
+                    # reduction (.min() silently converts >u8 to native
+                    # endianness, reversing the recovered gram bytes)
+                    n_win = max(m - w + 1, 1)
+                    mins = g64[:n_win].copy()
+                    for j in range(1, min(w, m)):
+                        np.minimum(mins, g64[j:n_win + j], out=mins)
+                    raw = np.unique(mins).tobytes()
+                    fps = [raw[i:i + 8].decode() for i in range(0, len(raw), 8)]
+                else:
+                    # char-sliced fallback, byte-wise comparison like Spark
+                    grams = [text[i:i + k].encode()
+                             for i in range(max(len(text) - k + 1, 1))]
+                    n_win = max(len(grams) - w + 1, 1)
+                    fps = [g.decode() for g in
+                           {min(grams[j:j + w]) for j in range(n_win)}]
+                ids_out.extend([doc_id] * len(fps))
+                fps_out.extend(fps)
+            yield pd.DataFrame({id_col: ids_out, "fp": fps_out})
+
+    return (docs.select(id_col, text_col)
+            .mapInPandas(gen, f"{id_col} long, fp string"))
+
+
 def winnow_oracle_sql(k: int = 8, w: int = 4) -> str:
     return f"""
 WITH g AS (

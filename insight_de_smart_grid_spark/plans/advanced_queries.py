@@ -110,15 +110,17 @@ GROUP BY 1
 """)
 def q_star_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = (
-        li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("exact_parts"),
-             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-             F.percentile("l_extendedprice", F.lit(0.5))
-             .alias("exact_median"),
-             F.percentile_approx("l_extendedprice", 0.5)
-             .alias("approx_median"))
-    )
+    # two aggregations + a tiny join: countDistinct plans an Expand and the
+    # exact percentile buffers values per group — combined in ONE agg the
+    # Expand multiplies the percentile's buffered input several-fold
+    # (measured 5x slower); split, each pays only its own cost
+    counts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    medians = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"))
+    agg = counts.join(medians, "l_returnflag")
     return agg.select(
         "l_returnflag", "exact_parts",
         (F.abs(F.col("approx_parts") - F.col("exact_parts"))

@@ -38,6 +38,27 @@ def test_extension_matches_oracle(spark, duck, name):
     check_registered(spark, duck, name)
 
 
+def test_winnow_arrow_matches_hof_formulation(spark):
+    """The numpy strided winnower must emit the exact fingerprint multiset
+    the HOF (slice/array_min) plan emits — including on non-ASCII text,
+    which takes the per-doc char-sliced fallback, and on docs shorter than
+    one k-gram/window."""
+    from insight_de_smart_grid_spark.operators import text as tx
+    corpus = load_table(spark, SF_ORACLE, "documents").limit(200)
+    edge = spark.createDataFrame(
+        [(9001, "café au lait, très bon café au lait du jour"),
+         (9002, "short"), (9003, "exactly8!"),
+         (9004, "naïve résumé " * 10)],
+        "doc_id long, text string")
+    docs = corpus.select("doc_id", "text").unionAll(edge)
+    hof = docs.select(
+        "doc_id",
+        F.explode(tx.winnowed_of(tx.kgrams("text", 8), 4)).alias("fp"))
+    arrow = tx.winnow_fps_arrow(docs, k=8, w=4)
+    assert sorted(map(tuple, hof.collect())) == \
+        sorted(map(tuple, arrow.collect()))
+
+
 def test_minhash_lsh_agrees_with_exact_jaccard(spark):
     """LSH-found pairs at jaccard>=0.5 must be a subset of exact pairs, and
     should recall nearly all of them (planted near-dups are ~0.9 similar,
