@@ -146,40 +146,80 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
 
+# Classic affine minhash family over the Mersenne prime 2^31-1:
+# mh_i = (a_i * x + b_i) mod P with x = portable_hash60(shingle) mod P.
+# Every product stays below 2^62, so the arithmetic is exact and overflow-free
+# in both Spark's ANSI mode and DuckDB — which is what makes the whole
+# pipeline oracle-checkable (xxhash64 composition was faster to write but
+# exists only inside Spark). Constants are fixed at import from a seeded RNG.
+_MINHASH_P = 2147483647
+_MINHASH_AB: list[tuple[int, int]] = []
+
+
+def _minhash_ab(n: int) -> list[tuple[int, int]]:
+    import random
+    while len(_MINHASH_AB) < n:
+        rnd = random.Random(20240501 + len(_MINHASH_AB))
+        _MINHASH_AB.append((rnd.randrange(1, _MINHASH_P),
+                            rnd.randrange(0, _MINHASH_P)))
+    return _MINHASH_AB[:n]
+
+
+def portable_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in Spark
+    (conv/substring over the hex digest) and DuckDB (hex-literal cast),
+    verified byte-for-byte in tests. 60 bits keeps the value unsigned-safe
+    in both engines' BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, ngram: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """32 minhash values per doc: mh_i = min over shingles of
-    xxhash64(i, shingle). Hash *composition* (seed as a column) instead of
-    (a*h+b) mod p keeps everything ANSI-safe and equally uniform."""
+    """n_hashes minhash values per doc over word-ngram shingles."""
     sh = word_ngrams(docs, ngram, text_col, id_col)
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"mh{i}")
-            for i in range(n_hashes)]
+    x = portable_hash60(F.col("g")) % F.lit(_MINHASH_P)
+    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
     return sh.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
                         id_col: str = "doc_id") -> DataFrame:
     """Band the signature (rows = n_hashes/bands), bucket-join per band,
-    dedupe candidate pairs across bands."""
+    dedupe candidate pairs across bands. The bucket key packs pairs of
+    31-bit minhash values into single 62-bit longs (shift + add — exact,
+    no re-hash): candidacy stays bit-for-bit reproducible by an external
+    oracle, and the join keys remain fixed-width scalars, which an array
+    or re-hashed key would either slow down or make collision-fuzzy."""
     rows = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
+    def packed(b: int) -> list[Column]:
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band{b}"))
-    banded = sig.select(F.col(id_col), *band_cols)
-    # long format: (doc_id, band_idx, band_hash)
+        out = []
+        for i in range(0, rows, 2):
+            if i + 1 < rows:
+                out.append(F.shiftleft(cols[i], 31) + cols[i + 1])
+            else:
+                out.append(cols[i])
+        return out
+    n_packed = (rows + 1) // 2
+    # long format: (doc_id, band_idx, packed band key)
     stack = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bh"))
+        F.struct(F.lit(b).alias("band_idx"),
+                 *[p.alias(f"p{j}") for j, p in enumerate(packed(b))])
         for b in range(bands)])).alias("e")
-    longf = banded.select(F.col(id_col), stack).select(
-        F.col(id_col), F.col("e.band_idx"), F.col("e.bh"))
+    longf = sig.select(F.col(id_col), stack).select(
+        F.col(id_col), F.col("e.band_idx"),
+        *[F.col(f"e.p{j}") for j in range(n_packed)])
     a = longf.alias("a")
     b2 = longf.alias("b")
+    cond = (F.col("a.band_idx") == F.col("b.band_idx")) \
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for j in range(n_packed):
+        cond = cond & (F.col(f"a.p{j}") == F.col(f"b.p{j}"))
     return (
-        a.join(b2, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b2, cond)
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
@@ -200,12 +240,14 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     even one shingle).
 
     Signature and shingle set come out of ONE aggregation pass (minhashes
-    composed over the 64-bit shingle hash, not the string): one shuffle, one
-    scan of the shingle stream, two outputs."""
+    computed over the 60-bit portable shingle hash, not the string): one
+    shuffle, one scan of the shingle stream, two outputs."""
     sh = (word_ngrams(docs, ngram, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("gh")))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"mh{i}")
-            for i in range(n_hashes)]
+          .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
+    x = F.col("gh") % F.lit(_MINHASH_P)
+    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
     sig_sets = (sh.groupBy(id_col)
                 .agg(F.collect_set("gh").alias("shingles"), *mins))
     cands = lsh_candidate_pairs(sig_sets, n_hashes, bands, id_col)
@@ -223,6 +265,64 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     )
 
 
+def minhash_lsh_oracle_sql(n_hashes: int = 32, bands: int = 8,
+                           ngram: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB twin of ``minhash_lsh_near_dups``: same md5-derived shingle
+    hash, same affine minhash family, band candidacy as an OR of per-band
+    equalities (fine for the oracle's row counts; Spark's exploded equi-join
+    is the scale formulation)."""
+    p = _MINHASH_P
+    rows = n_hashes // bands
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(ngram))
+    mh_exprs = ",\n         ".join(
+        f"min(({a} * x + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(_minhash_ab(n_hashes)))
+    band_eq = "\n     OR ".join(
+        "(" + " AND ".join(f"a.mh{b * rows + r} = b.mh{b * rows + r}"
+                           for r in range(rows)) + ")"
+        for b in range(bands))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {ngram - 1})) AS u(i)
+  WHERE len(t) >= {ngram}
+),
+gh AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS ghv
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM (SELECT doc_id, ghv, ghv % {p} AS x FROM gh)
+  GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_eq}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN gh x ON x.doc_id = c.doc_a
+  JOIN gh y ON y.doc_id = c.doc_b AND y.ghv = x.ghv
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit sketch as 4 x 16-bit chunks; chunk blocking for Hamming<=3)
 # ---------------------------------------------------------------------------
@@ -231,14 +331,22 @@ def simhash_chunks(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Per-doc 64-bit SimHash materialized as chunk0..chunk3 (16 bits each).
     Chunked storage sidesteps sign-bit arithmetic and doubles as the LSH
-    blocking key (pigeonhole: Hamming <= 3 implies >= 1 equal chunk)."""
-    tok = (docs.select(F.col(id_col),
-                       F.explode(tokens(text_col)).alias("t"))
-           .withColumn("h", F.xxhash64("t")))
+    blocking key (pigeonhole: Hamming <= 3 implies >= 1 equal chunk).
+
+    Each chunk's 16 token-hash bits come from their own 4-hex-char slice of
+    md5(token) — portable, so DuckDB reproduces the sketch bit-for-bit and
+    the oracle can brute-force the exact Hamming pairs (which also proves
+    the chunk blocking loses nothing)."""
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens(text_col)).alias("t"))
+    tok = tok.select(
+        F.col(id_col),
+        *[F.conv(F.substring(F.md5("t"), 1 + 4 * c, 4), 16, 10)
+          .cast("int").alias(f"h{c}") for c in range(4)])
     chunk_exprs = []
     for c in range(4):
         bit_sum = [
-            F.sum(F.when(F.shiftright(F.col("h"), c * 16 + b)
+            F.sum(F.when(F.shiftright(F.col(f"h{c}"), b)
                          .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
             .alias(f"s_{c}_{b}") for b in range(16)
         ]
@@ -284,10 +392,54 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
-                ham.alias("hamming"))
+                ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of ``simhash_near_dups``. Brute-force all-pairs Hamming
+    (no blocking) — at oracle scale that's cheap, and matching the blocked
+    Spark output exactly doubles as proof the pigeonhole blocking is
+    lossless for Hamming <= 3."""
+    hash_cols = ",\n         ".join(
+        f"CAST(concat('0x', substring(md5(t), {1 + 4 * c}, 4)) AS INT) AS h{c}"
+        for c in range(4))
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h{c} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{c}_{b}"
+        for c in range(4) for b in range(16))
+    chunk_cols = ",\n         ".join(
+        " + ".join(f"(CASE WHEN s_{c}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+                   for b in range(16)) + f" AS chunk{c}"
+        for c in range(4))
+    ham = " + ".join(f"bit_count(xor(a.chunk{c}, b.chunk{c}))"
+                     for c in range(4))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {hash_cols}
+  FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id,
+         {chunk_cols}
+  FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
 
 
 EXACT_DEDUP_SQL = r"""

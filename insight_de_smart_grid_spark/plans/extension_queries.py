@@ -58,13 +58,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n=3, threshold=0.1)
 
 
-@register("dedup_minhash_lsh", None)  # hash family not oracle-portable
+@register("dedup_minhash_lsh", dd.minhash_lsh_oracle_sql(32, 8, 3, 0.5))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_near_dups(load_table(spark, sf_dir, "documents"),
                                     threshold=0.5)
 
 
-@register("dedup_simhash", None)  # hash family not oracle-portable
+@register("dedup_simhash", dd.simhash_oracle_sql(3))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(load_table(spark, sf_dir, "documents"),
                                 max_hamming=3)

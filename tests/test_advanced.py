@@ -91,7 +91,9 @@ def test_ewma_stream_equals_batch(spark):
 
 def test_streaming_sessions_match_batch_finalized(spark):
     """session_window under readStream (append mode) must agree with the
-    batch session_window on every session the watermark finalized."""
+    batch session_window on EVERY session: the replay's flush sentinel
+    advances the watermark past end-of-data, finalizing even the sessions
+    that end in the last minute."""
     from pyspark.sql import functions as F2
 
     from insight_de_smart_grid_spark.plans.registry import QUERIES
@@ -106,11 +108,9 @@ def test_streaming_sessions_match_batch_finalized(spark):
         .select("user_id", F2.col("sw.start").alias("session_start"),
                 F2.col("sw.end").alias("session_end"), "n_events",
                 "sum_value"))
-    max_ts = ev.agg(F2.max("ts")).collect()[0][0]
     b_rows = {(r.user_id, r.session_start, r.session_end, r.n_events,
                round(r.sum_value, 6))
-              for r in batch.collect()
-              if (max_ts - r.session_end).total_seconds() >= 60}
+              for r in batch.collect()}
     s_rows = {(r.user_id, r.session_start, r.session_end, r.n_events,
                round(r.sum_value, 6))
               for r in QUERIES["streaming_sessions"].fn(spark, SF_ORACLE)

@@ -20,6 +20,8 @@ ORACLE_CHECKED = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "multimodal_binary_meta",
@@ -75,11 +77,13 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark):
 
 def test_simhash_flags_near_identical_docs(spark):
     # simhash is weight-sensitive: near-dup detection needs the shared tokens
-    # to dominate (short docs flip ~25% of bits on a one-token edit, which is
-    # correct sketch behavior) — so test with repeated-token weighting
+    # to dominate. An ODD number of distinct words, each repeated 5x, keeps
+    # every bit-sum at magnitude >= 5, so a single extra token can never flip
+    # a bit — the planted pair lands at Hamming 0 under ANY hash family
+    # (an even count leaves balanced bit-sums that flip hash-dependently).
     words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
              "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
-             "oscar", "papa", "quebec", "romeo", "sierra", "tango"]
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform"]
     base = " ".join(w for w in words for _ in range(5))
     rows = [(1, base), (2, base + " extraword"),
             (3, "totally different words unrelated content entirely here")]
