@@ -29,7 +29,10 @@ from insight_de_smart_grid_spark.operators.text import (
     with_bpe_token_stats,
 )
 from insight_de_smart_grid_spark.plans.registry import register
-from insight_de_smart_grid_spark.sources.tables import load_table
+from insight_de_smart_grid_spark.sources.tables import (
+    READINGS_SQL_VIEW,
+    load_table,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -239,12 +242,42 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Custom stateful streaming operator (applyInPandasWithState EWMA);
-# append-mode state semantics have no DuckDB twin -> rows-only check, the
-# batch≡stream test in tests/test_advanced.py is the correctness gate
+# Custom stateful streaming operator (applyInPandasWithState EWMA). The
+# oracle replays the exact recurrence pandas ewm(adjust=False) computes —
+# y_0 = x_0, y_i = (1-a)*y_{i-1} + a*x_i — as a recursive CTE stepping rank
+# by rank within each (house, appliance) series. Two float details make the
+# match exact: the SQL writes (1.0 - 0.3), never the literal 0.7 (1-0.3 and
+# 0.7 differ by one ulp as doubles, and pandas computes the subtraction),
+# and event timestamps have no (house, appliance, ts) ties (asserted in
+# tests), so the recurrence order is unambiguous. The batch≡stream test in
+# tests/test_advanced.py remains the state-semantics gate.
 # ---------------------------------------------------------------------------
 
-@register("streaming_ewma", None)
+STREAM_EWMA_SQL = """
+WITH RECURSIVE readings AS (
+""" + READINGS_SQL_VIEW + """
+),
+seq AS (
+  SELECT house_id, appliance_id, ts, power,
+         row_number() OVER (PARTITION BY house_id, appliance_id
+                            ORDER BY ts) AS rn
+  FROM readings
+),
+r AS (
+  SELECT house_id, appliance_id, ts, power, rn, power AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.house_id, s.appliance_id, s.ts, s.power, s.rn,
+         (1.0 - 0.3) * r.ewma + 0.3 * s.power
+  FROM r JOIN seq s
+    ON s.house_id = r.house_id AND s.appliance_id = r.appliance_id
+   AND s.rn = r.rn + 1
+)
+SELECT house_id, appliance_id, ts, power, ewma FROM r
+"""
+
+
+@register("streaming_ewma", STREAM_EWMA_SQL)
 def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -415,7 +448,14 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"ssj_{uuid.uuid4().hex[:8]}")
 
 
-@register("streaming_dedup", None)
+# The streamed dedup projects ONLY the business-key columns, so its result
+# is the distinct key set no matter which physical duplicate survived —
+# exactly SELECT DISTINCT. (dropDuplicatesWithinWatermark could re-emit a
+# key whose duplicates arrive further apart in event time than the
+# watermark; the replay feeds whole files per trigger, so state never
+# expires mid-run — the batch≡stream test pins that too.)
+@register("streaming_dedup",
+          "SELECT DISTINCT user_id, event_type, ts, value FROM events")
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 

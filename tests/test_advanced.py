@@ -25,12 +25,25 @@ ORACLE_CHECKED = [
     "salted_agg",
     "docs_by_source",
     "range_join_clicks_before_purchase",
+    "streaming_dedup",
+    "streaming_ewma",
 ]
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_advanced_matches_oracle(spark, duck, name):
     check_registered(spark, duck, name)
+
+
+def test_events_have_no_reading_key_ties(spark):
+    """The streaming_ewma oracle's recursive recurrence assumes a total
+    order per (house, appliance): no two events share (user_id, event_type,
+    ts). If the testdata ever gains ties, the EWMA order becomes ambiguous
+    and that oracle must grow a tie-breaker."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    n_ties = (ev.groupBy("user_id", "event_type", "ts").count()
+              .filter("count > 1").count())
+    assert n_ties == 0
 
 
 def test_builtin_session_window_agrees_with_lag_cumsum(spark):
