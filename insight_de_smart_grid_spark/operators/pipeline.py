@@ -1,0 +1,228 @@
+"""Training-data pipeline utilities (north-star extension): deterministic
+dataset splits, stratified sampling, TF-IDF keyword extraction, per-label
+embedding centroids, and CDC-style latest-record compaction.
+
+Every operator here is a pure DataFrame composition with a DuckDB oracle
+twin. Randomness is replaced by portable md5-derived hashing (same recipe as
+operators/dedup.py::portable_hash60): reproducible across engines, runs, and
+cluster sizes — at 100 TB a split must not depend on partitioning or RNG
+state, or re-runs re-shuffle examples between train and test.
+
+Scale notes per operator are on the functions; none collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.text import tokens
+
+
+def _hash_bucket(col, buckets: int = 100):
+    """Portable hash bucket in [0, buckets): first 4 md5 hex chars mod n.
+    16 bits of hash is plenty for split/sample decisions and keeps the
+    parse cheap."""
+    return (F.conv(F.substring(F.md5(col), 1, 4), 16, 10)
+            .cast("int") % buckets)
+
+
+def _hash_bucket_sql(expr: str, buckets: int = 100) -> str:
+    return (f"CAST(concat('0x', substring(md5({expr}), 1, 4)) AS INT) "
+            f"% {buckets}")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+def dataset_split(docs: DataFrame, train: int = 80, val: int = 10,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Assign each doc to train/val/test by hashing its id: stateless
+    per-row projection — no shuffle, no RNG, no driver state. The split is
+    stable under re-partitioning, incremental loads, and engine changes,
+    which is the property a 100 TB corpus refresh needs (sampling by
+    rand() re-splits every run; zipWithIndex serializes)."""
+    b = _hash_bucket(F.col(id_col).cast("string"))
+    return docs.select(
+        id_col,
+        F.when(b < train, F.lit("train"))
+         .when(b < train + val, F.lit("val"))
+         .otherwise(F.lit("test")).alias("split"))
+
+
+def dataset_split_oracle_sql(train: int = 80, val: int = 10) -> str:
+    b = _hash_bucket_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < {train} THEN 'train'
+            WHEN {b} < {train + val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(docs: DataFrame, pct: int = 25,
+                      stratum_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep ~pct% of each stratum, chosen by hashing (stratum, id) — an
+    independent hash from the split hash so sampling composes with
+    splitting without correlation. Per-row filter, no shuffle; the
+    downstream count-by-stratum is the only aggregation."""
+    key = F.concat_ws("|", F.col(stratum_col),
+                      F.col(id_col).cast("string"))
+    return (docs.filter(_hash_bucket(key) < pct)
+            .select(id_col, stratum_col))
+
+
+def stratified_sample_oracle_sql(pct: int = 25,
+                                 stratum_col: str = "source") -> str:
+    b = _hash_bucket_sql(f"{stratum_col} || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, {stratum_col}
+FROM documents
+WHERE {b} < {pct}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k terms per doc by smoothed TF-IDF, ties broken by term. Two
+    shuffles total: one groupBy over (doc, term) — its output also feeds
+    the document-frequency agg, which Spark reuses — and the per-doc
+    window. The window's partition key is the doc id (uniform), so no key
+    skews even when one term dominates the corpus; a WindowGroupLimit
+    keeps only k rows per doc ahead of the final sort."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.round(F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0))
+                                              / (F.col("df") + F.lit(1.0))),
+                          6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tfidf", "rank"))
+
+
+def tfidf_oracle_sql(k: int = 3) -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (vector-column profiling)
+# ---------------------------------------------------------------------------
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Mean vector per label, in exploded (label, dim_idx, centroid) form.
+    posexplode + groupBy is the scale formulation: the shuffle key
+    (label, dim) is perfectly uniform, partial aggregation combines
+    map-side, and no executor ever holds more than a running (sum, count)
+    per key — an array-typed avg would instead buffer whole vectors."""
+    return (emb.select(label_col,
+                       F.posexplode(vec_col).alias("dim_idx", "v"))
+            .groupBy(label_col, "dim_idx")
+            .agg(F.round(F.avg("v"), 6).alias("centroid")))
+
+
+def label_centroids_oracle_sql() -> str:
+    return """
+SELECT label, i - 1 AS dim_idx, round(avg(embedding[i]), 6) AS centroid
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC-style latest-record compaction
+# ---------------------------------------------------------------------------
+
+def latest_compaction(events: DataFrame,
+                      keys: tuple[str, ...] = ("user_id", "event_type"),
+                      ts_col: str = "ts") -> DataFrame:
+    """Newest record per business key — the compaction step of an
+    upsert/CDC feed. row_number over (key ORDER BY ts DESC) shuffles once
+    on the key and Spark rewrites the rank<=1 filter into a
+    WindowGroupLimit (per-partition top-1 before the exchange), so the
+    shuffle carries one row per key per map partition, not the full
+    history."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+    return (events.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*keys, ts_col, "value"))
+
+
+def latest_compaction_oracle_sql() -> str:
+    return """
+SELECT user_id, event_type, ts, value
+FROM (SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram
+# ---------------------------------------------------------------------------
+
+def length_histogram(docs: DataFrame, width: int = 50) -> DataFrame:
+    """Fixed-width histogram over n_chars — the profile view a curation
+    run checks before and after filtering. Single partial-aggregated
+    groupBy on a small key space."""
+    bucket = (F.floor(F.col("n_chars") / width) * width).cast("long")
+    return (docs.groupBy(bucket.alias("bucket_lo"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+def length_histogram_oracle_sql(width: int = 50) -> str:
+    return f"""
+SELECT CAST(floor(n_chars / {width}) * {width} AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+"""

@@ -1,10 +1,10 @@
 """North-star extension queries: dedup, text analysis, similarity search,
-multimodal plumbing (BASELINE.json; SURVEY §7.2 step 7).
+multimodal plumbing, and training-pipeline utilities (BASELINE.json;
+SURVEY §7.2 step 7).
 
-Oracle-checked where DuckDB can express the semantics; MinHash-LSH, SimHash,
-and the ANN bucket variant are registered without oracle SQL (hash families
-aren't portable across engines) — the driver records a rows-only check and
-dedicated tests assert their agreement with the exact operators.
+Everything is oracle-checked except the two ANN variants (their random
+hyperplanes / trained centroids aren't portable across engines) — those get
+a rows-only driver check plus recall tests against the exact operators.
 """
 
 from __future__ import annotations
@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators import dedup as dd
 from insight_de_smart_grid_spark.operators import multimodal as mm
+from insight_de_smart_grid_spark.operators import pipeline as pl
 from insight_de_smart_grid_spark.operators import similarity as sim
 from insight_de_smart_grid_spark.operators import text as tx
 from insight_de_smart_grid_spark.plans.registry import register
@@ -161,3 +162,41 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs: >= 5 shared rare winnowed fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.winnow_near_dups(docs)
+
+
+# --- training-pipeline utilities (operators/pipeline.py) -------------------
+
+@register("pipeline_dataset_split", pl.dataset_split_oracle_sql())
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment."""
+    return pl.dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_stratified_sample", pl.stratified_sample_oracle_sql())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic sample within each source stratum."""
+    return pl.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_tfidf_top_terms", pl.tfidf_oracle_sql())
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document."""
+    return pl.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_label_centroids", pl.label_centroids_oracle_sql())
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, exploded to (label, dim_idx, centroid)."""
+    return pl.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("pipeline_latest_compaction", pl.latest_compaction_oracle_sql())
+def q_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: newest event per (user, event_type)."""
+    return pl.latest_compaction(load_table(spark, sf_dir, "events"))
+
+
+@register("pipeline_length_histogram", pl.length_histogram_oracle_sql())
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width n_chars histogram (corpus profile view)."""
+    return pl.length_histogram(load_table(spark, sf_dir, "documents"))

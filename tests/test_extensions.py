@@ -32,6 +32,12 @@ ORACLE_CHECKED = [
     "curate_corpus",
     "text_winnow_fingerprint",
     "dedup_winnow",
+    "pipeline_dataset_split",
+    "pipeline_stratified_sample",
+    "pipeline_tfidf_top_terms",
+    "pipeline_label_centroids",
+    "pipeline_latest_compaction",
+    "pipeline_length_histogram",
 ]
 
 

@@ -238,3 +238,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dataset_split_is_shuffle_free_projection(spark):
+    """A deterministic split must stay a per-row projection: zero
+    exchanges, and the scan pruned to the id column only."""
+    p = plan_of(spark, "pipeline_dataset_split")
+    assert n_exchanges(p) == 0, p
+    assert "ReadSchema: struct<doc_id:bigint>" in p, p
+
+
+def test_latest_compaction_limits_before_exchange(spark):
+    """CDC compaction must plan a Partial WindowGroupLimit below the
+    exchange so the shuffle carries one row per key per map partition,
+    not the full history."""
+    # explain("formatted") collapses the not-yet-final AdaptiveSparkPlan
+    # for this query; the raw executedPlan string keeps the full tree
+    p = (QUERIES["pipeline_latest_compaction"].fn(spark, SF_ORACLE)
+         ._jdf.queryExecution().executedPlan().toString())
+    plan_lines = p.splitlines()
+    partial = next((i for i, l in enumerate(plan_lines)
+                    if "WindowGroupLimit" in l and "Partial" in l), None)
+    exchange = next((i for i, l in enumerate(plan_lines)
+                     if "Exchange" in l), None)
+    assert partial is not None and exchange is not None, p
+    # tree prints top-down: the Partial limit must sit BELOW the exchange
+    assert partial > exchange, p
