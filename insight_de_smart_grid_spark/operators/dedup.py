@@ -116,10 +116,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
     )
 
 
-def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
+def _jaccard_pairs_ctes(n: int = 3, threshold: float = 0.1) -> str:
+    """CTE chain ending in ``jpairs(doc_a, doc_b, jaccard)`` — the DuckDB
+    twin of ``ngram_jaccard_pairs``, shared by the pair query and the
+    connected-components oracle."""
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ),
 sh AS (
@@ -132,14 +134,93 @@ pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON pairs.doc_a = sa.doc_id
+  JOIN sizes sb ON pairs.doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+)"""
+
+
+def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
+    return (f"WITH {_jaccard_pairs_ctes(n, threshold)}\n"
+            "SELECT doc_a, doc_b, jaccard FROM jpairs")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Group near-dup PAIRS into clusters: (doc_id, cluster_id) where
+    cluster_id is the min doc id reachable through the pair graph — the
+    step that turns pairwise dedup output into a keep/drop decision
+    (keep doc_id == cluster_id, drop the rest). Pairwise filtering alone
+    over-keeps: A~B and B~C without A~C leaves two of three near-dups.
+
+    Iterative min-label propagation: each round joins the (symmetric)
+    edge list with the current labels and takes the min over self and
+    neighbors, converging in graph-diameter rounds. Near-dup clusters are
+    dense (diameter 2-4 in web corpora), so 3-5 rounds settle it; the
+    alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce") is the same join shape with
+    O(log d) rounds if adversarial chains ever matter. Every round is one
+    shuffle keyed by uniformly distributed doc ids; ``localCheckpoint``
+    truncates the growing lineage so round N's plan doesn't replay rounds
+    1..N-1 (on a real cluster, use a checkpoint dir for fault tolerance).
+    The per-round convergence check is a scalar ``count`` — driver control
+    flow, not data collection.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             # Materialize ONCE: every round re-joins edges, and without
+             # this the (expensive) upstream pair computation replays per
+             # round — measured 24 s -> ~4 s at sf0.1.
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        nbr = (edges.join(labels, edges.src == labels.node)
+               .groupBy(F.col("dst").alias("nbr_node"))
+               .agg(F.min("lbl").alias("nbr_lbl")))
+        # Carry the pre-round label through the checkpoint so the
+        # convergence check is a filter over already-materialized
+        # partitions — not another join+shuffle per round.
+        new = (labels.join(nbr, labels.node == nbr.nbr_node, "left")
+               .select(F.col("node"), F.col("lbl").alias("old_lbl"),
+                       F.least(F.col("lbl"),
+                               F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = new.filter(F.col("lbl") < F.col("old_lbl")).count()
+        labels = new.select("node", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def dup_clusters_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
+    """Components via transitive closure (recursive CTE) — exact for the
+    oracle's scale; the Spark side uses label propagation instead."""
+    return (f"WITH RECURSIVE {_jaccard_pairs_ctes(n, threshold)},\n"
+            """edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-FROM pairs
-JOIN sizes sa ON pairs.doc_a = sa.doc_id
-JOIN sizes sb ON pairs.doc_b = sb.doc_id
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
-"""
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src""")
 
 
 # ---------------------------------------------------------------------------

@@ -226,3 +226,167 @@ SELECT CAST(floor(n_chars / {width}) * {width} AS BIGINT) AS bucket_lo,
 FROM documents
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a holdout/benchmark set
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, n: int = 5, holdout_pct: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training docs that share at least one n-token gram with the holdout
+    set, with the shared-gram count — the audit view of test-set
+    decontamination (the keep-set is the anti-join of this). The holdout is
+    a deterministic hash slice of the corpus (stand-in for a benchmark
+    table; swap in a real one by replacing the ``hold`` flag with a join).
+
+    Same shingle-inversion shape as n-gram Jaccard: pairs of (train doc,
+    holdout gram) only materialize on actual overlap, never a cross join.
+    Grams travel as 64-bit xxhash64, not strings, halving shuffle width. In
+    production the holdout side is a benchmark suite (MBs) — AQE broadcasts
+    it; here it is 5% of the corpus, so the equi-join shuffles both sides
+    on the uniformly distributed gram hash."""
+    from insight_de_smart_grid_spark.operators.dedup import word_ngrams
+
+    g = word_ngrams(docs, n, text_col, id_col).select(
+        F.col(id_col), F.xxhash64("g").alias("g"),
+        (_hash_bucket(F.col(id_col).cast("string")) < holdout_pct)
+        .alias("hold"))
+    hold_grams = g.filter("hold").select("g").distinct()
+    return (g.filter(~F.col("hold"))
+            .join(hold_grams, "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+def decontaminate_oracle_sql(n: int = 5, holdout_pct: int = 5) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    b = _hash_bucket_sql("CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+flagged AS (SELECT *, {b} < {holdout_pct} AS hold FROM sh),
+hg AS (SELECT DISTINCT g FROM flagged WHERE hold)
+SELECT doc_id, count(*) AS n_shared_grams
+FROM flagged JOIN hg USING (g)
+WHERE NOT hold
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus mixing
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"en": 100, "de": 60, "fr": 60, "es": 60, "zh": 30}
+
+
+def weighted_mix(docs: DataFrame, weights: dict[str, int] | None = None,
+                 lang_col: str = "lang", id_col: str = "doc_id") -> DataFrame:
+    """Downsample each language to its mixture weight (pct kept) — the
+    corpus-mixing step of a pretraining data recipe. The weights live in a
+    broadcast dim table (the realistic shape: mixture configs are rows, not
+    code), the keep decision is the same portable hash as the other
+    sampling ops with an independent (lang|id) key, and unknown languages
+    default to 0 (dropped). Per-row filter after a broadcast join — no
+    shuffle of the fact table."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    wdf = docs.sparkSession.createDataFrame(
+        sorted(weights.items()), f"{lang_col} string, keep_pct int")
+    key = F.concat_ws("|", F.col(lang_col), F.col(id_col).cast("string"))
+    return (docs.join(F.broadcast(wdf), lang_col, "left")
+            .filter(_hash_bucket(key) < F.coalesce("keep_pct", F.lit(0)))
+            .select(id_col, lang_col, "source"))
+
+
+def weighted_mix_oracle_sql(weights: dict[str, int] | None = None) -> str:
+    weights = MIX_WEIGHTS if weights is None else weights
+    b = _hash_bucket_sql("lang || '|' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(weights.items()))
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {b} < CASE lang {cases} ELSE 0 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget binning)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, capacity: int = 512, n_shards: int = 8,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Assign each doc a (shard, seq_idx) slot so concatenating docs in
+    doc_id order within a shard fills fixed ``capacity``-token training
+    sequences; a doc whose tokens straddle a boundary spans two sequences
+    (token-level packing, the standard pretraining scheme — seq_idx is
+    where the doc STARTS). Sharding by portable hash makes the running sum
+    a per-shard window, so packing parallelizes across shards instead of
+    serializing on one global prefix sum; determinism comes from the hash
+    and the doc_id order, not from partition layout."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        _hash_bucket(F.col(id_col).cast("string"), n_shards).alias("shard"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.withColumn("cum", F.sum("n_tokens").over(w))
+            .select(id_col, "shard", "n_tokens",
+                    F.floor((F.col("cum") - F.col("n_tokens")) / capacity)
+                    .cast("int").alias("seq_idx")))
+
+
+def pack_sequences_oracle_sql(capacity: int = 512, n_shards: int = 8) -> str:
+    b = _hash_bucket_sql("CAST(doc_id AS VARCHAR)", n_shards)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         {b} AS shard
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tokens) / {capacity}) AS INT) AS seq_idx
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum quantile filtering
+# ---------------------------------------------------------------------------
+
+def quantile_filter(docs: DataFrame, tiles: int = 10,
+                    drop_below: int = 2) -> DataFrame:
+    """Drop the bottom decile of each source by n_chars (short-doc quality
+    cut, per stratum so one verbose source can't crowd out another). ntile
+    with a doc_id tiebreak is exact and engine-portable; the shuffle key is
+    the source. At 100 TB with few giant sources the exact sort-per-source
+    skews — the sketch path is a broadcast of approx_percentile thresholds
+    per source (same shape as star_approx_agg) traded against exactness at
+    the tile boundary."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (docs.select("doc_id", "source", "n_chars",
+                        F.ntile(tiles).over(w).cast("int").alias("tile"))
+            .filter(F.col("tile") >= drop_below))
+
+
+def quantile_filter_oracle_sql(tiles: int = 10, drop_below: int = 2) -> str:
+    return f"""
+SELECT doc_id, source, n_chars, CAST(tile AS INT) AS tile
+FROM (SELECT doc_id, source, n_chars,
+             ntile({tiles}) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS tile
+      FROM documents)
+WHERE tile >= {drop_below}
+"""

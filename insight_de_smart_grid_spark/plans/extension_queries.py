@@ -200,3 +200,34 @@ def q_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width n_chars histogram (corpus profile view)."""
     return pl.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_clusters", dd.dup_clusters_oracle_sql())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over n-gram-Jaccard near-dup pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dup_clusters(dd.ngram_jaccard_pairs(docs))
+
+
+@register("pipeline_decontaminate", pl.decontaminate_oracle_sql())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train docs sharing a 5-gram with the hash-sliced holdout set."""
+    return pl.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_weighted_mix", pl.weighted_mix_oracle_sql())
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture downsampling via a broadcast weights dim."""
+    return pl.weighted_mix(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_pack_sequences", pl.pack_sequences_oracle_sql())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: (doc, shard, start seq_idx)."""
+    return pl.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_quantile_filter", pl.quantile_filter_oracle_sql())
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bottom-decile length cut (exact ntile)."""
+    return pl.quantile_filter(load_table(spark, sf_dir, "documents"))

@@ -38,6 +38,11 @@ ORACLE_CHECKED = [
     "pipeline_label_centroids",
     "pipeline_latest_compaction",
     "pipeline_length_histogram",
+    "dedup_clusters",
+    "pipeline_decontaminate",
+    "pipeline_weighted_mix",
+    "pipeline_pack_sequences",
+    "pipeline_quantile_filter",
 ]
 
 
@@ -251,3 +256,91 @@ def test_embedding_cosine_pairs_find_planted_dups(spark):
     assert len(want) >= 5  # every planted pair qualifies
     for k in want:
         assert abs(got[k] - want[k]) < 2e-6
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """A-B and B-C pairs (without A-C) must land in ONE cluster labeled by
+    the min id — the property pairwise dedup alone lacks."""
+    pairs = spark.createDataFrame(
+        [(1, 5, 0.9), (5, 9, 0.9), (20, 21, 0.95)],
+        "doc_a long, doc_b long, jaccard double")
+    got = {(r.doc_id, r.cluster_id)
+           for r in dd.dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (5, 1), (9, 1), (20, 20), (21, 20)}
+
+
+def test_dup_clusters_converges_on_chain(spark):
+    """A length-12 chain needs ~diameter rounds; the loop must actually
+    converge (not stop at round 1) and label every node with the head."""
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(100, 112)],
+        "doc_a long, doc_b long, jaccard double")
+    got = dd.dup_clusters(chain).collect()
+    assert len(got) == 13
+    assert {r.cluster_id for r in got} == {100}
+
+
+def test_decontaminate_never_flags_holdout_docs(spark):
+    """The holdout slice defines contamination; it must not appear in the
+    flagged output itself."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    docs = load_table(spark, SF_ORACLE, "documents")
+    flagged = pl.decontaminate(docs)
+    holdout_ids = {
+        r.doc_id for r in docs.select(
+            "doc_id").filter(
+            pl._hash_bucket(F.col("doc_id").cast("string")) < 5).collect()}
+    assert holdout_ids, "hash slice should select some holdout docs"
+    assert not ({r.doc_id for r in flagged.collect()} & holdout_ids)
+
+
+def test_weighted_mix_respects_weights(spark):
+    """Weight-100 languages keep every doc; lower weights keep fewer
+    (statistically, but 30 vs 100 pct on ~100 docs cannot tie); languages
+    absent from the weights dim drop entirely."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    docs = load_table(spark, SF_ORACLE, "documents")
+    kept = pl.weighted_mix(docs).groupBy("lang").count()
+    kept_by_lang = {r.lang: r["count"] for r in kept.collect()}
+    total_en = docs.filter(F.col("lang") == "en").count()
+    total_zh = docs.filter(F.col("lang") == "zh").count()
+    assert kept_by_lang["en"] == total_en
+    assert kept_by_lang.get("zh", 0) < total_zh
+    none_kept = pl.weighted_mix(docs, weights={"xx": 50})
+    assert none_kept.count() == 0
+
+
+def test_pack_sequences_prefix_sums_per_shard(spark):
+    """seq_idx must equal floor(prefix_tokens / capacity) within each shard
+    in doc_id order — nondecreasing, starting at 0."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    docs = load_table(spark, SF_ORACLE, "documents")
+    rows = pl.pack_sequences(docs, capacity=128).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1, "sharding should spread docs"
+    for shard_rows in by_shard.values():
+        cum = 0
+        prev = -1
+        for r in shard_rows:
+            assert r.seq_idx == cum // 128
+            assert r.seq_idx >= prev
+            prev = r.seq_idx
+            cum += r.n_tokens
+        assert shard_rows[0].seq_idx == 0
+
+
+def test_quantile_filter_drops_exactly_the_first_tile(spark):
+    """ntile gives the first tile ceil(n/tiles) members, so per source the
+    kept count is n - ceil(n/10) exactly — no off-by-one at the cut."""
+    import math
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    docs = load_table(spark, SF_ORACLE, "documents")
+    totals = {r.source: r["count"]
+              for r in docs.groupBy("source").count().collect()}
+    kept = {r.source: r["count"]
+            for r in pl.quantile_filter(docs).groupBy("source")
+            .count().collect()}
+    for src, n in totals.items():
+        assert kept.get(src, 0) == n - math.ceil(n / 10), src

@@ -264,3 +264,18 @@ def test_latest_compaction_limits_before_exchange(spark):
     assert partial is not None and exchange is not None, p
     # tree prints top-down: the Partial limit must sit BELOW the exchange
     assert partial > exchange, p
+
+
+def test_weighted_mix_broadcasts_weights_dim(spark):
+    """The mixture-weights dim must broadcast — shuffling the corpus on
+    lang to meet a 5-row table would be the classic scale failure."""
+    p = plan_of(spark, "pipeline_weighted_mix")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pack_sequences_shuffles_once_on_shard(spark):
+    """Packing must cost exactly one exchange (the per-shard window) —
+    a global-order prefix sum would plan a single-partition sort."""
+    p = plan_of(spark, "pipeline_pack_sequences")
+    assert n_exchanges(p) == 1, p
