@@ -133,22 +133,43 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def _portable_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """(n_tables*n_planes, dim) hyperplane matrix with every component an
+    md5-derived double in [-1, 1): first 12 hex chars of md5("hp|t|p|d") as
+    an integer over 2^48, affinely mapped. Every step (48-bit int, /2^48,
+    *2, -1) is exact in IEEE double, so DuckDB reproduces the matrix
+    bit-for-bit from the same formula — same portability recipe as the
+    MinHash/SimHash hash families. Uniform-cube directions instead of
+    gaussian ones shift per-plane collision probabilities slightly but
+    keep them monotone in angle, which is all LSH blocking needs."""
+    import hashlib
+
+    w = np.empty((n_tables * n_planes, dim))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(hashlib.md5(f"hp|{t}|{p}|{d}".encode())
+                        .hexdigest()[:12], 16)
+                w[t * n_planes + p, d] = h / 2.0 ** 48 * 2 - 1
+    return w
+
+
 def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
-                          n_planes: int = 4, dim: int = 64, seed: int = 42,
+                          n_planes: int = 4, dim: int = 64,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent bucket ids,
     each packing ``n_planes`` sign bits. Long format (id, v, table, bucket).
-    Planes come from a fixed-seed RNG -> deterministic across runs.
+    Planes are md5-derived (``_portable_planes``) -> deterministic across
+    runs AND engines.
 
     Recall for cosine c: p = 1 - acos(c)/pi per plane;
     P(candidate) = 1 - (1 - p^n_planes)^n_tables — multiple small tables beat
     one deep table on near-orthogonal data."""
-    rng = np.random.RandomState(seed)
     # (n_tables*n_planes, dim) plane matrix; one vectorized matmul per Arrow
     # batch computes every signature bit — expression-tree dot products run
     # interpreted and measured ~10x slower than this Arrow path
-    planes = rng.randn(n_tables * n_planes, dim)
+    planes = _portable_planes(n_tables, n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
@@ -269,3 +290,48 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def lsh_ann_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                            n_tables: int = 16, n_planes: int = 4,
+                            dim: int = 64) -> str:
+    """DuckDB twin of ``lsh_ann_topk``: rebuilds the identical md5-derived
+    plane matrix (see ``_portable_planes`` — every arithmetic step is exact
+    in double), computes the same sign-bit buckets, probes the query's
+    bucket per table, exact cosine re-rank. The only cross-engine float
+    risk is a dot product landing within ulps of 0 (different summation
+    orders could then flip a sign bit); with 64 O(1) terms that is ~1e-13
+    per bit — absorbed by the deterministic test data."""
+    return f"""
+WITH planes AS (
+  SELECT t, p,
+         list(CAST(concat('0x', substring(md5('hp|' || t || '|' || p || '|'
+                                              || d), 1, 12)) AS BIGINT)
+              / 281474976710656.0 * 2 - 1 ORDER BY d) AS wv
+  FROM generate_series(0, {n_tables - 1}) AS gt(t),
+       generate_series(0, {n_planes - 1}) AS gp(p),
+       generate_series(0, {dim - 1}) AS gd(d)
+  GROUP BY t, p
+),
+sigs AS (
+  SELECT e.vec_id, pl.t AS tbl,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.wv) > 0
+                  THEN (1 << pl.p) ELSE 0 END) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY 1, 2
+),
+qsig AS (SELECT tbl, bucket FROM sigs WHERE vec_id = {query_vec_id}),
+cands AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN qsig q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id != {query_vec_id}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 6)
+       AS cos_sim
+FROM cands JOIN embeddings e USING (vec_id), qv
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""

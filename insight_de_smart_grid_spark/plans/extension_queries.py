@@ -85,8 +85,11 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            query_vec_id=0, k=10)
 
 
-@register("sim_ann_lsh_topk", None)  # approximate by construction
+@register("sim_ann_lsh_topk", sim.lsh_ann_topk_oracle_sql(0, 10, n_planes=8))
 def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate by construction, yet exactly oracle-checkable: the
+    md5-derived plane matrix is identical in both engines, so DuckDB
+    reproduces the same buckets, candidates, and re-ranked top-k."""
     return sim.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"),
                             query_vec_id=0, k=10, n_planes=8)
 

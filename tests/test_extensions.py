@@ -39,6 +39,7 @@ ORACLE_CHECKED = [
     "pipeline_latest_compaction",
     "pipeline_length_histogram",
     "dedup_clusters",
+    "sim_ann_lsh_topk",
     "pipeline_decontaminate",
     "pipeline_weighted_mix",
     "pipeline_pack_sequences",
