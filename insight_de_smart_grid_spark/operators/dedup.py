@@ -57,9 +57,11 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) distinct pairs; docs shorter than n tokens drop out
-    (mirrored in the oracle SQL).
+                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct by default (shingle-SET semantics
+    for Jaccard/MinHash); ``distinct=False`` keeps every occurrence (the
+    multiset view repetition scoring needs). Docs shorter than n tokens drop
+    out (mirrored in the oracle SQL).
 
     Formulated as posexplode + lead() windows rather than
     ``transform(sequence(...), i -> element_at(...))``: nested higher-order
@@ -73,12 +75,10 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     tok = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "t0"))
     for j in range(1, n):
         tok = tok.withColumn(f"t{j}", F.lead("t0", j).over(w))
-    return (
-        tok.filter(F.col(f"t{n - 1}").isNotNull())
-        .select(F.col(id_col),
-                F.concat_ws(" ", *[f"t{j}" for j in range(n)]).alias("g"))
-        .distinct()
-    )
+    out = (tok.filter(F.col(f"t{n - 1}").isNotNull())
+           .select(F.col(id_col),
+                   F.concat_ws(" ", *[f"t{j}" for j in range(n)]).alias("g")))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
@@ -148,6 +148,57 @@ jpairs AS (
 def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
     return (f"WITH {_jaccard_pairs_ctes(n, threshold)}\n"
             "SELECT doc_a, doc_b, jaccard FROM jpairs")
+
+
+# ---------------------------------------------------------------------------
+# Boundary-overlap dedup: doc A's suffix == doc B's prefix
+# ---------------------------------------------------------------------------
+
+def prefix_suffix_pairs(docs: DataFrame, k: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, boundary_gram) where doc_a's LAST k tokens equal
+    doc_b's FIRST k tokens — the overlap signature of re-chunked or
+    boundary-split crawl content, which whole-doc dedup never pairs
+    (Jaccard over full shingle sets stays tiny when only the seam is
+    shared).
+
+    One equi-join on the 60-bit md5 of the k-token seam: suffix side vs
+    prefix side, each one narrow row per doc. The hash bounds shuffle
+    width; the carried gram string re-checks equality so a hash collision
+    can't fabricate a pair (exactness the oracle would otherwise flag).
+    Uniform hash key -> no skew; cost is corpus-linear."""
+    toks = tokens(text_col)
+    d = (docs.select(F.col(id_col), toks.alias("t"))
+         .filter(F.size("t") >= k))
+    tail = d.select(
+        F.col(id_col).alias("doc_a"),
+        F.concat_ws(" ", F.slice("t", -k, k)).alias("tail_g"),
+        portable_hash60(F.concat_ws(" ", F.slice("t", -k, k))).alias("hk"))
+    head = d.select(
+        F.col(id_col).alias("doc_b"),
+        F.concat_ws(" ", F.slice("t", 1, k)).alias("head_g"),
+        portable_hash60(F.concat_ws(" ", F.slice("t", 1, k))).alias("hk"))
+    return (tail.join(head, "hk")
+            .filter((F.col("doc_a") != F.col("doc_b"))
+                    & (F.col("tail_g") == F.col("head_g")))
+            .select("doc_a", "doc_b", F.col("head_g").alias("boundary_gram")))
+
+
+def prefix_suffix_oracle_sql(k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         array_to_string(t[1:{k}], ' ') AS head_g,
+         array_to_string(t[len(t)-{k}+1:len(t)], ' ') AS tail_g
+  FROM toks WHERE len(t) >= {k}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.head_g AS boundary_gram
+FROM hs a JOIN hs b ON a.tail_g = b.head_g AND a.doc_id != b.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -381,6 +381,40 @@ def quantile_filter(docs: DataFrame, tiles: int = 10,
             .filter(F.col("tile") >= drop_below))
 
 
+def quantile_filter_threshold(docs: DataFrame, q: float = 0.1) -> DataFrame:
+    """The scale path `quantile_filter` promises: per-source exact
+    percentile thresholds (a tiny agg — one row per source) broadcast back
+    onto the corpus, keeping docs strictly above their source's q-quantile
+    of n_chars. No per-source full sort of the fact table — the ntile
+    variant ranks every row; this one reduces to thresholds and a per-row
+    comparison, which is the only shape that survives a source with 10^10
+    rows (swap `percentile` for `approx_percentile` to drop the reduce's
+    sort memory; exact here so the oracle can match it).
+
+    Spark's `percentile` and DuckDB's `quantile_cont` both interpolate at
+    rank q*(n-1) over the same integers, so the thresholds agree to the
+    double; integer n_chars vs threshold comparison only flips on an exact
+    integer threshold, where both engines produce the identical double."""
+    thr = (docs.groupBy("source")
+           .agg(F.percentile("n_chars", F.lit(q)).alias("thr")))
+    return (docs.join(F.broadcast(thr), "source")
+            .filter(F.col("n_chars") > F.col("thr"))
+            .select("doc_id", "source", "n_chars",
+                    F.round("thr", 6).alias("thr")))
+
+
+def quantile_filter_threshold_oracle_sql(q: float = 0.1) -> str:
+    return f"""
+WITH thr AS (
+  SELECT source, quantile_cont(n_chars, {q}) AS thr
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars, round(thr.thr, 6) AS thr
+FROM documents d JOIN thr USING (source)
+WHERE n_chars > thr.thr
+"""
+
+
 def quantile_filter_oracle_sql(tiles: int = 10, drop_below: int = 2) -> str:
     return f"""
 SELECT doc_id, source, n_chars, CAST(tile AS INT) AS tile

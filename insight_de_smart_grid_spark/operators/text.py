@@ -109,6 +109,58 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-doc repetition signals — the quality cut that catches looping
+    generations and boilerplate (Gopher/C4-style repetition filters):
+    rep_ratio = 1 - distinct_grams/total_grams (0 = no n-gram repeats),
+    top_gram_frac = occurrences of the most frequent n-gram / total.
+
+    Multiset n-grams (``word_ngrams(distinct=False)``) -> per-(doc, gram)
+    counts -> per-doc rollup. Both shuffles key on doc_id (uniform); the
+    first agg map-side combines, so the wide gram stream collapses before
+    it moves. Ratios are integer/integer IEEE divisions — bit-stable
+    cross-engine."""
+    from insight_de_smart_grid_spark.operators.dedup import word_ngrams
+
+    per_gram = (word_ngrams(docs, n, text_col, id_col, distinct=False)
+                .groupBy(id_col, "g")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_gram.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("cnt").alias("top_count"))
+            .select(F.col(id_col),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    F.col("n_distinct").cast("long").alias("n_distinct"),
+                    F.round(F.lit(1.0) - F.col("n_distinct")
+                            / F.col("n_grams"), 6).alias("rep_ratio"),
+                    F.round(F.col("top_count")
+                            / F.col("n_grams"), 6).alias("top_gram_frac")))
+
+
+def repetition_oracle_sql(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, {gram} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       count(*) AS n_distinct,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS rep_ratio,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_gram_frac
+FROM c GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------

@@ -2,9 +2,9 @@
 multimodal plumbing, and training-pipeline utilities (BASELINE.json;
 SURVEY §7.2 step 7).
 
-Everything is oracle-checked except the two ANN variants (their random
-hyperplanes / trained centroids aren't portable across engines) — those get
-a rows-only driver check plus recall tests against the exact operators.
+Everything is oracle-checked except IVF ANN (its trained centroids aren't
+portable across engines) — that one gets a rows-only driver check plus a
+recall test against the exact operator.
 """
 
 from __future__ import annotations
@@ -234,3 +234,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source bottom-decile length cut (exact ntile)."""
     return pl.quantile_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_quantile_threshold",
+          pl.quantile_filter_threshold_oracle_sql())
+def q_quantile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile cut via broadcast thresholds (the scale path —
+    no per-source full sort of the corpus)."""
+    return pl.quantile_filter_threshold(load_table(spark, sf_dir,
+                                                   "documents"))
+
+
+@register("text_repetition", tx.repetition_oracle_sql())
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition ratios (looping/boilerplate signal)."""
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_prefix_suffix", dd.prefix_suffix_oracle_sql())
+def q_dedup_prefix_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-overlap pairs: one doc's trailing k-gram is another's
+    leading k-gram (re-chunked crawl seam)."""
+    return dd.prefix_suffix_pairs(load_table(spark, sf_dir, "documents"))

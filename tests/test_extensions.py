@@ -44,6 +44,9 @@ ORACLE_CHECKED = [
     "pipeline_weighted_mix",
     "pipeline_pack_sequences",
     "pipeline_quantile_filter",
+    "pipeline_quantile_threshold",
+    "text_repetition",
+    "dedup_prefix_suffix",
 ]
 
 
@@ -345,3 +348,56 @@ def test_quantile_filter_drops_exactly_the_first_tile(spark):
             .count().collect()}
     for src, n in totals.items():
         assert kept.get(src, 0) == n - math.ceil(n / 10), src
+
+
+def test_quantile_threshold_agrees_with_bruteforce(spark):
+    """The broadcast-threshold cut must keep exactly the docs strictly
+    above their source's interpolated 10th percentile (computed here in
+    numpy as the independent reference)."""
+    import numpy as np
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    docs = load_table(spark, SF_ORACLE, "documents")
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    want = set()
+    for src, rs in by_src.items():
+        thr = np.percentile([r.n_chars for r in rs], 10,
+                            method="linear")
+        want |= {r.doc_id for r in rs if r.n_chars > thr}
+    got = {r.doc_id
+           for r in pl.quantile_filter_threshold(docs).collect()}
+    assert got == want
+
+
+def test_repetition_stats_on_planted_loop(spark):
+    """'a b c' cycled 4x yields 10 trigrams but only the 3 cyclic shifts
+    as distinct grams -> rep_ratio 0.7, top_gram_frac 0.4; a no-repeat doc
+    scores 0."""
+    from insight_de_smart_grid_spark.operators import text as tx
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"),      # abc abca bca cab repeat
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.repetition_stats(docs).collect()}
+    # doc 1: 10 trigrams, distinct = {abc, bca, cab} cyclic = 3
+    assert got[1].n_grams == 10 and got[1].n_distinct == 3
+    assert abs(got[1].rep_ratio - 0.7) < 1e-9
+    assert abs(got[1].top_gram_frac - 0.4) < 1e-9  # 'a b c' appears 4x
+    assert got[2].rep_ratio == 0.0
+    assert got[2].n_grams == got[2].n_distinct == 4
+
+
+def test_prefix_suffix_finds_planted_seam(spark):
+    """Doc 100 ends with the 3 tokens doc 200 starts with -> exactly the
+    (100, 200) pair; no self-pairs; unrelated docs silent."""
+    from insight_de_smart_grid_spark.operators import dedup as dd
+    docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (200, "delta epsilon zeta eta theta iota"),
+         (300, "totally unrelated words here now")],
+        "doc_id long, text string")
+    got = [(r.doc_a, r.doc_b, r.boundary_gram)
+           for r in dd.prefix_suffix_pairs(docs).collect()]
+    assert got == [(100, 200, "delta epsilon zeta")]

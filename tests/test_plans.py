@@ -279,3 +279,14 @@ def test_pack_sequences_shuffles_once_on_shard(spark):
     a global-order prefix sum would plan a single-partition sort."""
     p = plan_of(spark, "pipeline_pack_sequences")
     assert n_exchanges(p) == 1, p
+
+
+def test_quantile_threshold_broadcasts_no_window(spark):
+    """The scale-path percentile cut must broadcast the per-source
+    thresholds and never rank the corpus — a Window/ntile node here means
+    the full per-source sort snuck back in."""
+    import re
+    p = plan_of(spark, "pipeline_quantile_threshold")
+    assert "BroadcastHashJoin" in p, p
+    # \b keeps 'percentile(' (the agg we WANT) from matching 'ntile('
+    assert "Window" not in p and not re.search(r"\bntile\(", p), p
