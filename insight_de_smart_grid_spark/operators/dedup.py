@@ -151,6 +151,51 @@ def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing corpus index
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(incoming: DataFrame, corpus: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incoming docs that are NOT exact duplicates of anything already in
+    the corpus — the corpus-refresh shape: every crawl batch dedups against
+    the accumulated index, not just against itself.
+
+    The index side is one distinct md5 fingerprint per corpus doc (the
+    narrow artifact a refresh pipeline persists between runs); the check is
+    a left-anti equi-join on the uniformly distributed fingerprint. At
+    100 TB the stored index is still only ~32 bytes/doc, and the anti-join
+    shuffles incoming (small) against index partitions; a bloom-filter
+    pre-pass (`spark.sql.optimizer.runtime.bloomFilter.enabled`) drops the
+    obvious non-dups before the shuffle."""
+    idx = (corpus.select(fingerprint(text_col).alias("fp"))
+           .distinct())
+    return (incoming
+            .withColumn("fp", fingerprint(text_col))
+            .join(idx, "fp", "left_anti")
+            .select(id_col, "source"))
+
+
+def incremental_dedup_oracle_sql(split_pct: int = 80) -> str:
+    """Oracle for the registered query: corpus = hash slice < split_pct,
+    incoming = the rest."""
+    b = ("CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
+         "AS INT) % 100")
+    return rf"""
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         {b} AS b
+  FROM documents
+),
+idx AS (SELECT DISTINCT fp FROM fps WHERE b < {split_pct})
+SELECT doc_id, source
+FROM fps
+WHERE b >= {split_pct} AND fp NOT IN (SELECT fp FROM idx)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Boundary-overlap dedup: doc A's suffix == doc B's prefix
 # ---------------------------------------------------------------------------
 

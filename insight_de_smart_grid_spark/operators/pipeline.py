@@ -361,6 +361,79 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, status) across two corpus snapshots: added / removed /
+    changed / unchanged — the audit a versioned-dataset release needs
+    before shipping snapshot N+1 (how much churned, what to re-embed,
+    what to re-dedup).
+
+    Full-outer equi-join of two fingerprint projections on the uniformly
+    distributed doc id: one shuffle each side, content compare is a
+    32-byte md5 equality, never the text. At 100 TB both sides prune to
+    (id, fp) at the scan."""
+    from insight_de_smart_grid_spark.operators.text import fingerprint
+
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("fp_old"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("fp_new"))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col),
+                    F.when(F.col("fp_old").isNull(), F.lit("added"))
+                     .when(F.col("fp_new").isNull(), F.lit("removed"))
+                     .when(F.col("fp_old") != F.col("fp_new"),
+                           F.lit("changed"))
+                     .otherwise(F.lit("unchanged")).alias("status")))
+
+
+def snapshot_views(docs: DataFrame, drop_new_below: int = 5,
+                   add_from: int = 90, edit_below: int = 10,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """Deterministic old/new snapshot twins of one documents table (the
+    registered query's stand-in for two real snapshot paths): old = ids
+    hashed below ``add_from``; new = ids hashed at/above ``drop_new_below``
+    with an independent hash slice of texts 'edited' (suffix appended)."""
+    b = _hash_bucket(F.col(id_col).cast("string"))
+    eb = _hash_bucket(F.concat_ws("|", F.lit("edit"),
+                                  F.col(id_col).cast("string")))
+    old = docs.filter(b < add_from)
+    new = (docs.filter(b >= drop_new_below)
+           .withColumn(text_col,
+                       F.when(eb < edit_below,
+                              F.concat(F.col(text_col), F.lit(" rev2")))
+                        .otherwise(F.col(text_col))))
+    return old, new
+
+
+def corpus_diff_oracle_sql(drop_new_below: int = 5, add_from: int = 90,
+                           edit_below: int = 10) -> str:
+    b = _hash_bucket_sql("CAST(doc_id AS VARCHAR)")
+    eb = _hash_bucket_sql("'edit|' || CAST(doc_id AS VARCHAR)")
+    fp = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+    fp_edit = (r"md5(regexp_replace(lower(trim(CASE WHEN " + eb +
+               f" < {edit_below} THEN text || ' rev2' ELSE text END)), "
+               r"'\s+', ' ', 'g'))")
+    return f"""
+WITH old AS (
+  SELECT doc_id, {fp} AS fp_old FROM documents WHERE {b} < {add_from}
+),
+new AS (
+  SELECT doc_id, {fp_edit} AS fp_new
+  FROM documents WHERE {b} >= {drop_new_below}
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old != fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-stratum quantile filtering
 # ---------------------------------------------------------------------------
 

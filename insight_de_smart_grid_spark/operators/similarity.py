@@ -292,18 +292,15 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     )
 
 
-def lsh_ann_topk_oracle_sql(query_vec_id: int, k: int = 10,
-                            n_tables: int = 16, n_planes: int = 4,
-                            dim: int = 64) -> str:
-    """DuckDB twin of ``lsh_ann_topk``: rebuilds the identical md5-derived
-    plane matrix (see ``_portable_planes`` — every arithmetic step is exact
-    in double), computes the same sign-bit buckets, probes the query's
-    bucket per table, exact cosine re-rank. The only cross-engine float
-    risk is a dot product landing within ulps of 0 (different summation
-    orders could then flip a sign bit); with 64 O(1) terms that is ~1e-13
-    per bit — absorbed by the deterministic test data."""
-    return f"""
-WITH planes AS (
+def _sigs_ctes(n_tables: int, n_planes: int, dim: int) -> str:
+    """CTE chain ``planes, sigs(vec_id, tbl, bucket)`` — the DuckDB twin of
+    ``hyperplane_signatures`` over the identical md5-derived plane matrix
+    (see ``_portable_planes`` — every arithmetic step is exact in double).
+    The only cross-engine float risk is a dot product landing within ulps
+    of 0 (different summation orders could then flip a sign bit); with 64
+    O(1) terms that is ~1e-13 per bit — absorbed by the deterministic test
+    data."""
+    return f"""planes AS (
   SELECT t, p,
          list(CAST(concat('0x', substring(md5('hp|' || t || '|' || p || '|'
                                               || d), 1, 12)) AS BIGINT)
@@ -319,7 +316,17 @@ sigs AS (
                   THEN (1 << pl.p) ELSE 0 END) AS bucket
   FROM embeddings e, planes pl
   GROUP BY 1, 2
-),
+)"""
+
+
+def lsh_ann_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                            n_tables: int = 16, n_planes: int = 4,
+                            dim: int = 64) -> str:
+    """DuckDB twin of ``lsh_ann_topk``: identical buckets via
+    ``_sigs_ctes``, probe the query's bucket per table, exact cosine
+    re-rank."""
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
 qsig AS (SELECT tbl, bucket FROM sigs WHERE vec_id = {query_vec_id}),
 cands AS (
   SELECT DISTINCT s.vec_id
@@ -334,4 +341,88 @@ SELECT e.vec_id,
 FROM cands JOIN embeddings e USING (vec_id), qv
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {k}
+"""
+
+
+def lsh_hard_negatives(embeddings: DataFrame, k: int = 3,
+                       n_tables: int = 16, n_planes: int = 8, dim: int = 64,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       label_col: str = "label") -> DataFrame:
+    """Per anchor: the k most-similar vectors with a DIFFERENT label —
+    hard-negative mining for contrastive/metric training, restricted to
+    LSH-bucket candidates so it is never an all-pairs scan.
+
+    Candidates share a (table, bucket) with the anchor in any table
+    (narrow (id, table, bucket) rows through the equi-join, same contract
+    as ``cosine_pairs_blocked``); labels broadcast back (2 ints/row),
+    different-label filter, exact cosine verify, then one row_number
+    window per anchor over (rounded score desc, id asc) — deterministic
+    cross-engine. At scale the signature table is the persisted index and
+    anchors stream against it; the window shuffle keys on the uniform
+    anchor id."""
+    from pyspark.sql import Window
+
+    sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
+                                vec_col=vec_col, id_col=id_col)
+    slim = sig.select(F.col(id_col), "table", "bucket")
+    cands = (slim.alias("sa")
+             .join(slim.alias("sb"), ["table", "bucket"])
+             .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
+             .select(F.col(f"sa.{id_col}").alias("anchor_id"),
+                     F.col(f"sb.{id_col}").alias("neg_id"))
+             .dropDuplicates(["anchor_id", "neg_id"]))
+    lab = embeddings.select(F.col(id_col), F.col(label_col))
+    la = lab.select(F.col(id_col).alias("anchor_id"),
+                    F.col(label_col).alias("la"))
+    lb = lab.select(F.col(id_col).alias("neg_id"),
+                    F.col(label_col).alias("lb"))
+    diff = (cands.join(F.broadcast(la), "anchor_id")
+            .join(F.broadcast(lb), "neg_id")
+            .filter(F.col("la") != F.col("lb"))
+            .select("anchor_id", "neg_id"))
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    ea = emb.select(F.col(id_col).alias("anchor_id"), F.col("v").alias("va"))
+    eb = emb.select(F.col(id_col).alias("neg_id"), F.col("v").alias("vb"))
+    scored = (diff.join(ea, "anchor_id").join(eb, "neg_id")
+              .select("anchor_id", "neg_id",
+                      F.round(_dot(F.col("va"), F.col("vb"))
+                              / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                              6).alias("cos_sim")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"),
+                                                F.asc("neg_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .select("anchor_id", "neg_id", "cos_sim", "rnk"))
+
+
+def lsh_hard_negatives_oracle_sql(k: int = 3, n_tables: int = 16,
+                                  n_planes: int = 8, dim: int = 64) -> str:
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+),
+diff AS (
+  SELECT anchor_id, neg_id
+  FROM cand
+  JOIN embeddings la ON cand.anchor_id = la.vec_id
+  JOIN embeddings lb ON cand.neg_id = lb.vec_id
+  WHERE la.label != lb.label
+),
+scored AS (
+  SELECT anchor_id, neg_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM diff
+  JOIN embeddings ea ON diff.anchor_id = ea.vec_id
+  JOIN embeddings eb ON diff.neg_id = eb.vec_id
+)
+SELECT anchor_id, neg_id, cos_sim, rnk
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cos_sim DESC, neg_id) AS INT) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
 """

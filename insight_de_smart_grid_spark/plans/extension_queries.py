@@ -256,3 +256,28 @@ def q_dedup_prefix_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-overlap pairs: one doc's trailing k-gram is another's
     leading k-gram (re-chunked crawl seam)."""
     return dd.prefix_suffix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_incremental", dd.incremental_dedup_oracle_sql())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-refresh dedup: the incoming hash slice anti-joined on
+    fingerprint against the existing corpus slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = pl._hash_bucket(F.col("doc_id").cast("string"))
+    return dd.incremental_dedup(docs.filter(b >= 80), docs.filter(b < 80))
+
+
+@register("pipeline_corpus_diff", pl.corpus_diff_oracle_sql())
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: added/removed/changed/unchanged between two
+    deterministic snapshot views of the corpus."""
+    old, new = pl.snapshot_views(load_table(spark, sf_dir, "documents"))
+    return pl.corpus_diff(old, new)
+
+
+@register("sim_hard_negatives", sim.lsh_hard_negatives_oracle_sql())
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor top-3 different-label neighbors from LSH buckets
+    (contrastive-training hard negatives) — exactly oracle-checked via the
+    portable plane matrix."""
+    return sim.lsh_hard_negatives(load_table(spark, sf_dir, "embeddings"))

@@ -47,6 +47,9 @@ ORACLE_CHECKED = [
     "pipeline_quantile_threshold",
     "text_repetition",
     "dedup_prefix_suffix",
+    "dedup_incremental",
+    "pipeline_corpus_diff",
+    "sim_hard_negatives",
 ]
 
 
@@ -401,3 +404,50 @@ def test_prefix_suffix_finds_planted_seam(spark):
     got = [(r.doc_a, r.doc_b, r.boundary_gram)
            for r in dd.prefix_suffix_pairs(docs).collect()]
     assert got == [(100, 200, "delta epsilon zeta")]
+
+
+def test_incremental_dedup_drops_known_fingerprints(spark):
+    """An incoming batch whose texts already exist in the corpus (under
+    different ids) must come back empty; genuinely new texts survive."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    corpus = docs.limit(100)
+    redelivered = corpus.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    assert dd.incremental_dedup(redelivered, corpus).count() == 0
+    fresh = spark.createDataFrame(
+        [(9_000_001, "brand new never seen text", "en", "srcX", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    assert dd.incremental_dedup(fresh, corpus).count() == 1
+
+
+def test_corpus_diff_statuses(spark):
+    """Planted add/remove/change must each come back with its status, and
+    an untouched doc as unchanged."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (4, "newly added")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in pl.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_hard_negatives_labels_differ_and_ranked(spark):
+    """Every mined negative must carry a different label than its anchor,
+    ranks must be 1..k dense per anchor, and within an anchor the rounded
+    score must be nonincreasing with rank."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    labels = {r.vec_id: r.label
+              for r in emb.select("vec_id", "label").collect()}
+    rows = sim.lsh_hard_negatives(emb, k=3).collect()
+    assert rows, "sf0.01 buckets must produce some negatives"
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.anchor_id] != labels[r.neg_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for rs in by_anchor.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
