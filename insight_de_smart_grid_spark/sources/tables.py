@@ -28,31 +28,38 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema/stream table from a scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as nanos-since-epoch longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds —
-    the same precision DuckDB sees — JVM-side, no UDF.
+    ``events.ts`` arrives in one of three physical forms depending on the
+    writer generation: TIMESTAMP(NANOS) (surfaced as nanos-since-epoch longs
+    via ``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP(MICROS)
+    without UTC adjustment (Spark ``timestamp_ntz``), or a session-local
+    timestamp. ``normalize_event_ts`` folds all three to ``TimestampType``
+    (session tz is pinned to UTC, so NTZ wall-time == the same instant) —
+    JVM-side casts, no UDF.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
-            # integer DIV: float division would lose precision on ~1.7e18 nanos
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if "ts" in df.columns:
+        df = normalize_event_ts(df)
     return df
 
 
 def normalize_event_ts(events: DataFrame) -> DataFrame:
-    """Convert a nanos-long ``ts`` (the legacy-reader surface of
-    TIMESTAMP(NANOS) parquet) to a proper timestamp; no-op when already a
-    timestamp. Integer DIV keeps the full microsecond precision."""
+    """Fold any physical ``ts`` form to ``TimestampType``: nanos-since-epoch
+    longs (legacy-reader surface of TIMESTAMP(NANOS) parquet, integer DIV
+    keeps microsecond precision), ``timestamp_ntz`` (cast re-tags the wall
+    time in the UTC session zone — streaming watermarks require LTZ), or
+    already-LTZ (no-op)."""
     for field in events.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() in ("long",
-                                                                "bigint"):
+        if field.name != "ts":
+            continue
+        tn = field.dataType.typeName()
+        if tn in ("long", "bigint"):
             return events.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if tn == "timestamp_ntz":
+            return events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events
 
 

@@ -54,18 +54,23 @@ def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
                           margin_s: int) -> str:
     """Write the watermark-flush sentinel row beside the staged source files.
 
-    ``ts`` is still a nanos-since-epoch long at this layer (legacy reader
-    surface), so the margin is added in integer nanos. The sentinel copies
-    the latest real row, keeping the schema identical, and lands in a file
-    written AFTER the real data so mtime-ordered micro-batching can never
+    ``ts`` at this layer is whatever the parquet surfaces: a nanos-since-epoch
+    long (legacy reader) gets the margin added in integer nanos; a timestamp
+    (NTZ or LTZ) gets an INTERVAL added — either way the sentinel keeps the
+    source schema bit-identical. It copies the latest real row and lands in a
+    file written AFTER the real data so mtime-ordered micro-batching can never
     process it first."""
     from pyspark.sql import functions as F
 
     batch = spark.read.parquet(staged_dir)
+    ts_type = batch.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        bumped = (F.col("ts") + F.lit(margin_s * 1_000_000_000)).cast("long")
+    else:
+        bumped = (F.col("ts")
+                  + F.expr(f"INTERVAL {margin_s} SECONDS")).cast(ts_type)
     sentinel = (batch.orderBy(F.desc("ts")).limit(1)
-                .withColumn("ts", (F.col("ts")
-                                   + F.lit(margin_s * 1_000_000_000))
-                            .cast("long"))
+                .withColumn("ts", bumped)
                 .withColumn("user_id", F.lit(-1)
                             .cast(batch.schema["user_id"].dataType)))
     tmp = tempfile.mkdtemp(prefix="sentinel_")
