@@ -697,3 +697,59 @@ WHERE a.fp IN (SELECT fp FROM rare)
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Turn near-dup clusters into a keep/drop decision by QUALITY, not by
+    arbitrary id: within each connected component keep the highest-quality
+    member (rounded score; id tie-break). This is the policy real curation
+    pipelines want — min-id keep throws away the best-written copy whenever
+    a lower id happens to be the worse one.
+
+    One row per clustered doc: (doc_id, cluster_id, quality, keep). The
+    quality join touches only clustered docs (a small fraction of the
+    corpus), the rank is a per-cluster row_number — shuffle keyed on
+    cluster_id, whose cardinality ~= cluster count, uniform after min-label
+    propagation."""
+    from insight_de_smart_grid_spark.operators.text import quality_score
+
+    clusters = dup_clusters(pairs)
+    qual = docs.select(F.col(id_col).alias("doc_id"),
+                       quality_score(text_col).alias("quality"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"),
+                                                 F.asc("doc_id"))
+    return (clusters.join(qual, "doc_id")
+            .withColumn("keep",
+                        (F.row_number().over(w) == 1).cast("int"))
+            .select("doc_id", "cluster_id", "quality", "keep"))
+
+
+def keep_best_oracle_sql(n: int = 3, threshold: float = 0.1) -> str:
+    """Recursive-closure clusters + the QUALITY_SQL heuristic inlined as a
+    nested CTE; row_number over (quality DESC, doc_id) marks the keeper."""
+    from insight_de_smart_grid_spark.operators.text import QUALITY_SQL
+
+    return (f"WITH RECURSIVE {_jaccard_pairs_ctes(n, threshold)},\n"
+            f"""edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clus AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+qual AS ({QUALITY_SQL})
+SELECT c.doc_id, c.cluster_id, q.quality,
+       CAST(row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.quality DESC, c.doc_id)
+            = 1 AS INT) AS keep
+FROM clus c JOIN qual q ON c.doc_id = q.doc_id""")

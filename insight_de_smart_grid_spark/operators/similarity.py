@@ -426,3 +426,98 @@ FROM (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
       FROM scored)
 WHERE rnk <= {k}
 """
+
+
+def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                      n_centroids: int = 16, nprobe: int = 4,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN with a *deterministic* coarse quantizer so a DuckDB oracle can
+    replay it bit-for-bit: the centroids are simply the first ``n_centroids``
+    corpus vectors by id (no k-means iterations — quantizer QUALITY is
+    irrelevant to the contract being exercised, which is assign -> probe
+    ``nprobe`` inverted lists -> exact re-rank inside them only).
+
+    Everything is JVM expression code: the centroid table is a broadcast of
+    ``n_centroids`` rows, assignment is a row_number over the cross-scored
+    pairs (rounded score + id tie-break -> deterministic cross-engine), and
+    the re-rank is the usual fold + TakeOrderedAndProject. At 100 TB the
+    assigned table is written partitioned by ``cluster`` and a query scans
+    nprobe/n_centroids of it — identical physical story to ``ivf_ann_topk``,
+    with the trained-quantizer variant kept for recall quality.
+    """
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (emb.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("c_id"), F.col("v").alias("cv")))
+    scored = (emb.join(F.broadcast(cents))
+              .withColumn("c_sim",
+                          F.round(_dot(F.col("v"), F.col("cv"))
+                                  / (_norm(F.col("v")) * _norm(F.col("cv"))),
+                                  6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("c_id"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(id_col, "v", F.col("c_id").alias("cluster"),
+                        "c_sim"))
+    q = (emb.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("v").alias("qv")))
+    probe_set = (cents.join(F.broadcast(q))
+                 .withColumn("q_sim",
+                             F.round(_dot(F.col("qv"), F.col("cv"))
+                                     / (_norm(F.col("qv"))
+                                        * _norm(F.col("cv"))), 6))
+                 .orderBy(F.desc("q_sim"), F.asc("c_id")).limit(nprobe)
+                 .select(F.col("c_id").alias("cluster")))
+    return (assigned
+            .join(F.broadcast(probe_set), "cluster")
+            .filter(F.col(id_col) != query_vec_id)
+            .join(F.broadcast(q))
+            .select(F.col(id_col),
+                    F.round(_dot(F.col("v"), F.col("qv"))
+                            / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc(id_col))
+            .limit(k))
+
+
+def ivf_portable_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                                 n_centroids: int = 16,
+                                 nprobe: int = 4) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cv), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM embeddings e, cents c)
+  WHERE rn = 1
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT c.c_id AS cluster
+  FROM cents c, qv
+  ORDER BY round(list_cosine_similarity(qv.qv, c.cv), 6) DESC, c.c_id ASC
+  LIMIT {nprobe}
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 6)
+       AS cos_sim
+FROM assigned a
+JOIN probes p ON a.cluster = p.cluster
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN qv
+WHERE e.vec_id != {query_vec_id}
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT {k}
+"""

@@ -431,3 +431,122 @@ SELECT doc_id,
        list_min(grams) AS min_fp
 FROM g
 """
+
+
+def pmi_bigrams(docs: DataFrame, text_col: str = "text", min_count: int = 20,
+                top_n: int = 30) -> DataFrame:
+    """Corpus-level top-N bigrams by pointwise mutual information.
+
+    The collocation detector every corpus-analysis pipeline carries: token
+    and bigram frequencies from two shuffle-free explodes + two grouped
+    counts, PMI = ln((c_ab/N_b) / ((c_a/N_u)(c_b/N_u))), keep bigrams seen
+    >= ``min_count`` times. All JVM expressions (zip_with on shifted
+    slices builds the bigram list without a per-position UDF). At scale the
+    unigram table is tiny (vocabulary-sized) and broadcast back onto the
+    bigram counts; the only wide shuffles key on uniformly-distributed
+    token strings.
+    """
+    toks = (docs
+            .select(F.filter(tokens(text_col), lambda t: t != "").alias("t"))
+            .filter(F.size("t") >= 2))
+    uni = (toks.select(F.explode("t").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c_tok")))
+    big = (toks.select(F.explode(
+               F.zip_with(F.slice("t", 1, F.size("t") - 1),
+                          F.slice("t", 2, F.size("t") - 1),
+                          lambda a, b: F.concat_ws("_", a, b))).alias("bg"))
+           .groupBy("bg").agg(F.count("*").alias("c_bg")))
+    n_uni = uni.agg(F.sum("c_tok").alias("n_uni"))
+    n_big = big.agg(F.sum("c_bg").alias("n_big"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
+    scored = (big.filter(F.col("c_bg") >= min_count)
+              .withColumn("tok_a", F.split("bg", "_").getItem(0))
+              .withColumn("tok_b", F.split("bg", "_").getItem(1))
+              .join(F.broadcast(ua), "tok_a")
+              .join(F.broadcast(ub), "tok_b")
+              .join(F.broadcast(n_uni)).join(F.broadcast(n_big))
+              .select(
+                  F.col("bg").alias("bigram"), "c_bg",
+                  F.round(F.log((F.col("c_bg") / F.col("n_big"))
+                                / ((F.col("c_a") / F.col("n_uni"))
+                                   * (F.col("c_b") / F.col("n_uni")))), 6)
+                  .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_n))
+
+
+def pmi_bigrams_oracle_sql(min_count: int = 20, top_n: int = 30) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents
+), toks2 AS (
+  SELECT t FROM toks WHERE len(t) >= 2
+), uni AS (
+  SELECT unnest(t) AS tok FROM toks2
+), unic AS (
+  SELECT tok, count(*) AS c_tok FROM uni GROUP BY 1
+), big AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[CAST(i AS INT)] || '_' || t[CAST(i AS INT) + 1]))
+         AS bg
+  FROM toks2
+), bigc AS (
+  SELECT bg, count(*) AS c_bg FROM big GROUP BY 1
+), n_uni AS (SELECT sum(c_tok) AS n_uni FROM unic),
+n_big AS (SELECT sum(c_bg) AS n_big FROM bigc)
+SELECT bg AS bigram, c_bg,
+       round(ln((c_bg / n_big.n_big)
+                / ((ua.c_tok / n_uni.n_uni) * (ub.c_tok / n_uni.n_uni))), 6)
+       AS pmi
+FROM bigc, n_uni, n_big
+JOIN unic ua ON ua.tok = string_split(bg, '_')[1]
+JOIN unic ub ON ub.tok = string_split(bg, '_')[2]
+WHERE c_bg >= {min_count}
+ORDER BY pmi DESC, bigram ASC
+LIMIT {top_n}
+"""
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text",
+             top_ranks: int = 500) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope of
+    ln(freq) on ln(rank) across the ``top_ranks`` most frequent tokens
+    (rank ties broken by token so the rank assignment is total). A healthy
+    natural corpus sits near slope -1; synthetic or boilerplate-heavy data
+    drifts — a one-row corpus-health probe. Token counting is one shuffle
+    on the token string; the regression runs over <= ``top_ranks`` rows."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.explode(
+        F.filter(tokens(text_col), lambda t: t != "")).alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (freq.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= top_ranks))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("c"), F.log("rnk")), 6)
+        .alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("c"), F.log("rnk")), 6)
+        .alias("zipf_intercept"),
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.sum("c").cast("bigint").alias("n_tokens"))
+
+
+def zipf_fit_oracle_sql(top_ranks: int = 500) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM freq
+)
+SELECT round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rnk)), 6) AS zipf_intercept,
+       count(*) AS n_ranks,
+       sum(c) AS n_tokens
+FROM ranked WHERE rnk <= {top_ranks}
+"""

@@ -1,0 +1,194 @@
+"""Analytic-surface extensions: GROUPING SETS, the full SQL window-function
+battery, time-range (RANGE-frame) moving aggregates, corpus PMI collocations,
+and the oracle-portable IVF ANN.
+
+Each closes a gap a reference user would hit when pointing real analytics at
+the engine; all stay in JVM expression space and every one carries a DuckDB
+twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.similarity import (
+    ivf_portable_topk,
+    ivf_portable_topk_oracle_sql,
+)
+from insight_de_smart_grid_spark.operators.text import (
+    pmi_bigrams,
+    pmi_bigrams_oracle_sql,
+)
+from insight_de_smart_grid_spark.plans.registry import register
+from insight_de_smart_grid_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping flags (generalizes star_cube/star_rollup —
+# arbitrary set lists are what dashboard subtotal panels actually emit)
+# ---------------------------------------------------------------------------
+
+@register("star_grouping_sets", """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def q_star_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set list (cube/rollup are its special cases; Spark
+    plans ONE Expand + one aggregation — same single-shuffle shape at any
+    scale). ``grouping()`` flags disambiguate real NULL keys from subtotal
+    rows, matching the SQL-standard bit convention DuckDB uses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus")
+        .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+             F.grouping("l_linestatus").cast("int").alias("g_status"),
+             F.sum("l_quantity").alias("sum_qty"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL window-function battery (ntile / percent_rank / cume_dist /
+# first_value / last_value / nth_value) — complements the lag/lead and
+# row_number coverage in star_queries
+# ---------------------------------------------------------------------------
+
+@register("window_battery", """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist,
+       first_value(o_totalprice) OVER wf AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking/distribution/value window function over one ordered
+    partition spec. The (date, key) ordering is a total order per partition,
+    so ntile/percent_rank/cume_dist are deterministic cross-engine. One
+    shuffle on o_custkey serves all seven functions — Spark collapses same-
+    spec windows into a single Window physical node."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE-frame moving aggregate (trailing 5-minute window per user) —
+# the "rolling metric" shape, windowed by event TIME not row count
+# ---------------------------------------------------------------------------
+
+@register("events_moving_avg", """
+SELECT event_id,
+       round(avg(value) OVER w, 6) AS mavg_5m,
+       CAST(count(*) OVER w AS BIGINT) AS n_5m
+FROM (SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+""")
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing five-minute mean per user via a RANGE frame keyed on epoch
+    seconds. RANGE (unlike ROWS) makes tied timestamps peers — identical
+    frames in any engine regardless of tie order, so the result is
+    deterministic without a unique sort key. One shuffle on user_id; frames
+    evaluate with a sliding accumulator, not a per-row rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-300, 0))
+    return ev.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg_5m"),
+        F.count("*").over(w).alias("n_5m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus collocations by PMI (text-analysis extension)
+# ---------------------------------------------------------------------------
+
+@register("text_pmi_bigrams", pmi_bigrams_oracle_sql())
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-portable IVF ANN (deterministic quantizer; the trained variant
+# sim_ivf_topk keeps its recall test)
+# ---------------------------------------------------------------------------
+
+@register("sim_ivf_portable_topk", ivf_portable_topk_oracle_sql(7))
+def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_portable_topk(load_table(spark, sf_dir, "embeddings"),
+                             query_vec_id=7)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery shape (filter against a global aggregate)
+# ---------------------------------------------------------------------------
+
+@register("star_above_avg_orders", """
+SELECT o_orderpriority,
+       count(*) AS n_above,
+       round(avg(o_totalprice), 6) AS avg_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY 1
+""")
+def q_star_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: the global mean is a one-row broadcast
+    (Catalyst plans the same thing for a correlated-scalar SQL form), so
+    the only wide operation is the final small groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    mean = orders.agg(F.avg("o_totalprice").alias("global_avg"))
+    return (orders.join(F.broadcast(mean))
+            .filter(F.col("o_totalprice") > F.col("global_avg"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_above"),
+                 F.round(F.avg("o_totalprice"), 6).alias("avg_above")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-health probes / quality-aware dedup policy
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators import dedup as _dd  # noqa: E402
+from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
+    zipf_fit,
+    zipf_fit_oracle_sql,
+)
+
+
+@register("text_zipf_fit", zipf_fit_oracle_sql())
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_keep_best", _dd.keep_best_oracle_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked keep/drop over n-gram-Jaccard near-dup clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.keep_best_per_cluster(docs, _dd.ngram_jaccard_pairs(docs))

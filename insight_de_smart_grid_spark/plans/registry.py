@@ -68,3 +68,4 @@ from insight_de_smart_grid_spark.plans import query_library  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import star_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import extension_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import advanced_queries  # noqa: E402,F401
+from insight_de_smart_grid_spark.plans import analytic_queries  # noqa: E402,F401
