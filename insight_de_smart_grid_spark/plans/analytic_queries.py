@@ -192,3 +192,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked keep/drop over n-gram-Jaccard near-dup clusters."""
     docs = load_table(spark, sf_dir, "documents")
     return _dd.keep_best_per_cluster(docs, _dd.ngram_jaccard_pairs(docs))
+
+
+# ---------------------------------------------------------------------------
+# LEFT-OUTER stream-stream join (null-extended rows emitted on watermark
+# close — the stateful-outer contract the inner streaming_interval_join
+# can't exercise). The replay's flush sentinel pushes the final watermark
+# past every real purchase, so the outer result equals the batch LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+@register("streaming_left_join", """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+""")
+def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        purchase_click_left_stream_plan,
+    )
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet", purchase_click_left_stream_plan,
+        query_name=f"slj_{uuid.uuid4().hex[:8]}", flush_sentinel=True)

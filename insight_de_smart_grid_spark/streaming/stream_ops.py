@@ -125,3 +125,44 @@ def run_complete_mode_topk(spark, parquet_path: str, to_readings,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
+
+
+def purchase_click_left_stream_plan(events_stream: DataFrame,
+                                    lookback: str = "30 minutes",
+                                    watermark: str = "2 seconds") -> DataFrame:
+    """LEFT-OUTER stream-stream join: every purchase, with its prior clicks
+    within ``lookback`` when they exist, a null-extended row otherwise.
+
+    Outer rows can only emit once the watermark proves no future match —
+    so, unlike the inner variant, the watermark MUST be applied before the
+    event-type filters: a per-side watermark after ``filter(purchase)``
+    would only advance on purchase rows, and the query's (min-of-sides)
+    watermark could stall short of the tail, holding unmatched rows back
+    forever on a replay. One shared watermark on the unfiltered stream
+    advances on every event (and on the replay flush sentinel), then both
+    branches inherit it through their projections. State eviction follows
+    the time bounds in the condition; RocksDB provider at scale."""
+    ev = normalize_event_ts(events_stream).withWatermark("ts", watermark)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""user_id = click_user_id
+                   AND click_ts > purchase_ts - INTERVAL {lookback}
+                   AND click_ts <= purchase_ts"""),
+        "leftOuter")
+    # user_id != -1 drops the flush sentinel if it ever surfaces (its own
+    # windowed rows are normally held behind the final watermark)
+    return (joined.filter(F.col("user_id") != -1)
+            .select("user_id", "purchase_id", "purchase_ts",
+                    "click_id", "click_ts"))

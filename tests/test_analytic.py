@@ -1,0 +1,140 @@
+"""Tests for the analytic-surface extensions (grouping sets, window battery,
+RANGE moving average, PMI/Zipf corpus probes, portable IVF, keep-best dedup).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators import dedup as dd
+from insight_de_smart_grid_spark.operators.similarity import (
+    cosine_topk,
+    ivf_portable_topk,
+)
+from insight_de_smart_grid_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import check_registered
+
+ORACLE_CHECKED = [
+    "star_grouping_sets",
+    "window_battery",
+    "events_moving_avg",
+    "text_pmi_bigrams",
+    "text_zipf_fit",
+    "star_above_avg_orders",
+    "sim_ivf_portable_topk",
+    "dedup_keep_best",
+    "streaming_left_join",
+]
+
+
+def test_streaming_left_join_emits_null_extended_rows(spark):
+    """Outer semantics actually exercised: some purchases have no click in
+    the lookback and surface with null click columns after watermark close."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    out = QUERIES["streaming_left_join"].fn(spark, SF_ORACLE)
+    assert out.filter(F.col("click_id").isNull()).count() > 0
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_analytic_matches_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
+
+
+def test_grouping_sets_totals_consistent(spark):
+    """The () set equals the whole-table aggregate; each l_returnflag
+    subtotal equals the sum of its (flag, status) cells."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    out = QUERIES["star_grouping_sets"].fn(spark, SF_ORACLE).collect()
+    total = [r for r in out if r.g_flag == 1 and r.g_status == 1]
+    assert len(total) == 1
+    cells = [r for r in out if r.g_flag == 0 and r.g_status == 0]
+    assert abs(sum(r.sum_qty for r in cells) - total[0].sum_qty) < 1e-6
+    for flag_row in (r for r in out if r.g_flag == 0 and r.g_status == 1):
+        mine = [r for r in cells if r.l_returnflag == flag_row.l_returnflag]
+        assert abs(sum(r.sum_qty for r in mine) - flag_row.sum_qty) < 1e-6
+
+
+def test_grouping_sets_single_expand(spark):
+    """All three sets come from ONE Expand + one aggregation — no plan
+    should union per-set scans."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    plan = (QUERIES["star_grouping_sets"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
+
+
+def test_window_battery_single_window_node(spark):
+    """Same-spec window functions collapse into at most two Window nodes
+    (running-frame + full-frame), i.e. one shuffle on o_custkey."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    plan = (QUERIES["window_battery"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+
+
+def test_moving_avg_counts_bounded_by_range(spark):
+    """Every 5-minute trailing count is at least 1 (self) and no larger
+    than the user's total event count."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    per_user = ev.groupBy("user_id").count()
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    out = (QUERIES["events_moving_avg"].fn(spark, SF_ORACLE)
+           .join(ev.select("event_id", "user_id"), "event_id")
+           .join(per_user, "user_id"))
+    bad = out.filter((F.col("n_5m") < 1)
+                     | (F.col("n_5m") > F.col("count"))).count()
+    assert bad == 0
+
+
+def test_keep_best_one_keeper_per_cluster(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = dd.keep_best_per_cluster(docs, dd.ngram_jaccard_pairs(docs))
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.sum("keep").alias("keepers"),
+                        F.count("*").alias("members")))
+    assert per_cluster.filter(F.col("keepers") != 1).count() == 0
+    assert per_cluster.filter(F.col("members") < 2).count() == 0
+
+
+def test_keep_best_prefers_quality_over_min_id(spark):
+    """Within every cluster the keeper has max (quality, -doc_id) — i.e. the
+    policy really ranks by quality, not by id."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = dd.keep_best_per_cluster(docs, dd.ngram_jaccard_pairs(docs))
+    best = (out.groupBy("cluster_id").agg(F.max("quality").alias("maxq")))
+    bad = (out.filter(F.col("keep") == 1).join(best, "cluster_id")
+           .filter(F.col("quality") < F.col("maxq")).count())
+    assert bad == 0
+
+
+def test_portable_ivf_recall_vs_exact(spark):
+    """The deterministic quantizer still lands most of the true top-10 in
+    the probed lists (the corpus clusters by construction)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
+    approx = {r.vec_id for r in ivf_portable_topk(emb, 7, k=10).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_portable_ivf_no_driver_collect(spark):
+    """The whole plan is declarative — no toPandas/collect anywhere in the
+    operator (probe selection included)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    df = ivf_portable_topk(emb, 7, k=10)
+    assert df.count() == 10  # materializes purely through the plan
+
+
+def test_zipf_slope_is_negative(spark):
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    row = QUERIES["text_zipf_fit"].fn(spark, SF_ORACLE).collect()[0]
+    assert row.zipf_slope < 0
+    assert row.n_ranks > 0 and row.n_tokens > 0
