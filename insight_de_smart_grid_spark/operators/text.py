@@ -550,3 +550,64 @@ SELECT round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
        sum(c) AS n_tokens
 FROM ranked WHERE rnk <= {top_ranks}
 """
+
+
+def char_lm_cross_entropy(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained character-bigram MLE
+    model — the cheap language-model quality proxy (the shape CCNet uses
+    with KenLM, collapsed to bigrams so both engines can train it in-query):
+    xent(d) = -avg over positions ln p(next char | char), p from corpus
+    bigram / prefix counts.
+
+    Model training and scoring share ONE per-doc bigram aggregation: the
+    corpus counts come from whole-partition windows over it (sum over
+    partition-by-bigram, then partition-by-prefix) rather than separate
+    aggregate+join branches — Spark would otherwise recompute the explode
+    subtree per branch (no exchange reuse across alias scopes, measured 3x).
+    Every stage is a shuffle of the narrow (doc, bigram, cnt) stream keyed
+    by uniform strings; the fact never joins the fact, and nothing touches
+    the driver."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    bigrams = F.transform(F.sequence(F.lit(1), F.length(c) - 1),
+                          lambda i: c.substr(i, F.lit(2)))
+    per_doc = (docs.filter(F.length(c) >= 2)
+               .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+               .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt")))
+    w_bg = Window.partitionBy("bg")
+    w_pfx = Window.partitionBy(F.substring("bg", 1, 1))
+    scored = per_doc.withColumn(
+        "ln_p", F.log(F.sum("cnt").over(w_bg)
+                      / F.sum("cnt").over(w_pfx)))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("cnt").cast("bigint").alias("n_bigrams"),
+                 F.round(-F.sum(F.col("cnt") * F.col("ln_p"))
+                         / F.sum("cnt"), 6).alias("xent")))
+
+
+def char_lm_cross_entropy_oracle_sql() -> str:
+    return """
+WITH per_doc AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text)),
+                  i -> substring(text, CAST(i AS INT), 2))) AS bg
+    FROM documents WHERE length(text) >= 2)
+  GROUP BY 1, 2
+), corpus AS (
+  SELECT bg, sum(cnt) AS c_bg FROM per_doc GROUP BY 1
+), pfx AS (
+  SELECT substring(bg, 1, 1) AS pfx, sum(c_bg) AS c_pfx
+  FROM corpus GROUP BY 1
+), model AS (
+  SELECT bg, ln(c_bg / c_pfx) AS ln_p
+  FROM corpus JOIN pfx ON substring(bg, 1, 1) = pfx.pfx
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       round(-sum(cnt * ln_p) / sum(cnt), 6) AS xent
+FROM per_doc JOIN model USING (bg)
+GROUP BY doc_id
+"""

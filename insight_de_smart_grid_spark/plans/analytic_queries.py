@@ -226,3 +226,76 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet", purchase_click_left_stream_plan,
         query_name=f"slj_{uuid.uuid4().hex[:8]}", flush_sentinel=True)
+
+
+# ---------------------------------------------------------------------------
+# Grid-analytics extensions over the readings/events surface: anomaly
+# flagging and calendar load profiles (the two dashboards a utility asks
+# for right after the reference's tiles)
+# ---------------------------------------------------------------------------
+
+@register("events_anomaly_zscore", """
+SELECT event_id, user_id, event_type,
+       round(z, 6) AS zscore
+FROM (
+  SELECT event_id, user_id, event_type,
+         (value - avg(value) OVER (PARTITION BY user_id))
+         / stddev_samp(value) OVER (PARTITION BY user_id) AS z
+  FROM events)
+WHERE abs(z) > 2.5
+""")
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score outliers: one whole-partition window computes
+    mean and sample stddev in a single shuffle on user_id, the flag is a
+    filter — no second pass over the fact, no driver-side stats. (An
+    unpartitioned frame makes mean/stddev order-independent, so the result
+    is deterministic and engine-portable.)"""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = ((F.col("value") - F.avg("value").over(w))
+         / F.stddev_samp("value").over(w))
+    return (ev.select("event_id", "user_id", "event_type",
+                      z.alias("z"))
+            .filter(F.abs(F.col("z")) > 2.5)
+            .select("event_id", "user_id", "event_type",
+                    F.round(F.col("z"), 6).alias("zscore")))
+
+
+@register("events_dow_hour_profile", """
+SELECT CAST(user_id AS VARCHAR) AS house_id,
+       CAST(dayofweek(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       round(avg(value), 6) AS avg_power,
+       count(*) AS n_readings
+FROM events
+GROUP BY 1, 2, 3
+""")
+def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar load profile: average reading per (house, day-of-week,
+    hour-of-day) — the generalization of the reference's same-time-of-day
+    history query (SURVEY A10) from N fixed intervals to the full calendar
+    grid. One aggregation whose key space is bounded (houses x 7 x 24), so
+    the shuffle is tiny regardless of fact size; date_part stays in
+    codegen. Spark's dayofweek == DuckDB's dayofweek + 1 (Sun=1 vs Sun=0),
+    aligned via the -1 below."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.col("user_id").cast("string").alias("house_id"),
+                (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+                F.hour("ts").cast("int").alias("hod"))
+            .agg(F.round(F.avg("value"), 6).alias("avg_power"),
+                 F.count(F.lit(1)).alias("n_readings")))
+
+
+from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
+    char_lm_cross_entropy,
+    char_lm_cross_entropy_oracle_sql,
+)
+
+
+@register("text_char_lm_xent", char_lm_cross_entropy_oracle_sql())
+def q_text_char_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM cross-entropy quality proxy per document."""
+    return char_lm_cross_entropy(load_table(spark, sf_dir, "documents"))

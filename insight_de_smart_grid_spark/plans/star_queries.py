@@ -335,3 +335,95 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_o")
         .withColumnRenamed("F", "qty_f")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join pipelines (TPC-H Q3 / Q7 shapes): fact-to-fact join plus
+# dimension hops — the deepest join trees in the library, exercising join
+# reordering + AQE strategy selection
+# ---------------------------------------------------------------------------
+
+@register("star_shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""")
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two equi-join hops into the
+    fact -> grouped revenue -> top-10. Both date filters sit directly on
+    their scans (predicate pushdown), the customer side shrinks before the
+    join, and AQE picks broadcast for it at small SFs / shuffle join at
+    scale — nothing in the query pins a strategy."""
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      < F.lit("1998-01-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("star_nation_volume", """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier   ON l_suppkey  = s_suppkey
+JOIN nation sn  ON s_nationkey = sn.n_nationkey
+JOIN orders     ON l_orderkey = o_orderkey
+JOIN customer   ON o_custkey  = c_custkey
+JOIN nation cn  ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2
+""")
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-way join — fact -> two dimension chains (supplier
+    nation, customer nation via orders). The nation/supplier/customer dims
+    broadcast (explicitly — they are bounded catalogs at any SF); the single
+    wide shuffle is lineitem⨝orders on orderkey, then a 600-group agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )

@@ -26,6 +26,9 @@ ORACLE_CHECKED = [
     "sim_ivf_portable_topk",
     "dedup_keep_best",
     "streaming_left_join",
+    "events_anomaly_zscore",
+    "events_dow_hour_profile",
+    "text_char_lm_xent",
 ]
 
 
@@ -138,3 +141,25 @@ def test_zipf_slope_is_negative(spark):
     row = QUERIES["text_zipf_fit"].fn(spark, SF_ORACLE).collect()[0]
     assert row.zipf_slope < 0
     assert row.n_ranks > 0 and row.n_tokens > 0
+
+
+def test_char_lm_xent_single_explode(spark):
+    """The per-doc bigram explode/aggregation happens ONCE: model counts are
+    whole-partition windows over it, not separate aggregate+join branches
+    that would recompute the subtree."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    plan = (QUERIES["text_char_lm_xent"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Generate explode") == 1
+    assert "Join" not in plan
+
+
+def test_anomaly_zscore_single_shuffle(spark):
+    """Mean and stddev come from ONE whole-partition window — a single
+    exchange on user_id, no self-join."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    plan = (QUERIES["events_anomaly_zscore"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1

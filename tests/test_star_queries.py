@@ -22,9 +22,24 @@ STAR_QUERIES = [
     "star_setops",
     "star_setops_except",
     "star_pivot_linestatus",
+    "star_shipping_priority",
+    "star_nation_volume",
 ]
 
 
 @pytest.mark.parametrize("name", STAR_QUERIES)
 def test_star_query_matches_oracle(spark, duck, name):
     check_registered(spark, duck, name)
+
+
+def test_nation_volume_broadcasts_all_dims(spark):
+    """Every dimension hop is a broadcast join; no nested loop and no
+    cartesian anywhere in the five-way plan."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    plan = (QUERIES["star_nation_volume"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
