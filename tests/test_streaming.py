@@ -310,3 +310,34 @@ def test_complete_mode_topk_equals_batch(spark):
     g = [(r.appliance_name, round(r.sum_power, 6)) for r in got.collect()]
     w = [(r.appliance_name, round(r.sum_power, 6)) for r in want.collect()]
     assert g == w and len(g) == 5
+
+
+def test_rocksdb_state_store_matches_batch(spark):
+    """The 100 TB state-store path: the same duty-cycle stream runs under
+    the RocksDB provider (bounded-memory, spill-to-disk state — the provider
+    a large-keyspace deployment must use) and produces exactly the
+    HDFS-backed/default-provider result, i.e. the batch-finalized windows."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = ("org.apache.spark.sql.execution.streaming."
+             "state.RocksDBStateStoreProvider")
+    spark.conf.set(key, rocks)
+    try:
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        stream_out = run_stream_over_parquet(
+            spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+            query_name=name, window="10 minutes", slide="2 minutes",
+            watermark="2 seconds")
+        readings = readings_view(spark, SF_SMOKE)
+        batch = duty_cycle(readings, window="10 minutes", slide="2 minutes")
+        max_ts = readings.agg(F.max("ts")).collect()[0][0]
+        s_rows = {tuple(r) for r in stream_out.collect()}
+        finalized = {tuple(r) for r in batch.collect()
+                     if (max_ts - r[0]).total_seconds() >= 2}
+        assert s_rows == finalized
+        assert len(s_rows) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
