@@ -299,3 +299,30 @@ from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
 def q_text_char_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram LM cross-entropy quality proxy per document."""
     return char_lm_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT JSON path (Spark 4): parse once into the shredded binary encoding,
+# extract fields without re-parsing — the scale-path upgrade over
+# events_json_extract's per-field get_json_object string parse
+# ---------------------------------------------------------------------------
+
+@register("events_props_variant", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val
+FROM events
+""")
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_json`` -> VariantType once, then typed ``try_variant_get``
+    per field. At scale this wins twice: the JSON text is decoded exactly
+    once however many fields are read, and Parquet variant shredding lets
+    the scan skip to requested paths. Missing paths yield NULL (the
+    try_ form), matching SQL json_extract semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_long"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+    )

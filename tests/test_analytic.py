@@ -29,6 +29,7 @@ ORACLE_CHECKED = [
     "events_anomaly_zscore",
     "events_dow_hour_profile",
     "text_char_lm_xent",
+    "events_props_variant",
 ]
 
 

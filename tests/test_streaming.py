@@ -341,3 +341,40 @@ def test_rocksdb_state_store_matches_batch(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_transform_with_state_running_energy(spark):
+    """Spark 4 arbitrary-state API (transformWithStateInPandas): the last
+    emission per house equals the batch aggregate. Gated on protobuf (the
+    state-server protocol dependency), like the Kafka/Avro gates."""
+    import pytest
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stateful import (
+        running_energy_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.xfail("no protobuf in container -> "
+                     "transformWithStateInPandas state server unavailable")
+    from pyspark.sql import Window as W
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+
+    emissions = replay_parquet_stream(
+        spark, f"{SF_SMOKE}/events.parquet",
+        lambda s: running_energy_stream(events_to_readings(s)),
+        query_name=f"twsp_{uuid.uuid4().hex[:8]}")
+    w = W.partitionBy("house_id").orderBy(F.desc("n"))
+    final = (emissions.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("house_id", F.round("sum_power", 6).alias("sum_power"),
+                     "n"))
+    batch = (readings_view(spark, SF_SMOKE).groupBy("house_id")
+             .agg(F.round(F.sum("power"), 6).alias("sum_power"),
+                  F.count(F.lit(1)).alias("n")))
+    assert ({tuple(r) for r in final.collect()}
+            == {tuple(r) for r in batch.collect()})
