@@ -753,3 +753,95 @@ SELECT c.doc_id, c.cluster_id, q.quality,
                                ORDER BY q.quality DESC, c.doc_id)
             = 1 AS INT) AS keep
 FROM clus c JOIN qual q ON c.doc_id = q.doc_id""")
+
+
+def duplicate_spans(docs: DataFrame, k: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate-substring statistics per document (the
+    exact-substring dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", reduced from suffix arrays to k-gram
+    inversion): a character position is *duplicated* when its k-gram occurs
+    more than once in the corpus; runs of duplicated positions merge into
+    maximal spans.
+
+    Per doc: number of maximal spans, duplicated char count, duplicated
+    fraction. Pipeline: positions -> xxhash64 k-gram keys (the gram key
+    never reaches the output, so it only needs determinism WITHIN the
+    engine — the cheap native hash beats md5 here, and the oracle keeps
+    md5 independently; both produce identical df decisions up to ~1e-10
+    collision odds) -> occurrence count as a whole-partition window over
+    the SAME exploded stream (one shuffle, no aggregate+join branch that
+    would recompute the explode) -> positions with count>1 -> per-doc span
+    merge via the classic gaps-and-islands window (lag + running sum of
+    breaks). Never suffix-array construction; every shuffle keys on a
+    uniform hash or doc id."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
+        lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    pos = (docs.filter(F.length(c) >= k)
+           .select(F.col(id_col), F.posexplode(grams)
+                   .alias("pos0", "g")))
+    w_g = Window.partitionBy("g")
+    dup_pos = (pos.withColumn("df", F.count(F.lit(1)).over(w_g))
+               .filter(F.col("df") > 1)
+               .select(id_col, (F.col("pos0") + 1).alias("p")))
+    w = Window.partitionBy(id_col).orderBy("p")
+    spans = (dup_pos
+             .withColumn("brk", F.when(
+                 F.col("p") - F.lag("p", 1).over(w) == 1, 0).otherwise(1))
+             .withColumn("span_id", F.sum("brk").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy(id_col, "span_id")
+             .agg(F.min("p").alias("s"), F.max("p").alias("e")))
+    lens = docs.select(F.col(id_col), F.length(c).alias("n_chars_doc"))
+    return (spans.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+                 F.sum(F.col("e") - F.col("s") + k).cast("bigint")
+                 .alias("dup_chars"))
+            .join(lens, id_col)
+            .select(id_col, "n_dup_spans", "dup_chars",
+                    F.round(F.col("dup_chars")
+                            / F.col("n_chars_doc"), 6).alias("dup_frac")))
+
+
+def duplicate_spans_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, i AS p,
+         substring(md5(substring(text, CAST(i AS INT), {k})), 1, 16) AS g
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - {k - 1})) AS u(i)
+  WHERE length(text) >= {k}
+),
+dfs AS (SELECT g, count(*) AS df FROM pos GROUP BY g),
+dup AS (
+  SELECT doc_id, p FROM pos JOIN dfs USING (g) WHERE df > 1
+),
+marked AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+sp AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, min(p) AS s, max(p) AS e
+  FROM sp GROUP BY 1, 2
+)
+SELECT spans.doc_id,
+       count(*) AS n_dup_spans,
+       CAST(sum(e - s + {k}) AS BIGINT) AS dup_chars,
+       round(CAST(sum(e - s + {k}) AS DOUBLE) / any_value(length(d.text)), 6)
+       AS dup_frac
+FROM spans JOIN documents d ON spans.doc_id = d.doc_id
+GROUP BY 1
+"""

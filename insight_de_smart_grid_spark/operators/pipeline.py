@@ -497,3 +497,45 @@ FROM (SELECT doc_id, source, n_chars,
       FROM documents)
 WHERE tile >= {drop_below}
 """
+
+
+def chunk_documents(docs: DataFrame, width: int = 256, stride: int = 192,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG / context-window prep op):
+    chunk i covers chars [1 + i*stride, ...+width); the last chunk keeps the
+    remainder. Pure ``sequence``/``substr`` expressions — a per-row fan-out
+    at scan speed, no shuffle at all; downstream embedding/indexing stages
+    see (doc_id, chunk_idx) keys that remain uniformly distributed."""
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(c) - F.lit(width))
+               / F.lit(stride)).cast("int") + 1, F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            c.substr(i * stride + 1, F.lit(width)).alias("chunk")))
+    return (docs.select(F.col(id_col), F.explode(chunks).alias("ch"))
+            .select(id_col,
+                    F.col("ch.chunk_idx").alias("chunk_idx"),
+                    F.col("ch.chunk").alias("chunk"),
+                    F.length("ch.chunk").alias("n_chunk_chars")))
+
+
+def chunk_documents_oracle_sql(width: int = 256, stride: int = 192) -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil((length(text) - {width})
+                            / CAST({stride} AS DOUBLE)) AS INT) + 1, 1)
+         AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       substring(text, CAST(i AS INT) * {stride} + 1, {width}) AS chunk,
+       length(substring(text, CAST(i AS INT) * {stride} + 1, {width}))
+       AS n_chunk_chars
+FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+"""

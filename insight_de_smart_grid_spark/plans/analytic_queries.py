@@ -326,3 +326,100 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").alias("k_long"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans (Lee et al. exact-substring dedup via
+# k-gram inversion instead of suffix arrays)
+# ---------------------------------------------------------------------------
+
+@register("dedup_duplicate_spans", _dd.duplicate_spans_oracle_sql())
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators import pipeline as _pl  # noqa: E402
+
+
+@register("pipeline_chunk_documents", _pl.chunk_documents_oracle_sql())
+def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pl.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered view -> click -> purchase per user) and monthly
+# cohort retention — the two canonical product-analytics queries
+# ---------------------------------------------------------------------------
+
+@register("events_funnel", """
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+         AS n_full_funnel
+FROM stage
+""")
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel counts: one conditional-min aggregation per user (a
+    single shuffle with map-side combine) then a one-row rollup. The
+    strictly-ordered comparisons (first view < first click < first
+    purchase) are null-safe in both engines: NULL stage times fail every
+    comparison and drop out of the funnel."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(ev_type: str):
+        return F.min(F.when(F.col("event_type") == ev_type, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .alias("n_view_click"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .alias("n_full_funnel"))
+
+
+@register("star_cohort_retention", """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+)
+SELECT cohort_m,
+       (year(o_orderdate) * 12 + month(o_orderdate)) - cohort_m
+         AS months_since,
+       count(DISTINCT o.o_custkey) AS active_customers
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+""")
+def q_star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix: cohort = month of first order,
+    cells = distinct active customers at each month offset. The month key
+    is integer arithmetic (year*12+month) — identical cross-engine, no
+    interval/truncation semantics to disagree on. The firsts table is one
+    row per customer and broadcasts; the distinct-count aggregation is the
+    only wide stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    mkey = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.min(mkey).alias("cohort_m")))
+    return (orders.join(F.broadcast(firsts), "o_custkey")
+            .groupBy("cohort_m",
+                     (mkey - F.col("cohort_m")).alias("months_since"))
+            .agg(F.countDistinct("o_custkey").alias("active_customers")))

@@ -30,6 +30,10 @@ ORACLE_CHECKED = [
     "events_dow_hour_profile",
     "text_char_lm_xent",
     "events_props_variant",
+    "dedup_duplicate_spans",
+    "pipeline_chunk_documents",
+    "events_funnel",
+    "star_cohort_retention",
 ]
 
 
@@ -164,3 +168,66 @@ def test_anomaly_zscore_single_shuffle(spark):
     plan = (QUERIES["events_anomaly_zscore"].fn(spark, SF_ORACLE)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
+
+
+def test_duplicate_spans_finds_planted_substring(spark):
+    """Two docs sharing one exact 60-char block (and otherwise unique text)
+    each report exactly one duplicated span covering >= the block."""
+    import string
+
+    shared = ("the quick brown fox jumps over the lazy dog again and "
+              "again!")
+    uniq_a = " ".join(string.ascii_lowercase[i:i + 5] for i in range(20))
+    uniq_b = " ".join(string.ascii_uppercase[i:i + 4] for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, uniq_a + " " + shared + " " + uniq_a[::-1]),
+         (2, uniq_b + " " + shared + " " + uniq_b[::-1]),
+         (3, "entirely distinct filler content with no repeats at all x")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.duplicate_spans(docs, k=20).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].dup_chars >= len(shared)
+
+
+def test_chunks_cover_whole_document(spark):
+    """Chunk grid covers every char: the furthest chunk end equals the doc
+    length and chunk 0 is the document prefix."""
+    from insight_de_smart_grid_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = chunk_documents(docs)
+    cover = (out.groupBy("doc_id")
+             .agg(F.max(F.col("chunk_idx") * 192
+                        + F.col("n_chunk_chars")).alias("covered")))
+    bad = (cover.join(docs.select("doc_id",
+                                  F.length("text").alias("n")), "doc_id")
+           .filter(F.col("covered") != F.col("n")).count())
+    assert bad == 0
+    first = out.filter(F.col("chunk_idx") == 0).join(docs, "doc_id")
+    assert first.filter(
+        F.col("chunk") != F.expr("substring(text, 1, 256)")).count() == 0
+
+
+def test_funnel_counts_are_monotone(spark):
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    r = QUERIES["events_funnel"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+
+
+def test_cohort_month_zero_equals_cohort_size(spark):
+    """Every cohort is fully active at months_since=0 (the first order
+    itself), so the 0-offset cell equals the cohort population."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    out = QUERIES["star_cohort_retention"].fn(spark, SF_ORACLE)
+    orders = load_table(spark, SF_ORACLE, "orders")
+    mkey = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    sizes = (orders.groupBy("o_custkey").agg(F.min(mkey).alias("cohort_m"))
+             .groupBy("cohort_m").agg(F.count(F.lit(1)).alias("pop")))
+    zero = out.filter(F.col("months_since") == 0)
+    bad = (zero.join(sizes, "cohort_m")
+           .filter(F.col("active_customers") != F.col("pop")).count())
+    assert bad == 0
