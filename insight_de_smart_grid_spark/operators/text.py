@@ -611,3 +611,82 @@ SELECT doc_id,
 FROM per_doc JOIN model USING (bg)
 GROUP BY doc_id
 """
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(docs: DataFrame, query_terms: tuple[str, ...] = (
+        "spark", "window", "join"), k: int = 15,
+        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed term query — the IR scoring
+    a corpus-search layer needs. idf = ln(1 + (N - df + .5)/(df + .5)),
+    tf saturation k1=1.2, length normalization b=0.75.
+
+    Shape: doc lengths at scan speed; candidate (doc, term, tf) rows from
+    an explode FILTERED to the query terms (the stream is per-query tiny —
+    at scale this is the posting-list scan, and a precomputed inverted
+    index bucketed by term serves it without the scan); df via a window
+    over the candidate stream; the one-row (N, avgdl) corpus stats
+    broadcast. Top-k is TakeOrderedAndProject on (rounded score, id)."""
+    from pyspark.sql import Window
+
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    base = docs.select(F.col(id_col), toks.alias("t"))
+    dl = base.select(id_col, F.size("t").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    cand = (base.select(F.col(id_col), F.explode(
+                F.filter(F.col("t"),
+                         lambda t: F.array_contains(terms, t))).alias("term"))
+            .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    w_term = Window.partitionBy("term")
+    scored = (cand.withColumn("df", F.count(F.lit(1)).over(w_term))
+              .join(dl, id_col).join(F.broadcast(stats))
+              .withColumn("idf", F.log(
+                  1 + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+              .withColumn("s", F.col("idf") * F.col("tf") * (BM25_K1 + 1)
+                          / (F.col("tf") + BM25_K1
+                             * (1 - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avgdl")))))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("s"), 6).alias("bm25"),
+                 F.count(F.lit(1)).cast("int").alias("n_terms_hit"))
+            .orderBy(F.desc("bm25"), F.asc(id_col))
+            .limit(k))
+
+
+def bm25_oracle_sql(query_terms: tuple[str, ...] = (
+        "spark", "window", "join"), k: int = 15) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+cand AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(t, x -> x IN ({terms}))) AS term
+        FROM base)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id,
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ({BM25_K1} + 1)
+         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)) AS s
+  FROM (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM cand)
+  JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, round(sum(s), 6) AS bm25,
+       CAST(count(*) AS INT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""

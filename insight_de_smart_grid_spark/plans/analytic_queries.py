@@ -423,3 +423,18 @@ def q_star_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_m",
                      (mkey - F.col("cohort_m")).alias("months_since"))
             .agg(F.countDistinct("o_custkey").alias("active_customers")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (corpus search layer)
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
+    bm25_oracle_sql,
+    bm25_topk,
+)
+
+
+@register("text_bm25_topk", bm25_oracle_sql())
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"))

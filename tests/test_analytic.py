@@ -34,6 +34,7 @@ ORACLE_CHECKED = [
     "pipeline_chunk_documents",
     "events_funnel",
     "star_cohort_retention",
+    "text_bm25_topk",
 ]
 
 
@@ -231,3 +232,36 @@ def test_cohort_month_zero_equals_cohort_size(spark):
     bad = (zero.join(sizes, "cohort_m")
            .filter(F.col("active_customers") != F.col("pop")).count())
     assert bad == 0
+
+
+def test_semantic_clusters_on_planted_neighbors(spark):
+    """LSH-blocked cosine pairs -> min-label components, end-to-end on
+    embeddings with REAL near-dups (the driver corpus has none above any
+    production threshold — max pairwise cosine ~0.51, so the composition
+    is proven here on planted data instead of a vacuous 0-row oracle)."""
+    import numpy as np
+
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 64)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # three noisy copies per concept -> 6 clusters
+            v = b + rng.randn(64) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = (cosine_pairs_blocked(emb, threshold=0.9)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    clusters = dd.dup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert len(by_cluster) == 6
+    expected = [{3 * i, 3 * i + 1, 3 * i + 2} for i in range(6)]
+    assert sorted(by_cluster.values(), key=min) == expected
