@@ -438,3 +438,59 @@ from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
 @register("text_bm25_topk", bm25_oracle_sql())
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# HAVING-filtered join-back (TPC-H Q18 shape) and event-transition mining
+# ---------------------------------------------------------------------------
+
+@register("star_large_volume_orders", """
+SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q_star_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact, HAVING-filter the groups, join
+    the survivors back to the header. The filtered aggregate is small and
+    AQE broadcasts it back — the join carries only qualifying orderkeys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .select("o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(20))
+
+
+@register("events_transition_counts", """
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def q_events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transitions (the Markov-chain counts behind
+    next-action models): lag over each user's (ts, id)-ordered sequence,
+    then a tiny |event types|^2 aggregation. One shuffle on user_id; the
+    unique (ts, event_id) sort key makes the sequence — and therefore every
+    transition pair — deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(F.col("event_type"),
+                      F.lag("event_type").over(w).alias("prev_type"))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -35,6 +35,8 @@ ORACLE_CHECKED = [
     "events_funnel",
     "star_cohort_retention",
     "text_bm25_topk",
+    "star_large_volume_orders",
+    "events_transition_counts",
 ]
 
 
@@ -265,3 +267,18 @@ def test_semantic_clusters_on_planted_neighbors(spark):
     assert len(by_cluster) == 6
     expected = [{3 * i, 3 * i + 1, 3 * i + 2} for i in range(6)]
     assert sorted(by_cluster.values(), key=min) == expected
+
+
+def test_duplicate_spans_prunes_scan_to_id_and_text(spark):
+    """The span pipeline reads only (doc_id, text) from parquet — lang/
+    source/n_chars never leave the scan."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    plan = (QUERIES["dedup_duplicate_spans"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan[:500]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
