@@ -494,3 +494,74 @@ def q_events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("prev_type").isNotNull())
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Stream-static broadcast enrichment (complete mode) and foreachBatch
+# keyed-upsert sink — the two remaining Structured Streaming sink/join
+# patterns
+# ---------------------------------------------------------------------------
+
+_ENRICH_LABELS = [("click", "Click Stream"), ("view", "Page View"),
+                  ("purchase", "Purchase")]
+_ENRICH_LABELS_SQL = ", ".join(f"('{k}', '{v}')" for k, v in _ENRICH_LABELS)
+
+
+@register("streaming_static_enrich", f"""
+WITH labels(appliance_name, label) AS (VALUES {_ENRICH_LABELS_SQL})
+SELECT COALESCE(l.label, 'unknown') AS label,
+       round(sum(e.value), 6) AS sum_value,
+       count(*) AS n_events
+FROM events e LEFT JOIN labels l ON e.event_type = l.appliance_name
+GROUP BY 1
+""")
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        parquet_stream_source,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        static_enrich_totals_plan,
+    )
+
+    labels = spark.createDataFrame(_ENRICH_LABELS,
+                                   "appliance_name string, label string")
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        plan = static_enrich_totals_plan(
+            parquet_stream_source(spark, f"{sf_dir}/events.parquet"), labels)
+        q = (plan.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@register("streaming_upsert_compaction", """
+SELECT user_id, event_type, ts, value
+FROM (SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""")
+def q_streaming_upsert_compaction(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The foreachBatch-maintained snapshot equals batch latest-compaction
+    over the full feed."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        upsert_compaction_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="upsert_")
+    upsert_compaction_stream(spark, f"{sf_dir}/events.parquet",
+                             snapshot_dir=f"{base}/snapshot",
+                             checkpoint_dir=f"{base}/ck")
+    return spark.read.parquet(f"{base}/snapshot")

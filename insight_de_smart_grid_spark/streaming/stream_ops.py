@@ -166,3 +166,68 @@ def purchase_click_left_stream_plan(events_stream: DataFrame,
     return (joined.filter(F.col("user_id") != -1)
             .select("user_id", "purchase_id", "purchase_ts",
                     "click_id", "click_ts"))
+
+
+def static_enrich_totals_plan(events_stream: DataFrame,
+                              labels: DataFrame) -> DataFrame:
+    """Stream-static join: the unbounded stream broadcast-joins a static
+    dimension (re-read per micro-batch, no state kept for the static side)
+    and aggregates per label — the streaming form of SURVEY J1's
+    enrichment. Complete output mode: the result table is |labels|-sized
+    however large the stream."""
+    ev = normalize_event_ts(events_stream)
+    return (ev.join(F.broadcast(labels),
+                    ev.event_type == labels.appliance_name, "left")
+            .groupBy(F.coalesce(F.col("label"), F.lit("unknown"))
+                     .alias("label"))
+            .agg(F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def upsert_compaction_stream(spark, parquet_path: str,
+                             snapshot_dir: str,
+                             checkpoint_dir: str) -> None:
+    """foreachBatch keyed upsert: each micro-batch merges into a parquet
+    snapshot keeping the newest record per (user_id, event_type) — the
+    idempotent-sink pattern for feeding a serving table from a CDC stream.
+
+    The merge is latest_compaction over (current snapshot UNION batch),
+    staged to a fresh directory and atomically swapped in, so a crash
+    mid-write leaves the previous snapshot intact and the checkpointed
+    batch replays cleanly (same input -> same merged output = effectively
+    exactly-once). On a real deployment the swap is a Delta/Iceberg MERGE;
+    the dataflow inside foreachBatch is identical."""
+    import shutil
+    from pathlib import Path
+
+    from insight_de_smart_grid_spark.operators.pipeline import (
+        latest_compaction,
+    )
+    from insight_de_smart_grid_spark.streaming.replay import (
+        parquet_stream_source,
+    )
+
+    cols = ("user_id", "event_type", "ts", "value")
+    stream = (normalize_event_ts(parquet_stream_source(spark, parquet_path))
+              .select(*cols))
+
+    def upsert(batch_df, batch_id: int) -> None:
+        snap = Path(snapshot_dir)
+        if snap.exists():
+            merged = latest_compaction(
+                spark.read.parquet(str(snap)).unionByName(
+                    batch_df.select(*cols)))
+        else:
+            merged = latest_compaction(batch_df.select(*cols))
+        staging = f"{snapshot_dir}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{snapshot_dir}__old_{batch_id}"
+        if snap.exists():
+            snap.rename(old)
+        Path(staging).rename(snap)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (stream.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -37,6 +37,8 @@ ORACLE_CHECKED = [
     "text_bm25_topk",
     "star_large_volume_orders",
     "events_transition_counts",
+    "streaming_static_enrich",
+    "streaming_upsert_compaction",
 ]
 
 

@@ -378,3 +378,60 @@ def test_transform_with_state_running_energy(spark):
                   F.count(F.lit(1)).alias("n")))
     assert ({tuple(r) for r in final.collect()}
             == {tuple(r) for r in batch.collect()})
+
+
+def test_foreachbatch_upsert_is_incremental(spark, tmp_path):
+    """The foreachBatch snapshot merges across RESTARTS: feed half the
+    files, run; add the rest, run again on the same checkpoint — the final
+    snapshot equals batch latest-compaction over everything, and keys
+    updated by the second half carry the newer ts."""
+    import shutil
+    from pathlib import Path
+
+    from insight_de_smart_grid_spark.operators.pipeline import (
+        latest_compaction,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        upsert_compaction_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [(1, "click", "2024-01-01 10:00:00", 1.0),
+         (1, "view", "2024-01-01 10:00:01", 2.0),
+         (2, "click", "2024-01-01 10:00:02", 3.0)],
+        "user_id long, event_type string, ts_s string, value double"
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) ts",
+                 "value")
+    ev.coalesce(1).write.parquet(str(src / "p1"))
+    first = next((src / "p1").glob("part-*.parquet"))
+    shutil.move(str(first), str(src / "a.parquet"))
+    shutil.rmtree(src / "p1")
+
+    snap = str(tmp_path / "snap")
+    ck = str(tmp_path / "ck")
+    upsert_compaction_stream(spark, str(src), snapshot_dir=snap,
+                             checkpoint_dir=ck)
+    assert spark.read.parquet(snap).count() == 3
+
+    ev2 = spark.createDataFrame(
+        [(1, "click", "2024-01-01 11:00:00", 9.0),   # newer -> replaces
+         (3, "view", "2024-01-01 11:00:01", 4.0)],   # new key -> inserts
+        "user_id long, event_type string, ts_s string, value double"
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) ts",
+                 "value")
+    ev2.coalesce(1).write.parquet(str(src / "p2"))
+    second = next((src / "p2").glob("part-*.parquet"))
+    shutil.move(str(second), str(src / "b.parquet"))
+    shutil.rmtree(src / "p2")
+
+    upsert_compaction_stream(spark, str(src), snapshot_dir=snap,
+                             checkpoint_dir=ck)
+    got = {(r.user_id, r.event_type): (r.ts, r.value)
+           for r in spark.read.parquet(snap).collect()}
+    want = {(r.user_id, r.event_type): (r.ts, r.value)
+            for r in latest_compaction(ev.unionByName(ev2)).collect()}
+    assert got == want
+    assert got[(1, "click")][1] == 9.0
+    assert len(got) == 4
