@@ -565,3 +565,80 @@ def q_streaming_upsert_compaction(spark: SparkSession,
                              snapshot_dir=f"{base}/snapshot",
                              checkpoint_dir=f"{base}/ck")
     return spark.read.parquet(f"{base}/snapshot")
+
+
+# ---------------------------------------------------------------------------
+# Multi-quantile battery, UNPIVOT (melt), and deterministic list aggregation
+# ---------------------------------------------------------------------------
+
+@register("star_percentiles", """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
+       round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 6) AS p75,
+       round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 6) AS p95
+FROM lineitem
+GROUP BY 1
+""")
+def q_star_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile per group: ONE percentile aggregate
+    evaluates all four cut points over a single sort buffer (array output
+    split into scalar columns — the driver's canonicalizer wants scalar
+    cells)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile("l_extendedprice",
+                      F.array(F.lit(0.25), F.lit(0.5),
+                              F.lit(0.75), F.lit(0.95)))
+    return (li.groupBy("l_returnflag")
+            .agg(qs.alias("q"))
+            .select("l_returnflag",
+                    *[F.round(F.col("q")[i], 6).alias(n)
+                      for i, n in enumerate(("p25", "p50", "p75", "p95"))]))
+
+
+@register("star_unpivot_quantity", """
+SELECT l_returnflag, metric, round(val, 6) AS val
+FROM (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 6) AS total_qty,
+         round(sum(l_extendedprice), 6) AS total_price,
+         round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem GROUP BY 1)
+UNPIVOT (val FOR metric IN (total_qty, total_price, avg_disc))
+""")
+def q_star_unpivot_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-group metrics to long (metric, value) rows —
+    the inverse of star_pivot_linestatus. Spark's unpivot is a zero-shuffle
+    Expand over the already-aggregated (tiny) frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("total_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc")))
+    return (wide.unpivot("l_returnflag",
+                         ["total_qty", "total_price", "avg_disc"],
+                         "metric", "val")
+            .select("l_returnflag", "metric", F.round("val", 6).alias("val")))
+
+
+@register("star_order_keys_concat", """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderkey) AS order_keys,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+HAVING count(*) >= 12
+""")
+def q_star_order_keys_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list is unordered by
+    contract, so the engine sorts the collected array before joining to a
+    string (scalar output — engine-portable and canonicalizer-safe). The
+    HAVING keeps the result focused on multi-order customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.array_join(
+                     F.array_sort(F.collect_list("o_orderkey")), ",")
+                 .alias("order_keys"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= 12))

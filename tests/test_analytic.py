@@ -39,6 +39,9 @@ ORACLE_CHECKED = [
     "events_transition_counts",
     "streaming_static_enrich",
     "streaming_upsert_compaction",
+    "star_percentiles",
+    "star_unpivot_quantity",
+    "star_order_keys_concat",
 ]
 
 
