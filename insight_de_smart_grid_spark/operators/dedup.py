@@ -852,3 +852,61 @@ SELECT spans.doc_id,
 FROM spans JOIN documents d ON spans.doc_id = d.doc_id
 GROUP BY 1
 """
+
+
+def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric near-dup: containment = |A ∩ B| / min(|A|, |B|) over word
+    n-gram shingle sets — catches a document EMBEDDED in a larger one,
+    which symmetric Jaccard dilutes toward 0 as the host grows (the
+    quote/boilerplate-inclusion case every curation pipeline hits). Same
+    shingle-inversion join as ``ngram_jaccard_pairs`` (64-bit hashed keys,
+    only docs sharing a shingle ever pair); the ratio of integers is
+    bit-stable cross-engine."""
+    sh = (word_ngrams(docs, n, text_col, id_col)
+          .select(F.col(id_col), F.xxhash64("g").alias("g")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont = (F.col("inter")
+            / F.least(F.col("sz_a"), F.col("sz_b")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(cont >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round(cont, 6).alias("containment")))
+
+
+def containment_oracle_sql(n: int = 3, threshold: float = 0.25) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM pairs
+JOIN sizes sa ON pairs.doc_a = sa.doc_id
+JOIN sizes sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
+"""

@@ -642,3 +642,65 @@ def q_star_order_keys_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("order_keys"),
                  F.count(F.lit(1)).alias("n_orders"))
             .filter(F.col("n_orders") >= 12))
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric: doc embedded in a larger one) and the
+# TPC-H Q8 market-share shape (conditional share of a grouped ratio)
+# ---------------------------------------------------------------------------
+
+@register("dedup_containment", _dd.containment_oracle_sql())
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("star_market_share", """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""")
+def q_star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of revenue sold into one region,
+    per year — a conditional-sum / sum ratio over a six-way join. All
+    dimension hops broadcast; the customer-region filter prunes before the
+    fact join; the single wide shuffle is lineitem⨝orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    asia_nations = (nat.join(F.broadcast(
+                        reg.filter(F.col("r_name") == "ASIA")),
+                        nat.n_regionkey == reg.r_regionkey)
+                    .select(F.col("n_nationkey").alias("cn_key")))
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+            .join(F.broadcast(asia_nations),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(F.when(F.col("supp_nation") == "NATION_0",
+                                      rev).otherwise(0.0))
+                         / F.sum(rev), 6).alias("mkt_share"),
+                 F.count(F.lit(1)).alias("n_items")))

@@ -42,6 +42,8 @@ ORACLE_CHECKED = [
     "star_percentiles",
     "star_unpivot_quantity",
     "star_order_keys_concat",
+    "dedup_containment",
+    "star_market_share",
 ]
 
 
@@ -287,3 +289,22 @@ def test_duplicate_spans_prunes_scan_to_id_and_text(spark):
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long host scores containment 1.0
+    even though symmetric Jaccard is tiny — the asymmetric detector's whole
+    point."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler_a = " ".join(f"w{i}" for i in range(60))
+    filler_b = " ".join(f"v{i}" for i in range(60))
+    host = filler_a + " " + short + " " + filler_b
+    docs = spark.createDataFrame(
+        [(1, short), (2, host), (3, "totally unrelated words here only")],
+        "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.containment
+             for r in dd.containment_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dd.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.2
