@@ -28,12 +28,27 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (duty-cycle, SURVEY §3.1) on the smoke-scale tables."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return _registry.QUERIES["duty_cycle_10m"].fn(spark, SMOKE_SF_DIR)
+    return _pinned(_registry.QUERIES["duty_cycle_10m"].fn)(spark,
+                                                           SMOKE_SF_DIR)
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]
+            ) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the two confs every oracle comparison depends on, whatever
+    session the driver hands us: UTC (timestamp hashes) and ANSI off (the
+    library's arithmetic/cast semantics — session.py does the same for
+    sessions we create ourselves)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _registry.queries()
+    return {name: _pinned(fn) for name, fn in _registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
