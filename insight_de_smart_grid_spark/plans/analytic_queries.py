@@ -704,3 +704,79 @@ def q_star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       rev).otherwise(0.0))
                          / F.sum(rev), 6).alias("mkt_share"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (one-pass column quality report) and inter-event gap stats
+# ---------------------------------------------------------------------------
+
+@register("events_profile_report", """
+SELECT count(*) AS n_rows,
+       count(*) - count(user_id) AS null_user_id,
+       count(*) - count(value) AS null_value,
+       count(DISTINCT event_type) AS n_event_types,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(avg(value), 6) AS avg_value,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts,
+       count(CASE WHEN value < 0 THEN 1 END) AS n_negative_values,
+       count(CASE WHEN json_valid(props) THEN NULL ELSE 1 END)
+         AS n_bad_props
+FROM events
+""")
+def q_events_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile: null counts, domain bounds, value
+    sanity, and JSON validity in ONE aggregation over one scan — the
+    profiling report a pipeline runs before trusting a new drop. Every
+    metric is an aggregate expression, so the whole report costs one
+    map-side-combined shuffle of a single row per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return ev.agg(
+        n.alias("n_rows"),
+        (n - F.count("user_id")).alias("null_user_id"),
+        (n - F.count("value")).alias("null_value"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative_values"),
+        F.count(F.when(F.try_parse_json("props").isNull(), 1))
+        .alias("n_bad_props"),
+    )
+
+
+@register("events_gap_stats", """
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(avg(gap_s), 6) AS avg_gap_s
+FROM (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events)
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+""")
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per entity (liveness/heartbeat
+    monitoring): lag over each user's (ts, id)-ordered sequence, epoch-
+    second arithmetic for portable integers, then a per-user rollup. One
+    shuffle on user_id serves both the window and the aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    return (ev.select("user_id",
+                      (sec - F.lag(sec).over(w)).alias("gap_s"))
+            .filter(F.col("gap_s").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.max("gap_s").cast("bigint").alias("max_gap_s"),
+                 F.round(F.avg("gap_s"), 6).alias("avg_gap_s")))

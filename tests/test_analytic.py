@@ -44,6 +44,8 @@ ORACLE_CHECKED = [
     "star_order_keys_concat",
     "dedup_containment",
     "star_market_share",
+    "events_profile_report",
+    "events_gap_stats",
 ]
 
 
