@@ -780,3 +780,60 @@ def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_gaps"),
                  F.max("gap_s").cast("bigint").alias("max_gap_s"),
                  F.round(F.avg("gap_s"), 6).alias("avg_gap_s")))
+
+
+# ---------------------------------------------------------------------------
+# Avro wire-format round trip (SURVEY S2 ungated): producer-encode readings
+# to Avro binary datums, decode with the pure-Python codec, prove identity
+# ---------------------------------------------------------------------------
+
+AVRO_READINGS_SCHEMA = """
+{"namespace": "powerraw", "name": "valueall", "type": "record",
+ "fields": [{"name": "house_id", "type": "string"},
+            {"name": "appliance_name", "type": "string"},
+            {"name": "appliance_id", "type": "string"},
+            {"name": "timestamp", "type": "long"},
+            {"name": "power", "type": "float"}]}
+"""
+
+
+@register("avro_roundtrip_readings", """
+SELECT CAST(user_id AS VARCHAR) AS house_id,
+       event_type AS appliance_name,
+       CAST(user_id AS VARCHAR) || '_' || event_type AS appliance_id,
+       CAST(floor(epoch(ts) * 1000) AS BIGINT) AS timestamp,
+       CAST(value AS REAL) AS power
+FROM events
+""")
+def q_avro_roundtrip_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact wire format (schema.avsc fields, raw binary
+    datums on the Kafka value) produced and consumed without the spark-avro
+    jar: rows encode to Avro bytes with the producer twin and decode back
+    through the Arrow-batched codec — the oracle checks the decoded stream
+    equals the source, i.e. the codec is the identity it claims to be."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from insight_de_smart_grid_spark.sources.avro_codec import (
+        decode_avro_records,
+        encode_record,
+        parse_flat_record_schema,
+    )
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+
+    fields = parse_flat_record_schema(AVRO_READINGS_SCHEMA)
+    readings = readings_view(spark, sf_dir).select(
+        "house_id", "appliance_name", "appliance_id",
+        (F.col("ts").cast("double") * 1000).cast("bigint")
+        .alias("timestamp"),
+        F.col("power").cast("float").alias("power"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            vals = [encode_record(row._asdict(), fields)
+                    for row in pb.itertuples(index=False)]
+            yield pd.DataFrame({"value": vals})
+
+    frames = readings.mapInPandas(enc, "value binary")
+    return decode_avro_records(frames, AVRO_READINGS_SCHEMA)

@@ -46,6 +46,7 @@ ORACLE_CHECKED = [
     "star_market_share",
     "events_profile_report",
     "events_gap_stats",
+    "avro_roundtrip_readings",
 ]
 
 
