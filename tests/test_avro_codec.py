@@ -60,3 +60,51 @@ def test_reference_schema_parses():
     assert [n for n, _ in fields] == [
         "house_id", "appliance_name", "appliance_id", "timestamp", "power"]
     assert dict(fields)["power"] == "float"
+
+
+# ---------------------------------------------------------------------------
+# Property-based conformance (hypothesis): encode∘decode == identity over
+# the full value domains
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FIELDS = [("name", "string"), ("n", "long"), ("d", "double"),
+           ("ok", "boolean"), ("blob", "bytes")]
+
+_records = st.fixed_dictionaries({
+    "name": st.text(max_size=200),
+    "n": st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+    "d": st.floats(allow_nan=False),
+    "ok": st.booleans(),
+    "blob": st.binary(max_size=100),
+})
+
+
+@settings(max_examples=300, deadline=None)
+@given(_records)
+def test_round_trip_property(rec):
+    raw = encode_record(rec, _FIELDS)
+    assert decode_record(raw, _FIELDS) == (
+        rec["name"], rec["n"], rec["d"], rec["ok"], rec["blob"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+def test_zigzag_property(n):
+    assert decode_record(encode_record({"x": n}, LONG_F), LONG_F) == (n,)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_records, min_size=2, max_size=5))
+def test_concatenated_records_decode_in_order(recs):
+    """Datum framing: records decoded sequentially from a concatenated
+    stream recover in order (what a Kafka batch consumer does)."""
+    blob = b"".join(encode_record(r, _FIELDS) for r in recs)
+    pos = 0
+    for r in recs:
+        raw = encode_record(r, _FIELDS)
+        assert blob[pos:pos + len(raw)] == raw
+        pos += len(raw)
+    assert pos == len(blob)
