@@ -837,3 +837,107 @@ def q_avro_roundtrip_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = readings.mapInPandas(enc, "value binary")
     return decode_avro_records(frames, AVRO_READINGS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation: lang filter -> quality cut -> exact dedup
+# -> decontamination -> token packing -> per-shard summary. The composition
+# proof: every stage is an existing operator, chained as one lazy plan.
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators.dedup import (  # noqa: E402
+    drop_exact_dups,
+)
+from insight_de_smart_grid_spark.operators.pipeline import (  # noqa: E402
+    _hash_bucket_sql,
+)
+from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
+    _SW_SQL,
+    QUALITY_SQL,
+    lang_id,
+    quality_score,
+)
+
+_GRAM5 = " || ' ' || ".join(f"t[i+{j}]" for j in range(5))
+_BUCKET = _hash_bucket_sql("CAST(doc_id AS VARCHAR)")
+_SHARD = _hash_bucket_sql("CAST(doc_id AS VARCHAR)", 8)
+
+_PREPARE_SQL = f"""
+WITH qual AS ({QUALITY_SQL}),
+langd AS (
+  SELECT doc_id,
+         CASE WHEN CAST(len(list_filter(string_split_regex(trim(text),
+                        '\\s+'), t -> list_contains({_SW_SQL}, t)))
+                   AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+')) >= 0.02
+              THEN 'en' ELSE 'unknown' END AS lang
+  FROM documents),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN qual q ON d.doc_id = q.doc_id AND q.quality >= 0.5
+  JOIN langd l ON d.doc_id = l.doc_id AND l.lang = 'en'),
+fp AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'))) AS keep_id
+  FROM kept),
+sh AS (
+  SELECT DISTINCT doc_id, {_GRAM5} AS g, {_BUCKET} < 5 AS hold
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+       UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5),
+contaminated AS (
+  SELECT DISTINCT f.doc_id
+  FROM sh f
+  JOIN (SELECT DISTINCT g FROM sh WHERE hold) hg USING (g)
+  WHERE NOT f.hold),
+survivors AS (
+  SELECT k.doc_id, k.text
+  FROM kept k
+  JOIN fp ON k.doc_id = fp.doc_id AND fp.keep_id = k.doc_id
+  LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                                         ORDER BY doc_id)
+                     - n_tokens) / 512) AS INT) AS seq_idx
+  FROM (SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+               {_SHARD} AS shard
+        FROM survivors))
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(max(seq_idx) + 1 AS BIGINT) AS n_sequences,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY shard
+"""
+
+
+@register("pipeline_prepare_training_data", _PREPARE_SQL)
+def q_pipeline_prepare_training_data(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE lazy plan: english + quality >= 0.5
+    -> exact dedup (min-id per normalized fingerprint, within the filtered
+    set) -> drop docs sharing a 5-gram with the holdout slice (flagged over
+    the full corpus, as decontamination must be) -> pack survivors into
+    512-token sequences across 8 shards -> per-shard summary. Catalyst sees
+    one tree: scans fuse, and the dedup semi-join + decontamination
+    anti-join pipeline into the stages a hand-fused job would produce."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (docs
+            .filter(lang_id("text") == "en")
+            .filter(quality_score("text") >= 0.5))
+    deduped = drop_exact_dups(kept)
+    contaminated = _pl.decontaminate(docs).select("doc_id")
+    survivors = deduped.join(contaminated, "doc_id", "left_anti")
+    packed = _pl.pack_sequences(survivors)
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.max("seq_idx") + 1).cast("bigint").alias("n_sequences"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens")))

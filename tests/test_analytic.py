@@ -47,6 +47,7 @@ ORACLE_CHECKED = [
     "events_profile_report",
     "events_gap_stats",
     "avro_roundtrip_readings",
+    "pipeline_prepare_training_data",
 ]
 
 
@@ -311,3 +312,31 @@ def test_containment_catches_embedded_doc(spark):
     jac = {(r.doc_a, r.doc_b): r.jaccard
            for r in dd.ngram_jaccard_pairs(docs, threshold=0.0).collect()}
     assert jac[(1, 2)] < 0.2
+
+
+def test_prepare_training_data_conserves_tokens(spark):
+    """Shard summaries add up: total tokens across shards equals the token
+    count of the survivor set computed independently."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+    from insight_de_smart_grid_spark.operators.dedup import drop_exact_dups
+    from insight_de_smart_grid_spark.operators.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    kept = (docs.filter(lang_id("text") == "en")
+            .filter(quality_score("text") >= 0.5))
+    survivors = (drop_exact_dups(kept)
+                 .join(pl.decontaminate(docs).select("doc_id"),
+                       "doc_id", "left_anti"))
+    want_docs = survivors.count()
+    want_tokens = survivors.select(
+        F.sum(token_count("text")).alias("s")).collect()[0].s
+    out = QUERIES["pipeline_prepare_training_data"].fn(spark, SF_ORACLE)
+    row = out.agg(F.sum("n_docs").alias("d"),
+                  F.sum("total_tokens").alias("t")).collect()[0]
+    assert row.d == want_docs
+    assert row.t == want_tokens
