@@ -941,3 +941,57 @@ def q_pipeline_prepare_training_data(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  (F.max("seq_idx") + 1).cast("bigint").alias("n_sequences"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS (TPC-H Q4 shape) and conditional revenue share over a
+# dimension attribute (Q14 shape)
+# ---------------------------------------------------------------------------
+
+@register("star_priority_with_late_items", """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""")
+def q_star_priority_with_late_items(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table comparison —
+    orders having at least one lineitem shipped >60 days after the order
+    date. Planned as ONE left-semi join carrying the extra non-equi
+    condition; the count happens on the (small) surviving header set."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    cond = ((li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    return (orders.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("star_promo_share", """
+SELECT round(100.0 * sum(CASE WHEN p_name LIKE '%widget%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+         AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""")
+def q_star_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of revenue from one part family — a
+    LIKE predicate on a broadcast dimension feeding a conditional-sum /
+    sum ratio. One broadcast join, one single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.round(100.0 * F.sum(
+                     F.when(F.col("p_name").like("%widget%"), rev)
+                     .otherwise(0.0)) / F.sum(rev), 6).alias("promo_pct"),
+                 F.count(F.lit(1)).alias("n_items")))

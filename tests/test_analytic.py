@@ -48,6 +48,8 @@ ORACLE_CHECKED = [
     "events_gap_stats",
     "avro_roundtrip_readings",
     "pipeline_prepare_training_data",
+    "star_priority_with_late_items",
+    "star_promo_share",
 ]
 
 
@@ -340,3 +342,15 @@ def test_prepare_training_data_conserves_tokens(spark):
                   F.sum("total_tokens").alias("t")).collect()[0]
     assert row.d == want_docs
     assert row.t == want_tokens
+
+
+def test_priority_late_items_single_semi_join(spark):
+    """The correlated EXISTS plans as ONE semi join carrying the non-equi
+    ship-date condition — no nested loop, no second scan of orders."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+
+    plan = (QUERIES["star_priority_with_late_items"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
