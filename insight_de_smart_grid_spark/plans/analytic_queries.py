@@ -527,19 +527,16 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = spark.createDataFrame(_ENRICH_LABELS,
                                    "appliance_name string, label string")
-    name = f"sse_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        plan = static_enrich_totals_plan(
-            parquet_stream_source(spark, f"{sf_dir}/events.parquet"), labels)
-        q = (plan.writeStream.outputMode("complete")
-             .format("memory").queryName(name)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        run_complete_mode,
+    )
+
+    return run_complete_mode(
+        spark,
+        lambda: static_enrich_totals_plan(
+            parquet_stream_source(spark, f"{sf_dir}/events.parquet"),
+            labels),
+        query_name=f"sse_{uuid.uuid4().hex[:8]}")
 
 
 @register("streaming_upsert_compaction", """
@@ -560,11 +557,15 @@ def q_streaming_upsert_compaction(spark: SparkSession,
         upsert_compaction_stream,
     )
 
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        read_upsert_snapshot,
+    )
+
     base = tempfile.mkdtemp(prefix="upsert_")
     upsert_compaction_stream(spark, f"{sf_dir}/events.parquet",
                              snapshot_dir=f"{base}/snapshot",
                              checkpoint_dir=f"{base}/ck")
-    return spark.read.parquet(f"{base}/snapshot")
+    return read_upsert_snapshot(spark, f"{base}/snapshot")
 
 
 # ---------------------------------------------------------------------------

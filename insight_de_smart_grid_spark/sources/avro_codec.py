@@ -76,6 +76,8 @@ def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     acc = 0
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint")
         b = data[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -105,25 +107,41 @@ def encode_record(values: dict, fields: list[tuple[str, str]]) -> bytes:
     return bytes(out)
 
 
-def decode_record(data: bytes, fields: list[tuple[str, str]]) -> tuple:
+def decode_record(data: bytes, fields: list[tuple[str, str]],
+                  strict: bool = True) -> tuple:
+    """Decode one datum. Fails LOUD on malformed input: a truncated buffer
+    or trailing garbage raises instead of yielding plausible-looking wrong
+    rows (a corrupt Kafka message must surface as an error, not silently
+    pollute the decoded stream)."""
     pos = 0
     vals = []
-    for _, typ in fields:
+    for name, typ in fields:
         if typ in ("long", "int"):
             v, pos = _zigzag_decode(data, pos)
         elif typ in ("string", "bytes"):
             n, pos = _zigzag_decode(data, pos)
+            if n < 0 or pos + n > len(data):
+                raise ValueError(
+                    f"truncated datum: field {name!r} declares {n} bytes "
+                    f"but only {len(data) - pos} remain")
             raw = data[pos:pos + n]
             pos += n
             v = raw.decode("utf-8") if typ == "string" else raw
         elif typ == "boolean":
+            if pos >= len(data):
+                raise ValueError(f"truncated datum at field {name!r}")
             v = data[pos] == 1
             pos += 1
         else:
             fmt, width = _PRIMITIVE_STRUCT[typ]
+            if pos + width > len(data):
+                raise ValueError(f"truncated datum at field {name!r}")
             v = struct.unpack_from(fmt, data, pos)[0]
             pos += width
         vals.append(v)
+    if strict and pos != len(data):
+        raise ValueError(
+            f"{len(data) - pos} trailing bytes after the last field")
     return tuple(vals)
 
 

@@ -53,7 +53,14 @@ def _list_channel_files(root: str) -> list[str]:
 
 def _parse_file(path: str):
     """Yield (ts, power, house_id, channel_idx) rows from one channel file.
-    Runs on an executor; never loads the whole file into memory."""
+    Streams line-by-line (the batch reader never holds a whole file).
+
+    Dirty-data policy is IDENTICAL to ``files.read_redd_channels`` (P11:
+    ``coalesce(try_cast(c AS double), 0.0)``): any unparsable timestamp or
+    power coerces to 0.0 — embedded headers become an epoch-0 row, exactly
+    as the CSV path emits them — so the two REDD surfaces are row-for-row
+    interchangeable. Only blank lines are skipped (the CSV reader drops
+    them too)."""
     import re
     from datetime import datetime, timezone
 
@@ -61,19 +68,20 @@ def _parse_file(path: str):
     m_chan = re.search(r"channel_(\d+)", path)
     house = m_house.group(1) if m_house else "unknown"
     chan = int(m_chan.group(1)) if m_chan else -1
+
+    def num(s: str) -> float:
+        try:
+            return float(s)
+        except ValueError:
+            return 0.0
+
     with open(path) as fh:
         for line in fh:
             parts = line.split()
-            if len(parts) < 2:
-                continue
-            try:
-                ts_s = float(parts[0])
-            except ValueError:
-                continue  # embedded header / corrupt line
-            try:
-                power = float(parts[1])
-            except ValueError:
-                power = 0.0  # producer's non-numeric policy
+            if not parts:
+                continue  # blank line (CSV reader drops these too)
+            ts_s = num(parts[0])
+            power = num(parts[1]) if len(parts) > 1 else 0.0
             ts = datetime.fromtimestamp(ts_s, tz=timezone.utc) \
                 .replace(tzinfo=None)
             yield ts, power, house, chan
@@ -98,34 +106,46 @@ class ReddBatchReader(DataSourceReader):
 
 
 class ReddStreamReader(SimpleDataSourceStreamReader):
-    """Incremental replay: offset = number of channel files fully consumed
-    (files are a stable sorted list; each ``read`` drains every file not yet
-    committed, so late-arriving files are picked up next trigger). The
-    offset is a plain dict, so checkpoints restart exactly where they
-    stopped."""
+    """Incremental replay with BY-NAME offsets: the offset records the
+    sorted list of consumed file paths (relative to the root), so a
+    late-arriving file is picked up on the next trigger regardless of where
+    it sorts — a count-based offset would silently skip a file that sorts
+    into the consumed prefix and re-emit ones after it. Offsets are plain
+    JSON; checkpoints restart exactly where they stopped.
+
+    Scale note: SimpleDataSourceStreamReader runs on the driver by API
+    contract (Spark ships rows from here), so this replay path is for
+    low-volume simulation feeds — the reference's producer role. The
+    partition-per-file BATCH reader is the parallel scale path."""
 
     def __init__(self, options):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("redd source requires a path")
 
+    def _rel(self, p: str) -> str:
+        return str(Path(p).relative_to(self.root))
+
     def initialOffset(self):
-        return {"files_done": 0}
+        return {"consumed": []}
 
     def read(self, start):
         # materialized list, not a generator: the prefetch cache copies the
         # returned iterator (copy.copy) for checkpoint replay
-        files = _list_channel_files(self.root)
-        i = start["files_done"]
-        if i >= len(files):
+        seen = set(start["consumed"])
+        pending = [p for p in _list_channel_files(self.root)
+                   if self._rel(p) not in seen]
+        if not pending:
             return [], start
-        rows = [r for p in files[i:] for r in _parse_file(p)]
-        return rows, {"files_done": len(files)}
+        rows = [r for p in pending for r in _parse_file(p)]
+        consumed = sorted(seen | {self._rel(p) for p in pending})
+        return rows, {"consumed": consumed}
 
     def readBetweenOffsets(self, start, end):
-        files = _list_channel_files(self.root)
-        for p in files[start["files_done"]:end["files_done"]]:
-            yield from _parse_file(p)
+        new = set(end["consumed"]) - set(start["consumed"])
+        for p in _list_channel_files(self.root):
+            if self._rel(p) in new:
+                yield from _parse_file(p)
 
 
 class ReddDataSource(DataSource):

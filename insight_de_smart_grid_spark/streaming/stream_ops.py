@@ -105,19 +105,15 @@ def top_appliances_stream_plan(readings_stream: DataFrame,
             .limit(k))
 
 
-def run_complete_mode_topk(spark, parquet_path: str, to_readings,
-                           query_name: str, k: int = 10) -> DataFrame:
-    """Drain the complete-mode top-K over a parquet replay; memory sink is
-    the natural complete-mode target (it holds the last full result)."""
-    from insight_de_smart_grid_spark.streaming.replay import (
-        parquet_stream_source,
-    )
+def run_complete_mode(spark, plan_fn, query_name: str,
+                      state_partitions: int = 8) -> DataFrame:
+    """Drain any complete-mode plan into a memory sink (it holds the last
+    full result) with the state shuffle sized and the session conf
+    restored — the one shared copy of the drain boilerplate."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        plan = top_appliances_stream_plan(
-            to_readings(parquet_stream_source(spark, parquet_path)), k=k)
-        q = (plan.writeStream.outputMode("complete")
+        q = (plan_fn().writeStream.outputMode("complete")
              .format("memory").queryName(query_name)
              .trigger(availableNow=True)
              .start())
@@ -125,6 +121,19 @@ def run_complete_mode_topk(spark, parquet_path: str, to_readings,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
+
+
+def run_complete_mode_topk(spark, parquet_path: str, to_readings,
+                           query_name: str, k: int = 10) -> DataFrame:
+    """Complete-mode top-K over a parquet replay."""
+    from insight_de_smart_grid_spark.streaming.replay import (
+        parquet_stream_source,
+    )
+    return run_complete_mode(
+        spark,
+        lambda: top_appliances_stream_plan(
+            to_readings(parquet_stream_source(spark, parquet_path)), k=k),
+        query_name)
 
 
 def purchase_click_left_stream_plan(events_stream: DataFrame,
@@ -161,11 +170,13 @@ def purchase_click_left_stream_plan(events_stream: DataFrame,
                    AND click_ts > purchase_ts - INTERVAL {lookback}
                    AND click_ts <= purchase_ts"""),
         "leftOuter")
-    # user_id != -1 drops the flush sentinel if it ever surfaces (its own
-    # windowed rows are normally held behind the final watermark)
-    return (joined.filter(F.col("user_id") != -1)
-            .select("user_id", "purchase_id", "purchase_ts",
-                    "click_id", "click_ts"))
+    # No sentinel filter needed (and one would break batch parity for real
+    # -1/NULL user ids): the flush sentinel's ts exceeds every real event
+    # by the margin, so as a purchase its null-extended row stays behind
+    # the final watermark forever, and as a click its ts matches no
+    # purchase within the lookback.
+    return joined.select("user_id", "purchase_id", "purchase_ts",
+                         "click_id", "click_ts")
 
 
 def static_enrich_totals_plan(events_stream: DataFrame,
@@ -192,12 +203,18 @@ def upsert_compaction_stream(spark, parquet_path: str,
     idempotent-sink pattern for feeding a serving table from a CDC stream.
 
     The merge is latest_compaction over (current snapshot UNION batch),
-    staged to a fresh directory and atomically swapped in, so a crash
-    mid-write leaves the previous snapshot intact and the checkpointed
-    batch replays cleanly (same input -> same merged output = effectively
-    exactly-once). On a real deployment the swap is a Delta/Iceberg MERGE;
-    the dataflow inside foreachBatch is identical."""
+    written to a NEW versioned directory; a one-line pointer file then
+    flips to it via ``os.replace`` — the only mutation of shared state is
+    that single atomic rename, so a crash at ANY instant leaves the
+    pointer on a complete earlier version (a dir-rename swap would have a
+    window between "old moved away" and "new moved in" that loses the
+    snapshot). Checkpoint replay of a batch recomputes the same merge =
+    effectively exactly-once. On a real deployment this is a Delta/Iceberg
+    MERGE (same pointer-flip idea, their transaction log); the dataflow
+    inside foreachBatch is identical."""
+    import os
     import shutil
+    import tempfile
     from pathlib import Path
 
     from insight_de_smart_grid_spark.operators.pipeline import (
@@ -210,24 +227,39 @@ def upsert_compaction_stream(spark, parquet_path: str,
     cols = ("user_id", "event_type", "ts", "value")
     stream = (normalize_event_ts(parquet_stream_source(spark, parquet_path))
               .select(*cols))
+    root = Path(snapshot_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    pointer = root / "CURRENT"
 
     def upsert(batch_df, batch_id: int) -> None:
-        snap = Path(snapshot_dir)
-        if snap.exists():
+        current = (pointer.read_text().strip()
+                   if pointer.exists() else None)
+        if current and (root / current).exists():
             merged = latest_compaction(
-                spark.read.parquet(str(snap)).unionByName(
+                spark.read.parquet(str(root / current)).unionByName(
                     batch_df.select(*cols)))
         else:
             merged = latest_compaction(batch_df.select(*cols))
-        staging = f"{snapshot_dir}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{snapshot_dir}__old_{batch_id}"
-        if snap.exists():
-            snap.rename(old)
-        Path(staging).rename(snap)
-        shutil.rmtree(old, ignore_errors=True)
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(str(root / version))
+        fd, tmp = tempfile.mkstemp(dir=root, prefix=".ptr_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, pointer)          # the one atomic mutation
+        if current and current != version:
+            shutil.rmtree(root / current, ignore_errors=True)
 
     q = (stream.writeStream.foreachBatch(upsert)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def read_upsert_snapshot(spark, snapshot_dir: str):
+    """Current contents of an ``upsert_compaction_stream`` snapshot (follows
+    the pointer file)."""
+    from pathlib import Path
+
+    root = Path(snapshot_dir)
+    version = (root / "CURRENT").read_text().strip()
+    return spark.read.parquet(str(root / version))

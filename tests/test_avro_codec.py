@@ -54,6 +54,20 @@ def test_round_trip_edge_values():
                        rec["blob"])
 
 
+def test_truncated_and_trailing_input_fail_loud():
+    import pytest
+
+    fields = [("s", "string"), ("n", "long")]
+    raw = encode_record({"s": "hello", "n": 42}, fields)
+    with pytest.raises(ValueError):
+        decode_record(raw[:-1], fields)          # truncated varint/body
+    with pytest.raises(ValueError):
+        decode_record(raw + b"\x00", fields)     # trailing garbage
+    with pytest.raises(ValueError):
+        # length prefix claims more bytes than exist
+        decode_record(b"\x20hi", [("s", "string")])
+
+
 def test_reference_schema_parses():
     sch = Path("/root/reference/stream_processing/schema.avsc").read_text()
     fields = parse_flat_record_schema(sch)

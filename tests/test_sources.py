@@ -216,3 +216,30 @@ def test_redd_datasource_stream_replays_incrementally(spark, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination()
     assert spark.table(name + "_b").count() in (0, 6)
+
+
+def test_redd_datasource_matches_csv_reader_on_dirty_file(spark, tmp_path):
+    """The pluggable source and the CSV path are row-for-row
+    interchangeable, INCLUDING the dirty-data policy: embedded headers and
+    non-numeric cells coerce to 0.0 on both surfaces."""
+    import os
+
+    from insight_de_smart_grid_spark.sources.files import read_redd_channels
+    from insight_de_smart_grid_spark.sources.redd_source import ReddDataSource
+
+    d = tmp_path / "house_9"
+    d.mkdir()
+    (d / "channel_3.dat").write_text(
+        "1303132929 4.15\n"
+        "timestamp power\n"        # embedded header -> epoch-0, 0.0
+        "1303132930 notanum\n"     # bad power -> 0.0
+        "1303132931 7.5\n")
+    spark.dataSource.register(ReddDataSource)
+    via_source = {tuple(r) for r in
+                  spark.read.format("redd").load(str(tmp_path)).collect()}
+    via_csv = {tuple(r) for r in
+               read_redd_channels(
+                   spark, str(tmp_path / "*" / "*.dat"))
+               .select("ts", "power", "house_id", "channel_idx").collect()}
+    assert via_source == via_csv
+    assert len(via_source) == 4

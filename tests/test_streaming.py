@@ -411,9 +411,13 @@ def test_foreachbatch_upsert_is_incremental(spark, tmp_path):
 
     snap = str(tmp_path / "snap")
     ck = str(tmp_path / "ck")
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        read_upsert_snapshot,
+    )
+
     upsert_compaction_stream(spark, str(src), snapshot_dir=snap,
                              checkpoint_dir=ck)
-    assert spark.read.parquet(snap).count() == 3
+    assert read_upsert_snapshot(spark, snap).count() == 3
 
     ev2 = spark.createDataFrame(
         [(1, "click", "2024-01-01 11:00:00", 9.0),   # newer -> replaces
@@ -429,7 +433,7 @@ def test_foreachbatch_upsert_is_incremental(spark, tmp_path):
     upsert_compaction_stream(spark, str(src), snapshot_dir=snap,
                              checkpoint_dir=ck)
     got = {(r.user_id, r.event_type): (r.ts, r.value)
-           for r in spark.read.parquet(snap).collect()}
+           for r in read_upsert_snapshot(spark, snap).collect()}
     want = {(r.user_id, r.event_type): (r.ts, r.value)
             for r in latest_compaction(ev.unionByName(ev2)).collect()}
     assert got == want
