@@ -170,26 +170,32 @@ def incremental_dedup(incoming: DataFrame, corpus: DataFrame,
     obvious non-dups before the shuffle."""
     idx = (corpus.select(fingerprint(text_col).alias("fp"))
            .distinct())
+    # survivors keep EVERY incoming column (callers' schemas vary); the
+    # fingerprint is internal plumbing and never leaks into the output
     return (incoming
-            .withColumn("fp", fingerprint(text_col))
-            .join(idx, "fp", "left_anti")
-            .select(id_col, "source"))
+            .withColumn("__fp", fingerprint(text_col))
+            .join(idx.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
+            .drop("__fp"))
 
 
 def incremental_dedup_oracle_sql(split_pct: int = 80) -> str:
     """Oracle for the registered query: corpus = hash slice < split_pct,
-    incoming = the rest."""
-    b = ("CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
-         "AS INT) % 100")
+    incoming = the rest. The bucket expression is the SHARED
+    ``_hash_bucket_sql`` helper, so engine and oracle can never drift."""
+    from insight_de_smart_grid_spark.operators.pipeline import (
+        _hash_bucket_sql,
+    )
+
+    b = _hash_bucket_sql("CAST(doc_id AS VARCHAR)")
     return rf"""
 WITH fps AS (
-  SELECT doc_id, source,
+  SELECT *,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          {b} AS b
   FROM documents
 ),
 idx AS (SELECT DISTINCT fp FROM fps WHERE b < {split_pct})
-SELECT doc_id, source
+SELECT doc_id, text, lang, source, n_chars
 FROM fps
 WHERE b >= {split_pct} AND fp NOT IN (SELECT fp FROM idx)
 """
@@ -297,6 +303,13 @@ def dup_clusters(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
         labels = new.select("node", "lbl")
         if changed == 0:
             break
+    else:
+        # silent unconverged labels would split true clusters — fail loud
+        # (near-dup components are dense; hitting this means a chain-shaped
+        # graph that needs a larger max_rounds or the large-star variant)
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_rounds} rounds "
+            f"({changed} labels still moving)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 
@@ -370,7 +383,13 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
     no re-hash): candidacy stays bit-for-bit reproducible by an external
     oracle, and the join keys remain fixed-width scalars, which an array
     or re-hashed key would either slow down or make collision-fuzzy."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into bands "
+            f"({bands}) — a remainder would silently drop minhashes and "
+            "change the band geometry the caller asked for")
     rows = n_hashes // bands
+
     def packed(b: int) -> list[Column]:
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         out = []

@@ -185,7 +185,10 @@ def latest_compaction(events: DataFrame,
     history."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+    # value DESC tie-break: two records with identical (key, ts) would
+    # otherwise leave the survivor to partition order — nondeterministic
+    # across runs and engines
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc("value"))
     return (events.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(*keys, ts_col, "value"))
@@ -196,7 +199,7 @@ def latest_compaction_oracle_sql() -> str:
 SELECT user_id, event_type, ts, value
 FROM (SELECT user_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts DESC) AS rn
+                                ORDER BY ts DESC, value DESC) AS rn
       FROM events)
 WHERE rn = 1
 """

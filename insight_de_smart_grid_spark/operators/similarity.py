@@ -122,14 +122,28 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
                     F.round(F.col("raw_sim"), 6).alias("cos_sim")))
 
 
-def cosine_pairs_oracle_sql(threshold: float = 0.9) -> str:
+def cosine_pairs_oracle_sql(threshold: float = 0.9, n_tables: int = 16,
+                            n_planes: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of ``cosine_pairs_blocked`` INCLUDING the LSH candidacy
+    (same ``_sigs_ctes`` plane matrix): a brute-force oracle would flag the
+    engine for the ~1e-3 boundary pairs LSH is designed to trade away, so
+    the bucketing is part of the checked contract — exactly like the
+    lsh_ann_topk / hard-negative oracles."""
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      >= {threshold}
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand
+JOIN embeddings ea ON cand.vec_a = ea.vec_id
+JOIN embeddings eb ON cand.vec_b = eb.vec_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= {threshold}
 """
 
 
@@ -237,8 +251,12 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     touches nprobe/n_centroids of the corpus — the IVF scale contract."""
     cents, assigned = ivf_assignments(embeddings, n_centroids,
                                       vec_col=vec_col, id_col=id_col)
-    qrow = (assigned.filter(F.col(id_col) == query_vec_id)
-            .select("v").head())
+    # query vector read from the BASE table: going through `assigned`
+    # would run the whole-corpus cluster UDF just to fetch one row
+    qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(F.col(vec_col).cast("array<double>")).head())
+    if qrow is None:
+        raise ValueError(f"query_vec_id {query_vec_id} not found")
     qv = np.asarray(qrow[0], dtype=np.float64)
     qn = qv / np.linalg.norm(qv)
     probes = [int(c) for c in (cents @ qn).argsort()[::-1][:nprobe]]

@@ -451,18 +451,21 @@ def pmi_bigrams(docs: DataFrame, text_col: str = "text", min_count: int = 20,
             .filter(F.size("t") >= 2))
     uni = (toks.select(F.explode("t").alias("tok"))
            .groupBy("tok").agg(F.count("*").alias("c_tok")))
+    # tokens cannot contain spaces (split on \s+), so ' ' is a
+    # collision-free bigram separator — '_' was not (underscore-bearing
+    # tokens would mis-split on recovery)
     big = (toks.select(F.explode(
                F.zip_with(F.slice("t", 1, F.size("t") - 1),
                           F.slice("t", 2, F.size("t") - 1),
-                          lambda a, b: F.concat_ws("_", a, b))).alias("bg"))
+                          lambda a, b: F.concat_ws(" ", a, b))).alias("bg"))
            .groupBy("bg").agg(F.count("*").alias("c_bg")))
     n_uni = uni.agg(F.sum("c_tok").alias("n_uni"))
     n_big = big.agg(F.sum("c_bg").alias("n_big"))
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
     scored = (big.filter(F.col("c_bg") >= min_count)
-              .withColumn("tok_a", F.split("bg", "_").getItem(0))
-              .withColumn("tok_b", F.split("bg", "_").getItem(1))
+              .withColumn("tok_a", F.split("bg", " ").getItem(0))
+              .withColumn("tok_b", F.split("bg", " ").getItem(1))
               .join(F.broadcast(ua), "tok_a")
               .join(F.broadcast(ub), "tok_b")
               .join(F.broadcast(n_uni)).join(F.broadcast(n_big))
@@ -478,7 +481,8 @@ def pmi_bigrams(docs: DataFrame, text_col: str = "text", min_count: int = 20,
 def pmi_bigrams_oracle_sql(min_count: int = 20, top_n: int = 30) -> str:
     return f"""
 WITH toks AS (
-  SELECT list_filter(string_split(text, ' '), t -> t != '') AS t
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     t -> t != '') AS t
   FROM documents
 ), toks2 AS (
   SELECT t FROM toks WHERE len(t) >= 2
@@ -488,7 +492,7 @@ WITH toks AS (
   SELECT tok, count(*) AS c_tok FROM uni GROUP BY 1
 ), big AS (
   SELECT unnest(list_transform(range(1, len(t)),
-                i -> t[CAST(i AS INT)] || '_' || t[CAST(i AS INT) + 1]))
+                i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))
          AS bg
   FROM toks2
 ), bigc AS (
@@ -500,8 +504,8 @@ SELECT bg AS bigram, c_bg,
                 / ((ua.c_tok / n_uni.n_uni) * (ub.c_tok / n_uni.n_uni))), 6)
        AS pmi
 FROM bigc, n_uni, n_big
-JOIN unic ua ON ua.tok = string_split(bg, '_')[1]
-JOIN unic ub ON ub.tok = string_split(bg, '_')[2]
+JOIN unic ua ON ua.tok = string_split(bg, ' ')[1]
+JOIN unic ub ON ub.tok = string_split(bg, ' ')[2]
 WHERE c_bg >= {min_count}
 ORDER BY pmi DESC, bigram ASC
 LIMIT {top_n}

@@ -543,7 +543,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_type, ts, value
 FROM (SELECT user_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts DESC) AS rn
+                                ORDER BY ts DESC, value DESC) AS rn
       FROM events)
 WHERE rn = 1
 """)

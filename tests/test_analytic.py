@@ -354,3 +354,49 @@ def test_priority_late_items_single_semi_join(spark):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_signatures_matches_fused_pipeline(spark):
+    """The standalone signature builder and the fused signature+verify-set
+    aggregation inside minhash_lsh_near_dups compute IDENTICAL minhashes —
+    the sync guard that keeps the two copies of the affine formula honest."""
+    docs = load_table(spark, SF_ORACLE, "documents").limit(50)
+    from insight_de_smart_grid_spark.operators.dedup import (
+        _MINHASH_P,
+        _minhash_ab,
+        minhash_signatures,
+        portable_hash60,
+        word_ngrams,
+    )
+
+    standalone = {r.doc_id: tuple(r)[1:] for r in
+                  minhash_signatures(docs, n_hashes=8).collect()}
+    sh = (word_ngrams(docs, 3)
+          .select(F.col("doc_id"), portable_hash60(F.col("g")).alias("gh")))
+    x = F.col("gh") % F.lit(_MINHASH_P)
+    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            .alias(f"mh{i}") for i, (a, b) in enumerate(_minhash_ab(8))]
+    fused = {r.doc_id: tuple(r)[1:]
+             for r in sh.groupBy("doc_id").agg(*mins).collect()}
+    assert standalone == fused
+
+
+def test_dup_clusters_raises_when_unconverged(spark):
+    """A 5-node chain cannot converge in 1 round — must fail loud, not
+    return split clusters."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dd.dup_clusters(pairs, max_rounds=1)
+
+
+def test_ivf_missing_query_id_raises(spark):
+    import pytest
+
+    from insight_de_smart_grid_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="not found"):
+        ivf_ann_topk(emb, query_vec_id=10 ** 9)
