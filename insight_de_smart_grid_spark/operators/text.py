@@ -97,6 +97,44 @@ def with_bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept dialect-portable: the same source text compiles under
+# Java regex (Spark) and RE2 (DuckDB) with identical semantics — no
+# backrefs, no lookaround, bounded repetition only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(col: Column | str,
+               patterns: dict[str, str] = PII_PATTERNS) -> list[Column]:
+    """One count column per PII class. Counted as regex-split segments minus
+    one — ``regexp_extract_all`` needs a capture group and DuckDB's twin
+    (``string_split_regex``) has identical split semantics, so the split form
+    is the portable one."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        (F.size(F.split(c, pat)) - F.lit(1)).alias(f"n_{name}")
+        for name, pat in patterns.items()
+    ]
+
+
+def redact_pii(col: Column | str,
+               patterns: dict[str, str] = PII_PATTERNS) -> Column:
+    """Replace every PII match with a typed placeholder token.
+
+    Pure chained ``regexp_replace`` — JVM codegen, no UDF, runs at scan
+    speed. Classes are applied in dict order; the shipped patterns are
+    disjoint (emails keep their '@', phones are dash-separated, IPs
+    dot-separated) so order does not change the result.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in patterns.items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stats projection used by quality filtering in a training-data pipeline."""
     toks = tokens(text_col)

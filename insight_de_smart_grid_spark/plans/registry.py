@@ -69,3 +69,5 @@ from insight_de_smart_grid_spark.plans import star_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import extension_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import advanced_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import analytic_queries  # noqa: E402,F401
+from insight_de_smart_grid_spark.plans import tpch_shapes  # noqa: E402,F401
+from insight_de_smart_grid_spark.plans import sketch_queries  # noqa: E402,F401

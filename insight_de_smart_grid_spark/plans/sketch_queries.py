@@ -1,0 +1,130 @@
+"""Mergeable-sketch rollup and data-governance (PII) queries.
+
+Two capabilities a reference user gets from Druid/enterprise tooling that the
+engine must own directly:
+
+- **Sketch rollup** (Druid metricsSpec parity): COUNT DISTINCT over a rollup
+  table via stored HLL sketches, unioned at query time. The registered query
+  validates the two-phase sketch path against the exact count inside the same
+  plan, so the driver's exact-match oracle still applies.
+- **PII redaction** (training-data governance): regex classes counted and
+  replaced JVM-side. The corpus fixture is synthetic word-salad with no real
+  PII, so the registered query *plants* deterministic PII derived from
+  ``doc_id`` (identically in Spark and DuckDB) and proves detection,
+  counting, and redaction end-to-end by hashing the redacted text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.sketches import (
+    hll_reaggregate,
+    hll_rollup,
+)
+from insight_de_smart_grid_spark.operators.text import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+)
+from insight_de_smart_grid_spark.plans.registry import register
+from insight_de_smart_grid_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup: hour sketches -> day union, checked against exact
+# ---------------------------------------------------------------------------
+
+@register("rollup_hll_distinct", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+       count(DISTINCT user_id) AS exact_distinct,
+       count(*) AS cnt,
+       TRUE AS within_tol
+FROM events
+GROUP BY 1
+""")
+def q_rollup_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day, two ways in one plan: (a) exact
+    countDistinct from raw, (b) hour-bucket HLL sketches unioned to days
+    (`operators/sketches.py` — the path a 100 TB deployment uses, since the
+    sketches live in the rollup table and raw is never re-scanned).
+    ``within_tol`` asserts the sketch estimate is within 5% of exact —
+    a broken sketch/union/estimate path flips it to false and fails the
+    driver's hash check against the oracle's constant TRUE."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = hll_rollup(events, "user_id", bucket="hour")
+    daily_est = hll_reaggregate(hourly, bucket="day")
+    exact = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_ts"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        daily_est.join(exact, "bucket_ts")
+        .select(
+            "bucket_ts", "exact_distinct", "cnt",
+            (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+             <= F.lit(0.05) * F.col("exact_distinct")).alias("within_tol"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction over planted deterministic PII
+# ---------------------------------------------------------------------------
+
+def _planted_sql() -> str:
+    return (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com "
+        "ph 555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || "
+        "'-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') || "
+        "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 3) % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 5) % 256 AS VARCHAR)"
+    )
+
+
+_PII_ORACLE = f"""
+WITH planted AS (
+    SELECT doc_id, {_planted_sql()} AS ptext FROM documents
+)
+SELECT doc_id,
+       len(string_split_regex(ptext, '{PII_PATTERNS["email"]}')) - 1
+           AS n_email,
+       len(string_split_regex(ptext, '{PII_PATTERNS["phone"]}')) - 1
+           AS n_phone,
+       len(string_split_regex(ptext, '{PII_PATTERNS["ipv4"]}')) - 1
+           AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+           '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+           '{PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+           '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+@register("text_pii_redaction", _PII_ORACLE)
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + count + redact three PII classes (`operators/text.py::
+    redact_pii`). The corpus has no organic PII, so the query appends a
+    deterministic doc_id-derived email/phone/IP to each document before
+    scanning — both engines plant byte-identical strings, making the
+    redacted-text md5 an exact cross-engine check of the full regex path.
+    Pure chained regexp_replace: scan-speed, shuffle-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), d.cast("string"), F.lit("@example.com ph 555-"),
+            F.lpad(((d * 7) % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(((d * 13) % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (d % 256).cast("string"), F.lit("."),
+            ((d * 3) % 256).cast("string"), F.lit("."),
+            ((d * 5) % 256).cast("string"),
+        ).alias("ptext"))
+    email, phone, ipv4 = pii_counts("ptext")
+    return planted.select(
+        "doc_id",
+        email.alias("n_email"), phone.alias("n_phone"), ipv4.alias("n_ipv4"),
+        F.md5(redact_pii("ptext")).alias("redacted_md5"))

@@ -1,0 +1,107 @@
+"""Tests for the TPC-H join-shape module (Q5/Q6/Q10/Q13/Q15/Q16/Q17/Q19/
+Q21/Q22 analogs), the HLL sketch rollup, and PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.sketches import (
+    hll_reaggregate,
+    hll_rollup,
+)
+from insight_de_smart_grid_spark.operators.text import redact_pii
+from insight_de_smart_grid_spark.plans.registry import QUERIES
+from insight_de_smart_grid_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import check_registered
+
+ORACLE_CHECKED = [
+    "star_local_supplier_volume",
+    "star_returned_items",
+    "star_order_count_distribution",
+    "star_top_supplier",
+    "star_parts_supplier_counts",
+    "star_small_qty_revenue",
+    "star_disjunctive_revenue",
+    "star_late_sole_supplier",
+    "star_sales_opportunity",
+    "star_forecast_revenue",
+    "rollup_hll_distinct",
+    "text_pii_redaction",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_tpch_shape_matches_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
+
+
+def test_q13_keeps_zero_order_customers(spark):
+    """The outer-join-with-ON-predicate semantics: the distribution must
+    contain a c_count=0 bucket (customers whose orders are all excluded or
+    absent) — a WHERE-clause formulation would lose it."""
+    out = QUERIES["star_order_count_distribution"].fn(spark, SF_ORACLE)
+    zero = out.where(F.col("c_count") == 0).collect()
+    assert zero and zero[0].n_customers > 0
+
+
+def test_q19_part_filter_pushed_into_broadcast_side(spark):
+    """Catalyst must factor the common brand-membership predicate out of the
+    OR and push it below the join: the part-side scan carries a pushed
+    filter, and the join is a broadcast hash join (fact never shuffles)."""
+    plan = QUERIES["star_disjunctive_revenue"].fn(
+        spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_predicates_reach_scan(spark):
+    """All Q6 predicates are pushable: the lineitem scan node itself must
+    carry shipdate/discount/quantity in PushedFilters."""
+    df = QUERIES["star_forecast_revenue"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan, plan
+    pushed = " ".join(scan)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_hll_union_matches_direct_sketch(spark):
+    """Mergeability: hour sketches unioned to a day estimate what a direct
+    day-level sketch estimates (identical sketch family + lg_k)."""
+    events = load_table(spark, SF_ORACLE, "events")
+    via_hours = hll_reaggregate(
+        hll_rollup(events, "user_id", bucket="hour"), bucket="day")
+    direct = (
+        events.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"))
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))).alias("direct_est"))
+    )
+    joined = via_hours.join(direct, "bucket_ts").collect()
+    assert joined
+    for r in joined:
+        assert r.approx_distinct == r.direct_est, r
+
+
+def test_redact_pii_on_organic_text(spark):
+    """The operator (not the planted query) on real strings: every class
+    replaced, non-PII text untouched."""
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.org now",),
+         ("call 415-555-0199 or 020-7946-0958x",),
+         ("host 192.168.0.1 up",),
+         ("nothing here",)], ["t"])
+    out = [r.r for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert out[0] == "mail <EMAIL> now"
+    assert "<PHONE>" in out[1] and "415" not in out[1]
+    assert out[2] == "host <IPV4> up"
+    assert out[3] == "nothing here"
+
+
+def test_q15_returns_single_max_supplier(spark):
+    out = QUERIES["star_top_supplier"].fn(spark, SF_ORACLE).collect()
+    assert len(out) >= 1
+    revs = {r.total_revenue for r in out}
+    assert len(revs) == 1  # everyone returned ties the max
