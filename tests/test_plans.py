@@ -290,3 +290,38 @@ def test_quantile_threshold_broadcasts_no_window(spark):
     assert "BroadcastHashJoin" in p, p
     # \b keeps 'percentile(' (the agg we WANT) from matching 'ntile('
     assert "Window" not in p and not re.search(r"\bntile\(", p), p
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """Runtime row-level filtering: when a shuffle join has a selective
+    build side, Catalyst injects a bloom filter on the probe side so the
+    fact shuffle only carries rows that can match — the free 100 TB
+    optimization this engine relies on for fact⋈filtered-dim joins."""
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # at production scale the fact side is always over the default 10GB
+        # gate; at sf0.01 it isn't, so drop the gate to exercise the rule
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_ORACLE, "orders").where(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 400000")
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority").count()
+        p = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in p, p[:4000]
+        assert "might_contain" in p, p[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
