@@ -542,3 +542,41 @@ SELECT doc_id,
        AS n_chunk_chars
 FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order randomization)
+# ---------------------------------------------------------------------------
+
+def global_shuffle(docs: DataFrame, seed: str = "ep0", n_shards: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign every doc a shard and an in-shard position from a seeded hash:
+    the distributed form of "shuffle the training set each epoch".
+
+    One shuffle on the (uniform) shard key; each shard orders its own rows
+    by the hash via a per-shard window — no global sort, no single-partition
+    bottleneck, and a new ``seed`` reshuffles without touching the data.
+    Consumers read shards in index order and rows in ``pos`` order.
+    """
+    from pyspark.sql import Window
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
+             % n_shards)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        docs.select(id_col, key.alias("shuffle_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def global_shuffle_oracle_sql(seed: str = "ep0", n_shards: int = 8) -> str:
+    key = f"md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR)))"
+    shard = (f"CAST(concat('0x', substring({key}, 1, 4)) AS INT) "
+             f"% {n_shards}")
+    return f"""
+SELECT doc_id, {key} AS shuffle_key, {shard} AS shard,
+       CAST(row_number() OVER (PARTITION BY {shard}
+                               ORDER BY {key}, doc_id) AS BIGINT) AS pos
+FROM documents
+"""

@@ -135,6 +135,22 @@ def redact_pii(col: Column | str,
     return c
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text cleanup before fingerprinting/dedup: collapse runs of
+    whitespace to single spaces, trim, lowercase.
+
+    The whitespace class is written explicitly (``[ \\t\\r\\n]``) rather than
+    ``\\s`` because Java regex and RE2 disagree on vertical tab — explicit
+    classes keep Spark and the DuckDB oracle byte-identical. Pure JVM
+    expressions, scan-speed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, "[ \t\r\n]+", " ")))
+
+
+NORMALIZE_SQL = ("lower(trim(regexp_replace({expr}, '[ \t\r\n]+', ' ', 'g')))")
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stats projection used by quality filtering in a training-data pipeline."""
     toks = tokens(text_col)

@@ -128,3 +128,44 @@ def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         email.alias("n_email"), phone.alias("n_phone"), ipv4.alias("n_ipv4"),
         F.md5(redact_pii("ptext")).alias("redacted_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + text normalization
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators.pipeline import (  # noqa: E402
+    global_shuffle,
+    global_shuffle_oracle_sql,
+)
+from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
+    NORMALIZE_SQL,
+    normalize_text,
+)
+
+
+@register("pipeline_global_shuffle", global_shuffle_oracle_sql())
+def q_pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffle: (doc -> shard, in-shard position) with no
+    global sort — one uniform-key shuffle + per-shard windows."""
+    return global_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_normalize", f"""
+SELECT doc_id,
+       md5({NORMALIZE_SQL.format(expr="text || '  MIXED Case' || chr(9) || 'line' || chr(10) || 'breaks  '")}) AS norm_md5,
+       length({NORMALIZE_SQL.format(expr="text || '  MIXED Case' || chr(9) || 'line' || chr(10) || 'breaks  '")}) AS n_chars_norm
+FROM documents
+""")
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case normalization proven on deliberately messy input:
+    each doc gets a deterministic suffix with double spaces, tabs, newlines
+    and mixed case appended before normalizing, so the md5 only matches the
+    oracle if collapse/trim/lower behave identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(F.col("text"), F.lit("  MIXED Case\tline\nbreaks  "))
+    norm = normalize_text(messy)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("n_chars_norm"))

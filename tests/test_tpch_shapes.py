@@ -29,7 +29,28 @@ ORACLE_CHECKED = [
     "star_forecast_revenue",
     "rollup_hll_distinct",
     "text_pii_redaction",
+    "pipeline_global_shuffle",
+    "text_normalize",
 ]
+
+
+def test_global_shuffle_reseeds_and_covers(spark):
+    """Different seeds permute differently; every doc appears exactly once;
+    positions are dense 1..n per shard."""
+    from insight_de_smart_grid_spark.operators.pipeline import global_shuffle
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = global_shuffle(docs, seed="ep0")
+    b = global_shuffle(docs, seed="ep1")
+    n = docs.count()
+    assert a.count() == n and b.count() == n
+    assert a.select("doc_id").distinct().count() == n
+    moved = (a.alias("a").join(b.alias("b"), "doc_id")
+             .where("a.shard <> b.shard OR a.pos <> b.pos").count())
+    assert moved > n // 2  # reseeding really permutes
+    per_shard = a.groupBy("shard").agg(
+        F.count("*").alias("c"), F.max("pos").alias("m")).collect()
+    assert all(r.c == r.m for r in per_shard)
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
