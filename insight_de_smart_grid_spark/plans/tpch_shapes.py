@@ -342,9 +342,12 @@ def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 rephrased scale-first: the textbook EXISTS/NOT-EXISTS pair
     is two extra shuffles of lineitem; the grouped formulation computes
     (suppliers per order, late suppliers per order) in one pass and blames
-    the sole late supplier when exactly one exists — identical result set,
-    two aggregations on the same l_orderkey partitioning (no re-shuffle
-    between them, the second group-by is a prefix of the first's key)."""
+    the sole late supplier when exactly one exists — identical result set.
+    The explicit ``repartition(l_orderkey)`` makes BOTH aggregations run on
+    one partitioning: hash(okey) clusters (okey, skey) too, so Spark inserts
+    no further exchange between them (plan-asserted in test_tpch_shapes) —
+    without it each groupBy would shuffle separately, since
+    hash(okey, skey) does not satisfy hash(okey)."""
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
@@ -355,6 +358,7 @@ def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1)).otherwise(F.lit(0))
     flags = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )

@@ -121,6 +121,16 @@ def test_redact_pii_on_organic_text(spark):
     assert out[3] == "nothing here"
 
 
+def test_q21_single_partitioning_feeds_both_aggs(spark):
+    """The explicit repartition(l_orderkey) must be the ONLY exchange below
+    the two stacked aggregations — hash(okey) clusters (okey, skey) too, so
+    neither groupBy adds its own shuffle."""
+    plan = QUERIES["star_late_sole_supplier"].fn(
+        spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan  # repart + s_name agg
+    assert "REPARTITION_BY_COL" in plan
+
+
 def test_q15_returns_single_max_supplier(spark):
     out = QUERIES["star_top_supplier"].fn(spark, SF_ORACLE).collect()
     assert len(out) >= 1
