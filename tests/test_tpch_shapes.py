@@ -136,3 +136,26 @@ def test_q15_returns_single_max_supplier(spark):
     assert len(out) >= 1
     revs = {r.total_revenue for r in out}
     assert len(revs) == 1  # everyone returned ties the max
+
+
+def test_winnow_arrow_and_hof_forms_agree(spark):
+    """The registered Arrow winnow stats must equal the pure-HOF formulation
+    over the SAME gram space (raw k-grams). (The md5-hashed-gram variant
+    selects different window minima by design — hashing permutes the order —
+    so it is not count-comparable.)"""
+    from insight_de_smart_grid_spark.operators.text import (
+        kgrams,
+        winnow_stats_arrow,
+        winnowed_of,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    arrow = winnow_stats_arrow(docs).select("doc_id", "n_fp", "min_fp")
+    winnowed = winnowed_of(kgrams("text"), 4)
+    hof = docs.select(
+        "doc_id",
+        F.size(winnowed).alias("n_fp_hof"),
+        F.array_min(winnowed).alias("min_fp_hof"))
+    diff = (arrow.join(hof, "doc_id")
+            .where("n_fp <> n_fp_hof OR min_fp <> min_fp_hof").count())
+    assert diff == 0
