@@ -169,3 +169,44 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_md5"),
         F.length(norm).alias("n_chars_norm"))
+
+
+@register("streaming_hll_rollup", """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+       count(DISTINCT user_id) AS exact_distinct,
+       count(*) AS cnt,
+       TRUE AS within_tol
+FROM events
+GROUP BY 1
+""")
+def q_streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid streaming-ingestion parity: hourly HLL sketches built in the
+    watermarked streaming aggregation itself (`streaming/rollup_stream.py::
+    hll_rollup_stream_plan`), materialized to parquet, then validated
+    against batch exact distinct per hour — within_tol flips false (and the
+    driver check fails) if the sketch survives the state store wrong. The
+    flush sentinel finalizes every real window; its own far-future bucket
+    drops at the inner join with the exact side."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.rollup_stream import (
+        materialize_hll_rollup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    cube = materialize_hll_rollup_stream(
+        spark, f"{sf_dir}/events.parquet",
+        out_dir=f"{base}/cube", checkpoint_dir=f"{base}/ckpt")
+    est = cube.select(
+        "bucket_ts", "cnt",
+        F.hll_sketch_estimate(F.col("key_hll")).alias("approx_distinct"))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (est.join(exact, "bucket_ts")
+            .select("bucket_ts", "exact_distinct", "cnt",
+                    (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                     <= F.lit(0.05) * F.col("exact_distinct"))
+                    .alias("within_tol")))

@@ -77,3 +77,57 @@ def materialize_rollup_stream(spark: SparkSession, parquet_path: str,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
+
+
+def hll_rollup_stream_plan(events_stream: DataFrame,
+                           key: str = "user_id",
+                           granularity: str = "1 hour",
+                           watermark: str = "2 seconds",
+                           lg_k: int = 12) -> DataFrame:
+    """Streaming twin of ``operators/sketches.py::hll_rollup``: watermarked
+    tumbling windows each carrying a binary HLL sketch of distinct ``key``
+    values plus the additive count — Druid's streaming-ingestion metricsSpec
+    (sketch columns built AT ingest) as a continuous Spark job.
+
+    Exact distinct is impossible in append-mode streaming (unbounded
+    per-window key state); the sketch is the scale answer in both engines:
+    state per window is the few-KB sketch buffer, merged map-side like any
+    additive metric, and the materialized table re-aggregates by sketch
+    union without touching raw data.
+    """
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), granularity).alias("window"))
+        .agg(F.hll_sketch_agg(F.col(key), F.lit(lg_k)).alias("key_hll"),
+             F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("bucket_ts"), "key_hll", "cnt")
+    )
+
+
+def materialize_hll_rollup_stream(spark: SparkSession, parquet_path: str,
+                                  out_dir: str, checkpoint_dir: str,
+                                  state_partitions: int = 8,
+                                  **plan_kwargs) -> DataFrame:
+    """Replay an events table through the sketch rollup (flush-sentinel
+    finalizes every real window) and persist (bucket_ts, sketch, cnt) as
+    parquet — binary sketch columns store like any other column."""
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        parquet_stream_source,
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        stream = normalize_event_ts(
+            parquet_stream_source(spark, parquet_path, flush_sentinel=True))
+        plan = hll_rollup_stream_plan(stream, **plan_kwargs)
+        q = (plan.writeStream.outputMode("append")
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_dir)

@@ -31,6 +31,7 @@ ORACLE_CHECKED = [
     "text_pii_redaction",
     "pipeline_global_shuffle",
     "text_normalize",
+    "streaming_hll_rollup",
 ]
 
 
