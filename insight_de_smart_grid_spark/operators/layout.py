@@ -74,3 +74,65 @@ def write_compacted(df: DataFrame, path: str, target_rows_per_file: int,
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleaving of two rank columns into one sort key.
+
+    Sorting by a single column clusters files for THAT column only; a
+    predicate on the other column then scans everything. Interleaving the
+    bit patterns gives every file a bounded range in BOTH dimensions, so
+    min/max pruning works for either predicate (the Delta/Iceberg OPTIMIZE
+    ZORDER recipe, built here from shiftleft/shiftright — pure codegen
+    expressions).
+
+    Inputs must already be non-negative ints < 2^bits (rank/bucket the raw
+    values first — Z-order is defined on the rank space, which also
+    neutralizes skew).
+    """
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = (key
+               .bitwiseOR(F.shiftleft(bit_a, 2 * i))
+               .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1)))
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   target_rows_per_file: int, bits: int = 16,
+                   mode: str = "overwrite") -> None:
+    """Range-partition + sort by the Morton key of (col_a, col_b) and write:
+    each output file covers a compact rectangle of the 2-D key space, so a
+    selective predicate on EITHER column prunes most files (guarded by
+    test_layout's two-sided range check).
+
+    Both columns are min/max-scaled to the full ``bits`` range first — with
+    mismatched domains the wider column's high bits would dominate the
+    interleave and the narrow column would not cluster at all. Linear
+    scaling assumes roughly uniform values; heavily skewed columns should be
+    rank-bucketed by the caller instead (one extra window or ntile pass).
+    """
+    stats = df.agg(F.min(col_a), F.max(col_a),
+                   F.min(col_b), F.max(col_b)).first()
+    top = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        return ((F.col(col).cast("long") - F.lit(int(lo)))
+                * F.lit(top) / F.lit(span)).cast("long")
+
+    z = zorder_key(scaled(col_a, stats[0], stats[1]),
+                   scaled(col_b, stats[2], stats[3]), bits).alias("__z")
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    (df.withColumn("__z", z)
+       .repartitionByRange(files, F.col("__z"))
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode(mode)
+       .option("maxRecordsPerFile", target_rows_per_file)
+       .parquet(path))

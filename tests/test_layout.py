@@ -89,3 +89,34 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     one_day = [ln for ln in plan.splitlines() if "partition count" in ln]
     if one_day:  # metric line present in this Spark build
         assert "partition count: 1" in one_day[0], one_day
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered layout bounds per-file ranges in BOTH columns: the average
+    per-file fraction of each dimension's domain must be far below 1 (a
+    single-column sort gives ~1.0 for the other column)."""
+    from insight_de_smart_grid_spark.operators.layout import write_zordered
+
+    events = load_table(spark, SF_ORACLE, "events").withColumn(
+        "uid", F.col("user_id").cast("int")).withColumn(
+        "eid", (F.col("event_id") % 1024).cast("int"))
+    out = str(tmp_path / "zorder")
+    write_zordered(events, out, "uid", "eid", target_rows_per_file=650,
+                   bits=10)
+    files = _parquet_files(out)
+    assert len(files) >= 12
+
+    def avg_span(col, domain):
+        spans = []
+        for f in files:
+            mm = spark.read.parquet(str(f)).agg(
+                F.min(col), F.max(col)).first()
+            spans.append((mm[1] - mm[0]) / domain)
+        return sum(spans) / len(spans)
+
+    uid_dom = events.agg(F.max("uid") - F.min("uid")).first()[0]
+    eid_dom = events.agg(F.max("eid") - F.min("eid")).first()[0]
+    span_uid, span_eid = avg_span("uid", uid_dom), avg_span("eid", eid_dom)
+    # both dimensions clustered: no file covers anywhere near a full domain
+    assert span_uid < 0.6, span_uid
+    assert span_eid < 0.6, span_eid
