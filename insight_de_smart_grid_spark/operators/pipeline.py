@@ -580,3 +580,69 @@ SELECT doc_id, {key} AS shuffle_key, {shard} AS shard,
                                ORDER BY {key}, doc_id) AS BIGINT) AS pos
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (validity intervals from a change stream)
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(events: DataFrame, key_col: str = "user_id",
+                   state_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each key's event
+    sequence into (state, valid_from, valid_to, is_current) rows, merging
+    consecutive duplicates — the standard warehouse dimension-history shape
+    (Kimball SCD2), derived from a raw change stream.
+
+    One shuffle total: every window partitions by ``key_col``, so the
+    lag-detect, running change-id, interval group, and lead(valid_to) all
+    share a single hash(key) exchange; per-key sequences sort once in each
+    window/aggregation stage but never re-shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = F.when(
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col)), 1).otherwise(0)
+    runs = (events
+            .select(key_col, ts_col, state_col)
+            .withColumn("__chg", changed)
+            .withColumn("__run", F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    intervals = (runs.groupBy(key_col, "__run")
+                 .agg(F.min(ts_col).alias("valid_from"),
+                      F.first(state_col).alias("state"),
+                      F.count(F.lit(1)).alias("n_events")))
+    w_run = Window.partitionBy(key_col).orderBy("valid_from")
+    return (intervals
+            .withColumn("valid_to", F.lead("valid_from").over(w_run))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("__run"))
+
+
+def scd2_intervals_oracle_sql() -> str:
+    return """
+WITH runs AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events)
+), intervals AS (
+  SELECT user_id, run_id,
+         min(ts) AS valid_from,
+         min_by(event_type, ts) AS state,
+         count(*) AS n_events
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, valid_from, state, n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           IS NULL AS is_current
+FROM intervals
+"""

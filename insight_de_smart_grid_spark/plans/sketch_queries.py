@@ -210,3 +210,18 @@ def q_streaming_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
                      <= F.lit(0.05) * F.col("exact_distinct"))
                     .alias("within_tol")))
+
+
+from insight_de_smart_grid_spark.operators.pipeline import (  # noqa: E402
+    scd2_intervals,
+    scd2_intervals_oracle_sql,
+)
+
+
+@register("pipeline_scd2_intervals", scd2_intervals_oracle_sql())
+def q_pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball Type-2 dimension history from the raw event stream: one
+    validity interval per run of consecutive identical states per user,
+    with valid_to chaining and an is_current flag. Single hash(user_id)
+    shuffle feeds every window stage."""
+    return scd2_intervals(load_table(spark, sf_dir, "events"))

@@ -32,7 +32,27 @@ ORACLE_CHECKED = [
     "pipeline_global_shuffle",
     "text_normalize",
     "streaming_hll_rollup",
+    "pipeline_scd2_intervals",
 ]
+
+
+def test_scd2_single_shuffle_and_interval_chain(spark):
+    """All SCD2 window/group stages share one hash(user_id) exchange, and
+    the output is a well-formed history: per user, intervals chain
+    (valid_to == next valid_from), exactly one is_current, consecutive
+    states differ."""
+    df = QUERIES["pipeline_scd2_intervals"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = df.orderBy("user_id", "valid_from").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for seq in by_user.values():
+        assert sum(r.is_current for r in seq) == 1
+        for a, b in zip(seq, seq[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
 
 
 def test_global_shuffle_reseeds_and_covers(spark):
