@@ -1,0 +1,116 @@
+"""Telemetry time-series repair: gap filling (regular grid + forward fill)
+and counter-delta extraction — the two cleanups every metering pipeline
+(the reference's domain) runs before analytics.
+
+Reference context: REDD/GREEND channel files arrive with dropped intervals
+and meter restarts (`database/data_download.sh` sources; SURVEY §1.1's
+readings stream). Druid tolerates gaps by storing sparse rows; consumers
+then see missing buckets. This engine makes the repair explicit and
+distributed.
+
+Scale notes: both operators partition by the entity key — one hash(key)
+shuffle each, windows sort per key only. Gap filling generates the time
+grid with ``sequence()`` per key (JVM, no driver loop); grid size is
+bounded by each key's own observed span, so a short-lived meter doesn't
+inflate to the corpus timeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill(events: DataFrame, key_col: str = "user_id",
+             ts_col: str = "ts", value_col: str = "value",
+             bucket: str = "hour") -> DataFrame:
+    """Regularize each key's series to one row per ``bucket``, carrying the
+    last observed aggregate forward across gaps.
+
+    Output: (key, bucket_ts, value, is_observed) where ``value`` is the
+    bucket's mean when observed, else the most recent earlier bucket's mean.
+    The leading edge (before a key's first observation) cannot be filled
+    and does not exist in the grid — each key's grid spans its own
+    [first, last] observed bucket.
+    """
+    observed = (
+        events.groupBy(F.col(key_col).alias("key"),
+                       F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .agg(F.round(F.avg(value_col), 6).alias("obs_value"))
+    )
+    spans = observed.groupBy("key").agg(
+        F.min("bucket_ts").alias("first_ts"),
+        F.max("bucket_ts").alias("last_ts"))
+    grid = spans.select(
+        "key",
+        F.explode(F.sequence(
+            F.col("first_ts"), F.col("last_ts"),
+            F.expr(f"INTERVAL 1 {bucket}"))).alias("bucket_ts"))
+    w = (Window.partitionBy("key").orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        grid.join(observed, ["key", "bucket_ts"], "left")
+        .select(
+            "key", "bucket_ts",
+            F.last("obs_value", ignorenulls=True).over(w).alias("value"),
+            F.col("obs_value").isNotNull().alias("is_observed"))
+    )
+
+
+def gap_fill_oracle_sql(bucket: str = "hour") -> str:
+    return f"""
+WITH observed AS (
+  SELECT user_id AS key, date_trunc('{bucket}', ts) AS bucket_ts,
+         round(avg(value), 6) AS obs_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT key, min(bucket_ts) AS first_ts, max(bucket_ts) AS last_ts
+  FROM observed GROUP BY 1
+), grid AS (
+  SELECT key, unnest(generate_series(first_ts, last_ts,
+                                     INTERVAL 1 {bucket})) AS bucket_ts
+  FROM spans
+)
+SELECT g.key, CAST(g.bucket_ts AS TIMESTAMP) AS bucket_ts,
+       last_value(o.obs_value IGNORE NULLS)
+           OVER (PARTITION BY g.key ORDER BY g.bucket_ts
+                 ROWS UNBOUNDED PRECEDING) AS value,
+       o.obs_value IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN observed o
+  ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+"""
+
+
+def counter_deltas(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Per-reading consumption deltas from a (possibly resetting) counter:
+    delta vs previous reading, a reset flag when the counter went backward,
+    and the non-negative consumption contribution (reset rows contribute
+    the post-reset absolute value, the standard meter-restart convention).
+    First reading per key has no predecessor and drops (inner semantics).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    delta = F.round(F.col(value_col) - prev, 6)
+    return (events
+            .select(key_col, ts_col, value_col,
+                    delta.alias("delta"),
+                    (delta < 0).alias("is_reset"),
+                    F.round(F.when(delta < 0, F.col(value_col))
+                            .otherwise(delta), 6).alias("consumed"))
+            .where(F.col("delta").isNotNull()))
+
+
+def counter_deltas_oracle_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 6)
+             AS delta
+  FROM events
+)
+SELECT user_id, ts, value, delta,
+       delta < 0 AS is_reset,
+       round(CASE WHEN delta < 0 THEN value ELSE delta END, 6) AS consumed
+FROM seq WHERE delta IS NOT NULL
+"""

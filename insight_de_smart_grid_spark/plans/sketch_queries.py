@@ -225,3 +225,24 @@ def q_pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with valid_to chaining and an is_current flag. Single hash(user_id)
     shuffle feeds every window stage."""
     return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+from insight_de_smart_grid_spark.operators.timeseries import (  # noqa: E402
+    counter_deltas,
+    counter_deltas_oracle_sql,
+    gap_fill,
+    gap_fill_oracle_sql,
+)
+
+
+@register("events_gap_fill", gap_fill_oracle_sql())
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-regularized per-user series with forward fill across gaps
+    (`operators/timeseries.py::gap_fill`)."""
+    return gap_fill(load_table(spark, sf_dir, "events"))
+
+
+@register("events_counter_deltas", counter_deltas_oracle_sql())
+def q_events_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meter-style consumption deltas with reset detection."""
+    return counter_deltas(load_table(spark, sf_dir, "events"))

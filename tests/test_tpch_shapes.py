@@ -33,7 +33,42 @@ ORACLE_CHECKED = [
     "text_normalize",
     "streaming_hll_rollup",
     "pipeline_scd2_intervals",
+    "events_gap_fill",
+    "events_counter_deltas",
 ]
+
+
+def test_gap_fill_carries_values_across_planted_gap(spark):
+    """Forward fill on a constructed series: key 1 observes hours 0 and 3;
+    hours 1-2 must exist, carry value 10.0, and be flagged unobserved."""
+    from insight_de_smart_grid_spark.operators.timeseries import gap_fill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 10.0), (1, "2024-01-01 03:10:00", 40.0)],
+        "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.bucket_ts.hour: r for r in gap_fill(df).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[1].value == 10.0 and not out[1].is_observed
+    assert out[2].value == 10.0 and not out[2].is_observed
+    assert out[3].value == 40.0 and out[3].is_observed
+
+
+def test_counter_deltas_flags_resets(spark):
+    from insight_de_smart_grid_spark.operators.timeseries import (
+        counter_deltas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 100.0),
+         (1, "2024-01-01 01:00:00", 130.0),
+         (1, "2024-01-01 02:00:00", 5.0),    # meter restart
+         (1, "2024-01-01 03:00:00", 25.0)],
+        "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = counter_deltas(df).orderBy("ts").collect()
+    assert [r.consumed for r in rows] == [30.0, 5.0, 20.0]
+    assert [r.is_reset for r in rows] == [False, True, False]
 
 
 def test_scd2_single_shuffle_and_interval_chain(spark):
