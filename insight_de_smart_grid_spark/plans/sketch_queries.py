@@ -246,3 +246,47 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meter-style consumption deltas with reset detection."""
     return counter_deltas(load_table(spark, sf_dir, "events"))
+
+
+@register("events_seasonal_anomaly", """
+WITH profile AS (
+  SELECT user_id, dayofweek(ts) AS dow, hour(ts) AS hod,
+         avg(value) AS base_avg, stddev_samp(value) AS base_sd,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT e.event_id, e.user_id, e.ts,
+       round((e.value - p.base_avg) / p.base_sd, 6) AS season_z
+FROM events e
+JOIN profile p
+  ON e.user_id = p.user_id AND dayofweek(e.ts) = p.dow
+ AND hour(e.ts) = p.hod
+WHERE p.n >= 5 AND p.base_sd > 0
+  AND abs((e.value - p.base_avg) / p.base_sd) > 2.5
+""")
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly: readings deviating >2.5 sd from the SAME
+    (house, day-of-week, hour-of-day) cell's history — the calendar-aware
+    upgrade of the plain z-score flag (`events_anomaly_zscore`), catching
+    "high for 3 AM Sunday" loads a global baseline calls normal. The
+    profile aggregates to a bounded key space (|houses| x 7 x 24) and joins
+    back broadcast; the fact never shuffles. Spark dayofweek == DuckDB
+    dayofweek + 1, but the JOIN is dow-to-dow within one engine each, so no
+    alignment shim is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (ev.groupBy(
+                F.col("user_id").alias("p_uid"),
+                F.dayofweek("ts").alias("dow"),
+                F.hour("ts").alias("hod"))
+            .agg(F.avg("value").alias("base_avg"),
+                 F.stddev_samp("value").alias("base_sd"),
+                 F.count(F.lit(1)).alias("n")))
+    z = (F.col("value") - F.col("base_avg")) / F.col("base_sd")
+    return (ev.join(F.broadcast(prof),
+                    (ev.user_id == F.col("p_uid"))
+                    & (F.dayofweek(ev.ts) == F.col("dow"))
+                    & (F.hour(ev.ts) == F.col("hod")))
+            .where((F.col("n") >= 5) & (F.col("base_sd") > 0)
+                   & (F.abs(z) > 2.5))
+            .select("event_id", "user_id", "ts",
+                    F.round(z, 6).alias("season_z")))

@@ -35,6 +35,7 @@ ORACLE_CHECKED = [
     "pipeline_scd2_intervals",
     "events_gap_fill",
     "events_counter_deltas",
+    "events_seasonal_anomaly",
 ]
 
 
