@@ -70,3 +70,36 @@ def salted_sum(df: DataFrame, keys: list[str], value_col: str,
     return (partial.groupBy(*keys)
             .agg(F.round(F.sum("__psum"), 6).alias(f"sum_{value_col}"),
                  F.sum("__pcnt").alias("n_rows")))
+
+
+def band_self_join(df: DataFrame, value_col: str, eps: float,
+                   id_col: str, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """All row pairs whose ``value_col`` differ by less than ``eps``
+    (optionally within ``group_cols``) — the pure inequality ("band" /
+    theta) join Spark would otherwise plan as a nested-loop cross product.
+
+    Blocking: bucket every row at ``floor(value/eps)``; a qualifying pair's
+    buckets differ by at most 1, so probing each left row against buckets
+    {b-1, b, b+1} (a 3x explode) and equi-joining on the bucket covers all
+    candidates. Each pair meets exactly once (the right row has ONE bucket).
+    The exact |a-b| < eps predicate then filters inside the hash join —
+    O(n * band_density) work, one shuffle on (bucket, *group), no
+    BroadcastNestedLoopJoin at any scale (plan-asserted).
+    """
+    b = F.floor(F.col(value_col) / F.lit(eps)).cast("long")
+    left = df.select(
+        *group_cols,
+        F.col(id_col).alias("a_id"), F.col(value_col).alias("a_value"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("__b"))
+    right = df.select(
+        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
+        F.col(id_col).alias("b_id"), F.col(value_col).alias("b_value"),
+        b.alias("__b"))
+    cond = [left["__b"] == right["__b"]]
+    cond += [left[c] == right[f"__r_{c}"] for c in group_cols]
+    return (left.join(right, cond)
+            .where((F.col("a_id") < F.col("b_id"))
+                   & (F.abs(F.col("a_value") - F.col("b_value")) < eps))
+            .select(*group_cols, "a_id", "b_id",
+                    F.round(F.abs(F.col("a_value") - F.col("b_value")), 9)
+                    .alias("value_gap")))

@@ -290,3 +290,29 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.abs(z) > 2.5))
             .select("event_id", "user_id", "ts",
                     F.round(z, 6).alias("season_z")))
+
+
+from insight_de_smart_grid_spark.operators.relational import (  # noqa: E402
+    band_self_join,
+)
+
+
+@register("events_band_join", """
+SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+       round(abs(a.value - b.value), 9) AS value_gap
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(a.value - b.value) < 0.001
+""")
+def q_events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-inequality (band) self-join: reading pairs of the same type
+    less than 0.001 apart — planned as a bucketized equi-join
+    (`operators/relational.py::band_self_join`), never a nested-loop cross
+    product. The oracle states the predicate directly; the engine's bucket
+    blocking is provably lossless (qualifying pairs differ by at most one
+    eps-bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return band_self_join(ev, "value", 0.001, "event_id",
+                          group_cols=("event_type",))

@@ -36,6 +36,7 @@ ORACLE_CHECKED = [
     "events_gap_fill",
     "events_counter_deltas",
     "events_seasonal_anomaly",
+    "events_band_join",
 ]
 
 
@@ -216,3 +217,28 @@ def test_winnow_arrow_and_hof_forms_agree(spark):
     diff = (arrow.join(hof, "doc_id")
             .where("n_fp <> n_fp_hof OR min_fp <> min_fp_hof").count())
     assert diff == 0
+
+
+def test_band_join_avoids_nested_loop(spark):
+    """The inequality join must plan as a bucket equi-join: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    plan = QUERIES["events_band_join"].fn(
+        spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_band_join_boundary_inclusion(spark):
+    """Pairs straddling a bucket boundary are found; the eps bound is
+    strict (gap == eps excluded)."""
+    from insight_de_smart_grid_spark.operators.relational import (
+        band_self_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0009), (2, 0.0011),   # adjacent buckets, gap 0.0002 -> pair
+         (3, 5.0), (4, 5.001),       # gap == eps exactly -> excluded
+         (5, 9.0)],                  # isolated
+        "id long, v double")
+    pairs = {(r.a_id, r.b_id)
+             for r in band_self_join(df, "v", 0.001, "id").collect()}
+    assert pairs == {(1, 2)}
