@@ -120,3 +120,47 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # both dimensions clustered: no file covers anywhere near a full domain
     assert span_uid < 0.6, span_uid
     assert span_eid < 0.6, span_eid
+
+
+def test_backfill_rewrites_only_target_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one day's slice must leave
+    every other day's files byte-identical (same paths, same mtimes) and
+    replace only the target partitions."""
+    from insight_de_smart_grid_spark.operators.rollup import (
+        backfill_rollup,
+        rollup_time,
+        write_rollup,
+    )
+    from insight_de_smart_grid_spark.sources.tables import (
+        events_to_readings,
+        load_table,
+    )
+
+    readings = events_to_readings(load_table(spark, SF_ORACLE, "events"))
+    cube = rollup_time(readings, granularity="1 hour")
+    path = str(tmp_path / "cube")
+    write_rollup(cube, path)
+
+    def snapshot(exclude_day=None):
+        return {
+            str(p): p.stat().st_mtime
+            for p in Path(path).rglob("*.parquet")
+            if exclude_day is None or f"date={exclude_day}" not in str(p)
+        }
+
+    target = "2024-01-05"
+    before_others = snapshot(exclude_day=target)
+    before_target = {p for p in snapshot() if f"date={target}" in p}
+    assert before_target, "target day must exist in the fixture"
+
+    # correction slice: that day only, values doubled
+    slice_ = cube.where(F.to_date("window_start") == target).withColumn(
+        "sum_power", F.col("sum_power") * 2)
+    backfill_rollup(slice_, path)
+
+    after_others = snapshot(exclude_day=target)
+    assert after_others == before_others  # untouched, not rewritten
+    after_target = {p for p in snapshot() if f"date={target}" in p}
+    assert after_target and after_target != before_target
+    # and the table reads back with the correction applied, same row count
+    assert spark.read.parquet(path).count() == cube.count()
