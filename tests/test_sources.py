@@ -243,3 +243,26 @@ def test_redd_datasource_matches_csv_reader_on_dirty_file(spark, tmp_path):
                .select("ts", "power", "house_id", "channel_idx").collect()}
     assert via_source == via_csv
     assert len(via_source) == 4
+
+
+def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
+    """Schema evolution on the lake: an old partition lacking a column added
+    later must read back null-filled when mergeSchema is on, with the
+    unioned schema — the append-only evolution contract a long-lived 100 TB
+    table relies on."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(3).select(
+        F.col("id"), F.lit("a").alias("source"))
+    v2 = spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("source"),
+        (F.col("id") * 10).alias("quality"))
+    v1.write.parquet(str(tmp_path / "t" / "batch=1"))
+    v2.write.parquet(str(tmp_path / "t" / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "source", "quality", "batch"}
+    old = merged.where("batch = 1")
+    assert old.where(F.col("quality").isNull()).count() == 3
+    assert merged.where("quality = 40").count() == 1
