@@ -266,3 +266,22 @@ def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
     old = merged.where("batch = 1")
     assert old.where(F.col("quality").isNull()).count() == 3
     assert merged.where("quality = 40").count() == 1
+
+
+def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
+    """Lake resilience: with ignoreCorruptFiles a truncated/garbage parquet
+    part must be skipped, not fail the whole scan — and without the option
+    the scan fails loudly (no silent default)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    spark.range(10).write.parquet(str(tmp_path / "t"))
+    (tmp_path / "t" / "part-corrupt.parquet").write_bytes(
+        b"PAR1 this is not a parquet file")
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(tmp_path / "t")).count()
+
+    ok = (spark.read.option("ignoreCorruptFiles", "true")
+          .parquet(str(tmp_path / "t")))
+    assert ok.agg(F.sum("id")).first()[0] == 45
