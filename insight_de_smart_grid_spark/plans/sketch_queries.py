@@ -316,3 +316,55 @@ def q_events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return band_self_join(ev, "value", 0.001, "event_id",
                           group_cols=("event_type",))
+
+
+@register("kafka_pipeline_sim", """
+WITH readings AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) * 1000) AS BIGINT) * 1000) AS ts,
+         CAST(user_id AS VARCHAR) AS house_id,
+         CAST(user_id AS VARCHAR) || '_' || event_type AS appliance_id,
+         value AS power
+  FROM events
+)
+SELECT time_bucket(INTERVAL '600 seconds', ts)
+         + INTERVAL '600 seconds' AS time_end,
+       house_id,
+       appliance_id,
+       CAST(count(*) FILTER (WHERE CAST(power AS REAL) > 5.0) AS DOUBLE)
+         / count(power) AS duty_cycle
+FROM readings
+GROUP BY 1, 2, 3
+""")
+def q_kafka_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full deployment pipeline minus only the socket:
+    Kafka-schema source (`sources/mock_kafka.py` — exact connector schema,
+    keyed produce, per-partition offsets, binary Avro datum values) →
+    Arrow Avro decode (no jar) → readings projection → tumbling duty-cycle
+    window (duty_cycle_avro.py:63-89). Swapping format("mockkafka") for
+    format("kafka") is the only change a live broker needs. The oracle
+    replays the same wire-format precision (epoch-millis timestamps) on the
+    raw events table. float32 power survives exactly: the duty-cycle
+    threshold compare happens on the same float both sides cast to double.
+    """
+    from insight_de_smart_grid_spark.operators.duty_cycle import duty_cycle
+    from insight_de_smart_grid_spark.sources.avro_codec import (
+        decode_avro_records,
+    )
+    from insight_de_smart_grid_spark.sources.files import (
+        REFERENCE_AVRO_SCHEMA,
+    )
+    from insight_de_smart_grid_spark.sources.mock_kafka import (
+        register_mock_kafka,
+    )
+
+    register_mock_kafka(spark)
+    envelope = (spark.read.format("mockkafka")
+                .option("path", f"{sf_dir}/events.parquet")
+                .load())
+    decoded = decode_avro_records(envelope.select("value"),
+                                  REFERENCE_AVRO_SCHEMA)
+    readings = decoded.select(
+        F.timestamp_millis(F.col("timestamp")).alias("ts"),
+        "house_id", "appliance_id",
+        F.col("power").cast("double").alias("power"))
+    return duty_cycle(readings, window="10 minutes")

@@ -37,6 +37,7 @@ ORACLE_CHECKED = [
     "events_counter_deltas",
     "events_seasonal_anomaly",
     "events_band_join",
+    "kafka_pipeline_sim",
 ]
 
 
@@ -242,3 +243,26 @@ def test_band_join_boundary_inclusion(spark):
     pairs = {(r.a_id, r.b_id)
              for r in band_self_join(df, "v", 0.001, "id").collect()}
     assert pairs == {(1, 2)}
+
+
+def test_mock_kafka_envelope_contract(spark):
+    """The simulated broker delivers the exact connector schema, keyed
+    per-house partitioning (same house never spans partitions), and
+    contiguous per-partition offsets."""
+    from insight_de_smart_grid_spark.sources.mock_kafka import (
+        KAFKA_SOURCE_SCHEMA,
+        register_mock_kafka,
+    )
+
+    register_mock_kafka(spark)
+    env = (spark.read.format("mockkafka")
+           .option("path", f"{SF_ORACLE}/events.parquet").load())
+    assert env.schema == KAFKA_SOURCE_SCHEMA
+    spread = (env.select(F.col("key").cast("string").alias("h"), "partition")
+              .groupBy("h").agg(F.countDistinct("partition").alias("n"))
+              .where("n > 1").count())
+    assert spread == 0
+    offs = env.groupBy("partition").agg(
+        F.count("*").alias("c"), F.max("offset").alias("m"),
+        F.min("offset").alias("lo")).collect()
+    assert offs and all(r.lo == 0 and r.m == r.c - 1 for r in offs)
