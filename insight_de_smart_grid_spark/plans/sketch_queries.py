@@ -368,3 +368,87 @@ def q_kafka_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "house_id", "appliance_id",
         F.col("power").cast("double").alias("power"))
     return duty_cycle(readings, window="10 minutes")
+
+
+@register("streaming_kafka_pipeline", """
+WITH readings AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) * 1000) AS BIGINT) * 1000) AS ts,
+         CAST(user_id AS VARCHAR) AS house_id,
+         CAST(user_id AS VARCHAR) || '_' || event_type AS appliance_id,
+         value AS power
+  FROM events
+)
+SELECT time_bucket(INTERVAL '600 seconds', ts)
+         + INTERVAL '600 seconds' AS time_end,
+       house_id,
+       appliance_id,
+       CAST(count(*) FILTER (WHERE CAST(power AS REAL) > 5.0) AS DOUBLE)
+         / count(power) AS duty_cycle
+FROM readings
+GROUP BY 1, 2, 3
+""")
+def q_streaming_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deployment loop as an actual STREAM: readStream over
+    the simulated broker (checkpointed Kafka-style offsets) -> Arrow Avro
+    decode -> watermarked tumbling duty-cycle -> append sink. The source's
+    flush sentinel advances the watermark past the last real event so every
+    window finalizes; the sentinel's own row is filtered from the RESULT
+    (after the aggregation — filtering before it would starve the flush).
+    Oracle: the same ms-precision duty cycle DuckDB computes from raw
+    events, so streamed state must agree exactly with batch."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.avro_codec import (
+        decode_avro_records,
+    )
+    from insight_de_smart_grid_spark.sources.files import (
+        REFERENCE_AVRO_SCHEMA,
+    )
+    from insight_de_smart_grid_spark.sources.mock_kafka import (
+        register_mock_kafka,
+    )
+    from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+        duty_cycle_stream_plan,
+    )
+
+    register_mock_kafka(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        env = (spark.readStream.format("mockkafka")
+               .option("path", f"{sf_dir}/events.parquet")
+               .option("flush_sentinel", "true")
+               .load())
+        decoded = decode_avro_records(env.select("value"),
+                                      REFERENCE_AVRO_SCHEMA)
+        readings = decoded.select(
+            F.timestamp_millis(F.col("timestamp")).alias("ts"),
+            "house_id", "appliance_id",
+            F.col("power").cast("double").alias("power"))
+        plan = duty_cycle_stream_plan(readings, slide=None)
+        base = tempfile.mkdtemp(prefix="stream_kafka_")
+        # Python stream sources don't support availableNow (Spark falls
+        # back to ONE batch, so the post-watermark emission batch never
+        # runs); drive with a fast processing-time trigger and stop once a
+        # no-data batch has fired after the sentinel (that empty batch is
+        # what emits the finalized windows under the advanced watermark).
+        import time
+
+        q = (plan.writeStream.outputMode("append")
+             .format("parquet").option("path", f"{base}/out")
+             .option("checkpointLocation", f"{base}/ckpt")
+             .trigger(processingTime="200 milliseconds").start())
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            time.sleep(0.5)
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            last = q.lastProgress
+            if (last is not None and seen > 0
+                    and int(last["numInputRows"]) == 0):
+                break
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (spark.read.parquet(f"{base}/out")
+            .filter(F.col("house_id") != "-1"))

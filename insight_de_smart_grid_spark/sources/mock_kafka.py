@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -135,6 +136,83 @@ class MockKafkaDataSource(DataSource):
     def reader(self, schema):
         return MockKafkaReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return MockKafkaStreamReader(self.options)
+
 
 def register_mock_kafka(spark) -> None:
     spark.dataSource.register(MockKafkaDataSource)
+
+
+class MockKafkaStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form (SimpleDataSourceStreamReader): Kafka-style positional
+    offsets, checkpoint-restartable. By default one micro-batch delivers the
+    whole backlog (the events fixture is not time-ordered; chunked delivery
+    would race the watermark exactly like a real unordered topic) followed,
+    when ``flush_sentinel=true``, by one far-future sentinel message that
+    advances the watermark so every real window finalizes — the same
+    replay convention as ``streaming/replay.py``. The sentinel carries
+    house_id "-1"; consumers filter it from RESULTS (never before the
+    watermark, or the flush never happens).
+
+    Runs on the driver by API contract (simulation feed, like the REDD
+    stream reader); the batch reader is the parallel path.
+    """
+
+    def __init__(self, options):
+        self.options = options
+        self._cache: list | None = None
+
+    def _rows(self) -> list:
+        if self._cache is None:
+            batch = MockKafkaReader(self.options)
+            rows = []
+            for p in batch.partitions():
+                rows.extend(batch.read(p))
+            self._cache = rows
+        return self._cache
+
+    def _sentinel_row(self):
+        from insight_de_smart_grid_spark.sources.avro_codec import (
+            encode_record,
+            parse_flat_record_schema,
+        )
+        from insight_de_smart_grid_spark.sources.files import (
+            REFERENCE_AVRO_SCHEMA,
+        )
+
+        rows = self._rows()
+        max_ms = max((int(r[5].timestamp() * 1000) for r in rows),
+                     default=0)
+        ms = max_ms + 86_400_000  # one day beyond the last real event
+        fields = parse_flat_record_schema(REFERENCE_AVRO_SCHEMA)
+        record = {"house_id": "-1", "appliance_name": "__flush",
+                  "appliance_id": "-1___flush", "timestamp": ms,
+                  "power": 0.0}
+        return (b"-1", encode_record(record, fields),
+                self.options.get("topic", "power-raw"), 0, -1,
+                datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc), 0)
+
+    def initialOffset(self):
+        return {"pos": 0, "sentinel": False}
+
+    def read(self, start):
+        rows = self._rows()
+        i = int(start["pos"])
+        if i < len(rows):
+            # data batches return LISTS: the prefetch cache copy.copy()s
+            # the value for checkpoint replay (generator state can't copy)
+            return rows[i:], {"pos": len(rows), "sentinel": False}
+        want_sentinel = (self.options.get("flush_sentinel", "false").lower()
+                         == "true")
+        if want_sentinel and not start.get("sentinel"):
+            return [self._sentinel_row()], {"pos": i, "sentinel": True}
+        # the idle branch must be an ITERATOR: with no offset advance the
+        # wrapper probes emptiness via next(), which a list doesn't support
+        return iter(()), start
+
+    def readBetweenOffsets(self, start, end):
+        rows = self._rows()[int(start["pos"]):int(end["pos"])]
+        if end.get("sentinel") and not start.get("sentinel"):
+            rows = rows + [self._sentinel_row()]
+        return rows

@@ -38,6 +38,7 @@ ORACLE_CHECKED = [
     "events_seasonal_anomaly",
     "events_band_join",
     "kafka_pipeline_sim",
+    "streaming_kafka_pipeline",
 ]
 
 
