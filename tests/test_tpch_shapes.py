@@ -267,3 +267,24 @@ def test_mock_kafka_envelope_contract(spark):
         F.count("*").alias("c"), F.max("offset").alias("m"),
         F.min("offset").alias("lo")).collect()
     assert offs and all(r.lo == 0 and r.m == r.c - 1 for r in offs)
+
+
+def test_chunk_udtf_matches_expression_twin(spark):
+    """The Python UDTF path (SURVEY §2.9 extension point) must produce
+    byte-identical rows to the codegen chunk_documents expressions."""
+    from insight_de_smart_grid_spark.functions.udtfs import register_udtfs
+    from insight_de_smart_grid_spark.operators.pipeline import (
+        chunk_documents,
+    )
+
+    register_udtfs(spark)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_chunk_chars
+        FROM udtf_docs d, LATERAL chunk_docs(d.text, 256, 192) c
+    """)
+    twin = chunk_documents(docs)
+    assert via_udtf.exceptAll(twin).count() == 0
+    assert twin.exceptAll(via_udtf).count() == 0
+    assert twin.count() == via_udtf.count() > 0
