@@ -125,3 +125,63 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM sessions
 GROUP BY 1, 2
 """
+
+
+def sessionize_dynamic_gap(events: DataFrame,
+                           gap_expr_minutes=None,
+                           key: str = "user_id", time_col: str = "ts",
+                           order_tiebreak: str = "event_id") -> DataFrame:
+    """Per-event-type session gaps (Spark's ``session_window(ts, gap_col)``
+    semantics in the batch lag/cumsum formulation): the session stays open
+    for the PREVIOUS event's gap — a purchase keeps its session alive longer
+    than a click. ``gap_expr_minutes`` is a Column of minutes evaluated per
+    row; default maps purchase->60, signup->45, everything else->15.
+
+    Same single hash(key) shuffle as the static form; only the comparison
+    constant becomes a per-row expression (still whole-stage codegen).
+    """
+    if gap_expr_minutes is None:
+        gap_expr_minutes = (
+            F.when(F.col("event_type") == "purchase", 60)
+            .when(F.col("event_type") == "signup", 45)
+            .otherwise(15))
+    w = Window.partitionBy(key).orderBy(
+        F.col(time_col).asc(), F.col(order_tiebreak).asc())
+    prev_ts = F.lag(time_col).over(w)
+    prev_gap_min = F.lag(gap_expr_minutes).over(w)
+    new_flag = (
+        F.when(prev_ts.isNull(), 1)
+        .when(F.col(time_col) >
+              prev_ts + prev_gap_min * F.expr("INTERVAL 1 MINUTE"), 1)
+        .otherwise(0))
+    return (events
+            .withColumn("__new_session", new_flag)
+            .withColumn("session_seq", F.sum("__new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("__new_session"))
+
+
+def sessionize_dynamic_gap_oracle_sql() -> str:
+    return """
+WITH g AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         CASE WHEN event_type = 'purchase' THEN 60
+              WHEN event_type = 'signup' THEN 45
+              ELSE 15 END AS gap_min
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w
+                   + to_minutes(CAST(lag(gap_min) OVER w AS BIGINT)) THEN 1
+              ELSE 0 END AS new_session
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq,
+       ts, event_id
+FROM flagged
+"""

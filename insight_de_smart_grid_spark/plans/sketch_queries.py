@@ -452,3 +452,19 @@ def q_streaming_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (spark.read.parquet(f"{base}/out")
             .filter(F.col("house_id") != "-1"))
+
+
+from insight_de_smart_grid_spark.operators.sessionize import (  # noqa: E402
+    sessionize_dynamic_gap,
+    sessionize_dynamic_gap_oracle_sql,
+)
+
+
+@register("sessionize_dynamic_gap", sessionize_dynamic_gap_oracle_sql())
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions whose idle timeout depends on the previous event's type
+    (purchase 60m, signup 45m, else 15m) — the dynamic-gap generalization
+    of sessionize_events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (sessionize_dynamic_gap(ev)
+            .select("user_id", "session_seq", "ts", "event_id"))

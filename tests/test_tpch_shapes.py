@@ -39,6 +39,7 @@ ORACLE_CHECKED = [
     "events_band_join",
     "kafka_pipeline_sim",
     "streaming_kafka_pipeline",
+    "sessionize_dynamic_gap",
 ]
 
 
