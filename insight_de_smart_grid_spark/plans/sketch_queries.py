@@ -468,3 +468,75 @@ def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (sessionize_dynamic_gap(ev)
             .select("user_id", "session_seq", "ts", "event_id"))
+
+
+@register("map_battery", """
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS a,
+         n_chars AS b,
+         CAST(doc_id % 7 AS BIGINT) AS c
+  FROM documents
+)
+SELECT doc_id,
+       a + b + c AS sum_vals,
+       CAST((CASE WHEN a > 100 THEN 1 ELSE 0 END)
+          + (CASE WHEN b > 100 THEN 1 ELSE 0 END)
+          + (CASE WHEN c > 100 THEN 1 ELSE 0 END) AS INT) AS n_big,
+       a * 2 AS len_doubled,
+       concat('b=', CAST(b AS VARCHAR)) AS b_tagged
+FROM m
+""")
+def q_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface (an extension — SURVEY §2.8 notes the
+    reference uses no map functions): build a map from parallel arrays,
+    then exercise map_values/map_filter/transform_values/element_at and
+    fold the results back to scalars. The oracle states the same
+    computations directly — map functions exist only Spark-side, so the
+    check proves the map path computes what the plain-column path states.
+    All JVM expressions, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+        F.array(F.length("text").cast("long"),
+                F.col("n_chars").cast("long"),
+                (F.col("doc_id") % 7).cast("long")))
+    big = F.map_filter(m, lambda k, v: v > 100)
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return docs.select(
+        "doc_id",
+        F.aggregate(F.map_values(m), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("sum_vals"),
+        F.size(big).cast("int").alias("n_big"),
+        F.element_at(doubled, "a").alias("len_doubled"),
+        F.concat(F.lit("b="),
+                 F.element_at(m, "b").cast("string")).alias("b_tagged"))
+
+
+@register("try_arithmetic_battery", """
+SELECT event_id,
+       value / nullif(CAST(event_id % 5 AS DOUBLE), 0) AS safe_div,
+       TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                     ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS parsed,
+       CASE WHEN event_id % 4 = 0 THEN NULL
+            ELSE CAST(round(value, 0) AS BIGINT) END AS maybe_int
+FROM events
+""")
+def q_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: try_divide (NULL on /0 instead of error
+    or Inf), try_cast over mixed parseable/garbage strings, and NULL
+    propagation through conditional casts — the ANSI-safety battery a
+    pipeline needs when ansi mode is on. Oracle mirrors with nullif +
+    TRY_CAST."""
+    ev = load_table(spark, sf_dir, "events")
+    garbage_or_num = F.when(F.col("event_id") % 3 == 0,
+                            F.lit("not-a-number")) \
+                      .otherwise(F.col("value").cast("string"))
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"),
+                     (F.col("event_id") % 5).cast("double")).alias("safe_div"),
+        garbage_or_num.try_cast("double").alias("parsed"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("long"))
+         .otherwise(F.round(F.col("value"), 0).cast("long"))
+         .alias("maybe_int"))

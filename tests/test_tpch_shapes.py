@@ -40,6 +40,8 @@ ORACLE_CHECKED = [
     "kafka_pipeline_sim",
     "streaming_kafka_pipeline",
     "sessionize_dynamic_gap",
+    "map_battery",
+    "try_arithmetic_battery",
 ]
 
 
