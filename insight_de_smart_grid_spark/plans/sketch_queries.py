@@ -540,3 +540,30 @@ def q_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("long"))
          .otherwise(F.round(F.col("value"), 0).cast("long"))
          .alias("maybe_int"))
+
+
+from insight_de_smart_grid_spark.streaming.gap_fill_stream import (  # noqa: E402
+    gap_fill_stream,
+    gap_fill_stream_oracle_sql,
+)
+
+
+@register("streaming_gap_fill", gap_fill_stream_oracle_sql())
+def q_streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live telemetry repair: the batch gap fill as a stateful streaming
+    operator (closed buckets emit when a later observation closes them;
+    each key's newest bucket stays open). Oracle = batch gap fill minus
+    every key's final bucket, value-checked through the state store."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="gapfill_")
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: gap_fill_stream(normalize_event_ts(stream)),
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")

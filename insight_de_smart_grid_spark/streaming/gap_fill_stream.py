@@ -1,0 +1,116 @@
+"""Streaming gap fill: the batch forward-fill repair
+(`operators/timeseries.py::gap_fill`) as a live stateful operator.
+
+Semantics — CLOSED buckets only: a bucket finalizes (and any gap buckets
+before it back-fill) when a later-bucket observation for the same key
+arrives; each key's newest bucket stays open in state, because its mean
+could still change. The streamed output therefore equals the batch gap
+fill minus each key's final bucket — exactly what the oracle states, so
+the state machine is value-checked, not just row-counted.
+
+State per key is four scalars (open bucket, running sum/count, last filled
+value) — O(keys) total regardless of volume, the applyInPandasWithState
+shape that survives any input size. Out-of-order ACROSS micro-batches
+(an observation older than the open bucket) is dropped like a
+watermark-expired row; within a batch order doesn't matter (buckets are
+aggregated then walked in order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = ("key long, bucket_ts timestamp, value double, "
+              "is_observed boolean")
+STATE_SCHEMA = ("open_bucket long, open_sum double, open_cnt long, "
+                "last_value double, has_last boolean")
+
+
+def gap_fill_stream(events_stream: DataFrame,
+                    bucket_seconds: int = 3600) -> DataFrame:
+    """Watermark-free stateful gap fill; see module docstring for the
+    closed-bucket contract."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = [p for p in pdfs if not p.empty]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        uid = key[0]
+        epoch_s = pdf["ts"].astype("int64") // 10**9
+        buckets = (epoch_s // bucket_seconds) * bucket_seconds
+        agg = (pd.DataFrame({"b": buckets, "v": pdf["value"]})
+               .groupby("b")["v"].agg(["sum", "count"]).sort_index())
+
+        if state.exists:
+            ob, osum, ocnt, lastv, haslast = state.get
+        else:
+            ob, osum, ocnt, lastv, haslast = -1, 0.0, 0, 0.0, False
+
+        out: list[tuple] = []
+        for b, row in agg.iterrows():
+            b = int(b)
+            if ob == -1:
+                ob, osum, ocnt = b, float(row["sum"]), int(row["count"])
+                continue
+            if b == ob:
+                osum += float(row["sum"])
+                ocnt += int(row["count"])
+                continue
+            if b < ob:  # late across batches: expired, dropped
+                continue
+            val = round(osum / ocnt, 6)
+            out.append((uid, ob, val, True))
+            lastv, haslast = val, True
+            g = ob + bucket_seconds
+            while g < b:
+                out.append((uid, g, lastv, False))
+                g += bucket_seconds
+            ob, osum, ocnt = b, float(row["sum"]), int(row["count"])
+
+        state.update((int(ob), float(osum), int(ocnt),
+                      float(lastv), bool(haslast)))
+        if out:
+            res = pd.DataFrame(
+                out, columns=["key", "bucket_ts", "value", "is_observed"])
+            res["bucket_ts"] = pd.to_datetime(res["bucket_ts"], unit="s")
+            yield res
+
+    prepared = events_stream.select(
+        events_stream["user_id"].alias("key"), "ts", "value")
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout)
+
+
+def gap_fill_stream_oracle_sql(bucket: str = "hour") -> str:
+    """Batch gap fill minus each key's final (still-open) bucket."""
+    return f"""
+WITH observed AS (
+  SELECT user_id AS key, date_trunc('{bucket}', ts) AS bucket_ts,
+         round(avg(value), 6) AS obs_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT key, min(bucket_ts) AS first_ts, max(bucket_ts) AS last_ts
+  FROM observed GROUP BY 1
+), grid AS (
+  SELECT key, unnest(generate_series(first_ts, last_ts,
+                                     INTERVAL 1 {bucket})) AS bucket_ts
+  FROM spans
+), filled AS (
+  SELECT g.key, CAST(g.bucket_ts AS TIMESTAMP) AS bucket_ts,
+         last_value(o.obs_value IGNORE NULLS)
+             OVER (PARTITION BY g.key ORDER BY g.bucket_ts
+                   ROWS UNBOUNDED PRECEDING) AS value,
+         o.obs_value IS NOT NULL AS is_observed
+  FROM grid g LEFT JOIN observed o
+    ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+)
+SELECT f.* FROM filled f
+JOIN spans s ON f.key = s.key
+WHERE f.bucket_ts < s.last_ts
+"""

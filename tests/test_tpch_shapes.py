@@ -42,6 +42,7 @@ ORACLE_CHECKED = [
     "sessionize_dynamic_gap",
     "map_battery",
     "try_arithmetic_battery",
+    "streaming_gap_fill",
 ]
 
 
@@ -291,3 +292,33 @@ def test_chunk_udtf_matches_expression_twin(spark):
     assert via_udtf.exceptAll(twin).count() == 0
     assert twin.exceptAll(via_udtf).count() == 0
     assert twin.count() == via_udtf.count() > 0
+
+
+def test_streaming_gap_fill_closed_bucket_contract(spark):
+    """Planted stream: key observes hours 0 and 3 then hour 5. Hours 0-2
+    close when hour 3 arrives; hours 3-4 close when hour 5 arrives; hour 5
+    stays open and must NOT be emitted."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.gap_fill_stream import (
+        gap_fill_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp()
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 10.0),
+         (1, "2024-01-01 03:10:00", 40.0),
+         (1, "2024-01-01 05:59:00", 70.0)],
+        "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src.write.parquet(base + "/src")
+    out = replay_parquet_stream(
+        spark, base + "/src", gap_fill_stream, query_name="unused",
+        checkpoint_dir=base + "/ck", out_dir=base + "/sink")
+    rows = {r.bucket_ts.hour: (r.value, r.is_observed)
+            for r in out.collect()}
+    assert rows == {0: (10.0, True), 1: (10.0, False), 2: (10.0, False),
+                    3: (40.0, True), 4: (40.0, False)}
