@@ -567,3 +567,39 @@ def q_streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream: gap_fill_stream(normalize_event_ts(stream)),
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink")
+
+
+from insight_de_smart_grid_spark.streaming.gap_fill_stream import (  # noqa: E402
+    counter_deltas_stream,
+)
+
+
+@register("streaming_counter_deltas", """
+WITH seq AS (
+  SELECT user_id AS key, ts, value,
+         round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 6)
+             AS delta
+  FROM events
+)
+SELECT key, ts, value, delta,
+       delta < 0 AS is_reset,
+       round(CASE WHEN delta < 0 THEN value ELSE delta END, 6) AS consumed
+FROM seq WHERE delta IS NOT NULL
+""")
+def q_streaming_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meter deltas computed live: state carries each key's last reading;
+    every subsequent reading emits its consumption contribution exactly
+    once. Streamed result equals the batch lag() formulation row for row."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="cdeltas_")
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: counter_deltas_stream(normalize_event_ts(stream)),
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")

@@ -114,3 +114,51 @@ SELECT f.* FROM filled f
 JOIN spans s ON f.key = s.key
 WHERE f.bucket_ts < s.last_ts
 """
+
+
+DELTA_OUT_SCHEMA = ("key long, ts timestamp, value double, delta double, "
+                    "is_reset boolean, consumed double")
+DELTA_STATE_SCHEMA = "last_ts long, last_value double, has_prev boolean"
+
+
+def counter_deltas_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.py::counter_deltas``: per
+    reading, consumption delta vs the previous reading with meter-restart
+    detection. State is (last ts, last value) per key; a key's first-ever
+    reading seeds state and emits nothing (inner semantics, like batch).
+    Readings older than the carried state are expired duplicates/laggards
+    and drop."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = [p for p in pdfs if not p.empty]
+        if not rows:
+            return
+        pdf = (pd.concat(rows, ignore_index=True)
+               .sort_values("ts").reset_index(drop=True))
+        uid = key[0]
+        if state.exists:
+            last_us, last_v, has = state.get
+        else:
+            last_us, last_v, has = 0, 0.0, False
+
+        out: list[tuple] = []
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            us = ts.value // 1000  # pandas ns -> micros
+            if has and us < last_us:
+                continue  # late arrival behind the carried state
+            if has:
+                delta = round(float(v) - last_v, 6)
+                consumed = round(float(v) if delta < 0 else delta, 6)
+                out.append((uid, ts, float(v), delta, delta < 0, consumed))
+            last_us, last_v, has = us, float(v), True
+        state.update((int(last_us), float(last_v), bool(has)))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "key", "ts", "value", "delta", "is_reset", "consumed"])
+
+    prepared = events_stream.select(
+        events_stream["user_id"].alias("key"), "ts", "value")
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn, DELTA_OUT_SCHEMA, DELTA_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)

@@ -43,6 +43,7 @@ ORACLE_CHECKED = [
     "map_battery",
     "try_arithmetic_battery",
     "streaming_gap_fill",
+    "streaming_counter_deltas",
 ]
 
 
