@@ -603,3 +603,51 @@ def q_streaming_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream: counter_deltas_stream(normalize_event_ts(stream)),
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink")
+
+
+from insight_de_smart_grid_spark.streaming.gap_fill_stream import (  # noqa: E402
+    scd2_stream,
+)
+
+
+@register("streaming_scd2", """
+WITH runs AS (
+  SELECT user_id, ts, event_type,
+         sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events)
+), intervals AS (
+  SELECT user_id, run_id,
+         min(ts) AS valid_from,
+         min_by(event_type, ts) AS state,
+         count(*) AS n_events
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id AS key, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+       n_events
+FROM intervals
+QUALIFY valid_to IS NOT NULL
+""")
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live Type-2 dimension maintenance: closed validity intervals emit as
+    state changes arrive; each key's open (current) interval stays in
+    state. Oracle = batch SCD2 history minus the current rows."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="scd2s_")
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: scd2_stream(normalize_event_ts(stream)),
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")

@@ -162,3 +162,60 @@ def counter_deltas_stream(events_stream: DataFrame) -> DataFrame:
     return prepared.groupBy("key").applyInPandasWithState(
         fn, DELTA_OUT_SCHEMA, DELTA_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
+
+
+SCD2_OUT_SCHEMA = ("key long, state string, valid_from timestamp, "
+                   "valid_to timestamp, n_events long")
+SCD2_STATE_SCHEMA = ("cur_state string, valid_from_us long, n_events long, "
+                     "last_us long, has_open boolean")
+
+
+def scd2_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/pipeline.py::scd2_intervals``: live
+    Type-2 dimension maintenance. State holds each key's OPEN interval
+    (current state, its start, its event count); when an event with a
+    different state arrives, the open interval closes — emitted with
+    valid_to = the new interval's start — and the new one opens. The open
+    interval itself is never emitted (its count can still grow), so the
+    streamed output equals the batch SCD2 history minus each key's current
+    row: the oracle states exactly that. Events at or before the carried
+    last timestamp drop (expired)."""
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = [p for p in pdfs if not p.empty]
+        if not rows:
+            return
+        pdf = (pd.concat(rows, ignore_index=True)
+               .sort_values("ts").reset_index(drop=True))
+        uid = key[0]
+        if state.exists:
+            cur, vf_us, n, last_us, has = state.get
+        else:
+            cur, vf_us, n, last_us, has = "", 0, 0, -1, False
+
+        out: list[tuple] = []
+        for ts, st in zip(pdf["ts"], pdf["event_type"]):
+            us = ts.value // 1000
+            if has and us <= last_us:
+                continue
+            if not has:
+                cur, vf_us, n, has = st, us, 1, True
+            elif st == cur:
+                n += 1
+            else:
+                out.append((uid, cur,
+                            pd.Timestamp(vf_us * 1000),
+                            pd.Timestamp(us * 1000), int(n)))
+                cur, vf_us, n = st, us, 1
+            last_us = us
+        state.update((str(cur), int(vf_us), int(n), int(last_us), True))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "key", "state", "valid_from", "valid_to", "n_events"])
+
+    prepared = events_stream.select(
+        events_stream["user_id"].alias("key"), "ts", "event_type")
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn, SCD2_OUT_SCHEMA, SCD2_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)

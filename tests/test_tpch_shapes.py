@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "try_arithmetic_battery",
     "streaming_gap_fill",
     "streaming_counter_deltas",
+    "streaming_scd2",
 ]
 
 
