@@ -325,3 +325,30 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The hint surface a tuner needs: SHUFFLE_HASH avoids the sort-merge
+    sorts (hash join at shuffle scale), MERGE forces SMJ, and the hinted
+    plans still compute identical results."""
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, SF_ORACLE, "orders")
+        li = load_table(spark, SF_ORACLE, "lineitem")
+
+        def plan_of_join(hint):
+            j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+            agg = j.groupBy("o_orderstatus").count()
+            return agg, agg._jdf.queryExecution().executedPlan().toString()
+
+        shj, p_shj = plan_of_join("shuffle_hash")
+        smj, p_smj = plan_of_join("merge")
+        assert "ShuffledHashJoin" in p_shj and "SortMergeJoin" not in p_shj
+        assert "SortMergeJoin" in p_smj
+        assert sorted(map(tuple, shj.collect())) == \
+            sorted(map(tuple, smj.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
