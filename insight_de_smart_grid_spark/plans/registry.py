@@ -70,4 +70,5 @@ from insight_de_smart_grid_spark.plans import extension_queries  # noqa: E402,F4
 from insight_de_smart_grid_spark.plans import advanced_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import analytic_queries  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import tpch_shapes  # noqa: E402,F401
+from insight_de_smart_grid_spark.plans import tpch_close  # noqa: E402,F401
 from insight_de_smart_grid_spark.plans import sketch_queries  # noqa: E402,F401
