@@ -24,6 +24,89 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _portable_shard(col: Column, n_shards: int) -> Column:
+    """Shard id from the first 15 hex chars of md5 — bit-identical in DuckDB
+    (``CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT) % n``)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long"), F.lit(n_shards))
+
+
+def topn_frequent(df: DataFrame, key: str, n: int = 20, m: int = 64,
+                  n_shards: int = 32) -> DataFrame:
+    """Distributed top-N with bounded per-shard candidate state — the
+    Misra-Gries / SpaceSaving merge pattern, and the parity op for Druid's
+    approximate topN engine (the reference's dashboard ranks appliances with
+    Druid topN, which merges bounded per-historical candidate lists exactly
+    like this; batch_processing/druid_batch.py ingestion feeds it).
+
+    Keys are hash-sharded (portable md5, so the oracle replays it), each
+    shard keeps only its top ``m`` keys by count plus its pruning threshold
+    (the count of the best key it dropped). Because a key lives in exactly
+    one shard, a surviving candidate's count is its EXACT total — the
+    approximation only affects which keys survive. The merged report carries
+    ``guaranteed``: true iff the candidate's count strictly exceeds every
+    shard's dropped-key ceiling, i.e. no pruned key anywhere could rank at
+    or above it. With
+    ``m`` >= per-shard distinct count the threshold is 0 and the result is
+    exact top-N, deterministically.
+
+    Scale notes (100 TB): state is O(n_shards * m) rows after the first
+    aggregation — the shuffle carries (shard, key, cnt) partials with
+    map-side combine; the merge side is a few thousand rows regardless of
+    raw cardinality. Exact top-N over a power-law key would instead shuffle
+    every distinct key. ``n_shards`` spreads hot keys' *candidates*, not
+    their rows: the count aggregation is keyed on the key itself, so AQE
+    skew handling applies there as usual."""
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(F.col(key).alias("k"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("shard", _portable_shard(F.col("k"), n_shards)))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("k"))
+    ranked = counts.withColumn("srnk", F.row_number().over(w))
+    kept = ranked.where(F.col("srnk") <= m)
+    # Ceiling of anything a shard dropped: its (m+1)-th count, else 0.
+    thr = (ranked.where(F.col("srnk") == m + 1)
+           .select("shard", F.col("cnt").alias("thr")))
+    max_thr = thr.agg(F.coalesce(F.max("thr"), F.lit(0)).alias("max_thr"))
+    wg = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    return (
+        kept.join(F.broadcast(max_thr))
+        .withColumn("rnk", F.row_number().over(wg).cast("int"))
+        .where(F.col("rnk") <= n)
+        .select(F.col("k").alias(key), "cnt", "rnk",
+                (F.col("cnt") > F.col("max_thr")).alias("guaranteed"))
+    )
+
+
+def topn_frequent_oracle_sql(table: str, key: str, n: int = 20, m: int = 64,
+                             n_shards: int = 32) -> str:
+    """DuckDB twin: same md5 sharding, same per-shard pruning, same merge."""
+    return f"""
+WITH counts AS (
+  SELECT {key} AS k, count(*) AS cnt,
+         CAST(concat('0x', substring(md5(CAST({key} AS VARCHAR)), 1, 15))
+              AS BIGINT) % {n_shards} AS shard
+  FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY cnt DESC, k) AS srnk
+  FROM counts
+),
+thr AS (
+  SELECT coalesce(max(cnt), 0) AS max_thr FROM ranked WHERE srnk = {m} + 1
+)
+SELECT k AS {key}, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, k) AS INT) AS rnk,
+       cnt > max_thr AS guaranteed
+FROM ranked, thr
+WHERE srnk <= {m}
+QUALIFY rnk <= {n}
+"""
+
+
 def hll_rollup(events: DataFrame, key: Column | str, ts_col: str = "ts",
                bucket: str = "hour", lg_k: int = 12,
                dims: tuple[str, ...] = ()) -> DataFrame:

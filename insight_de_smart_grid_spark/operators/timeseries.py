@@ -81,6 +81,109 @@ FROM grid g LEFT JOIN observed o
 """
 
 
+def interpolate_gaps(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     bucket: str = "hour") -> DataFrame:
+    """Like :func:`gap_fill` but gaps interpolate LINEARLY between the
+    surrounding observed buckets instead of carrying the last value forward —
+    the repair of choice for slowly-varying physical signals (temperature,
+    battery level) where a step function distorts downstream aggregates.
+
+    Each key's grid spans its own [first, last] observed bucket, so every
+    unobserved grid row has both a previous and a next observation; the
+    fill is prev + (next - prev) * elapsed/span on epoch seconds. Same
+    single hash(key) shuffle as gap_fill; the two directional window passes
+    share one sort."""
+    observed = (
+        events.groupBy(F.col(key_col).alias("key"),
+                       F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .agg(F.round(F.avg(value_col), 6).alias("obs_value"))
+    )
+    spans = observed.groupBy("key").agg(
+        F.min("bucket_ts").alias("first_ts"),
+        F.max("bucket_ts").alias("last_ts"))
+    grid = spans.select(
+        "key",
+        F.explode(F.sequence(
+            F.col("first_ts"), F.col("last_ts"),
+            F.expr(f"INTERVAL 1 {bucket}"))).alias("bucket_ts"))
+    wb = (Window.partitionBy("key").orderBy("bucket_ts")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("key").orderBy("bucket_ts")
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_ts = F.when(F.col("obs_value").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("obs_value", ignorenulls=True).over(wb)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(wb)
+    next_v = F.first("obs_value", ignorenulls=True).over(wf)
+    next_t = F.first(obs_ts, ignorenulls=True).over(wf)
+    frac = ((F.unix_timestamp(F.col("bucket_ts"))
+             - F.unix_timestamp(prev_t)).cast("double")
+            / (F.unix_timestamp(next_t)
+               - F.unix_timestamp(prev_t)).cast("double"))
+    return (
+        grid.join(observed, ["key", "bucket_ts"], "left")
+        .select(
+            "key", "bucket_ts",
+            # Truncate the fill (floor on the scaled double) instead of
+            # round(): interpolation of 6-decimal walls creates EXACT .xxxxxx5
+            # ties (frac=1/2 is a binary fraction) where Spark's HALF_UP and
+            # DuckDB's rounding disagree; floor of identical doubles cannot.
+            F.when(F.col("obs_value").isNotNull(), F.col("obs_value"))
+            .otherwise(F.floor((prev_v + (next_v - prev_v) * frac)
+                               * F.lit(1000000.0)) / F.lit(1000000.0))
+            .alias("value"),
+            F.col("obs_value").isNotNull().alias("is_observed"))
+    )
+
+
+def interpolate_gaps_oracle_sql(bucket: str = "hour") -> str:
+    return f"""
+WITH observed AS (
+  SELECT user_id AS key, date_trunc('{bucket}', ts) AS bucket_ts,
+         round(avg(value), 6) AS obs_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT key, min(bucket_ts) AS first_ts, max(bucket_ts) AS last_ts
+  FROM observed GROUP BY 1
+), grid AS (
+  SELECT key, unnest(generate_series(first_ts, last_ts,
+                                     INTERVAL 1 {bucket})) AS bucket_ts
+  FROM spans
+), joined AS (
+  SELECT g.key, g.bucket_ts, o.obs_value,
+         CASE WHEN o.obs_value IS NOT NULL THEN g.bucket_ts END AS obs_ts
+  FROM grid g LEFT JOIN observed o
+    ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+), walls AS (
+  SELECT key, bucket_ts, obs_value,
+         last_value(obs_value IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(obs_ts IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS UNBOUNDED PRECEDING) AS prev_t,
+         first_value(obs_value IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_v,
+         first_value(obs_ts IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_t
+  FROM joined
+)
+SELECT key, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+       CASE WHEN obs_value IS NOT NULL THEN obs_value
+            ELSE floor((prev_v + (next_v - prev_v)
+                        * (CAST(epoch(bucket_ts) - epoch(prev_t) AS DOUBLE)
+                           / CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE)))
+                       * 1000000.0) / 1000000.0
+       END AS value,
+       obs_value IS NOT NULL AS is_observed
+FROM walls
+"""
+
+
 def counter_deltas(events: DataFrame, key_col: str = "user_id",
                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Per-reading consumption deltas from a (possibly resetting) counter:

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from insight_de_smart_grid_spark.operators.sketches import (
     hll_reaggregate,
     hll_rollup,
+    topn_frequent,
+    topn_frequent_oracle_sql,
 )
 from insight_de_smart_grid_spark.operators.text import (
     PII_PATTERNS,
@@ -651,3 +653,111 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream: scd2_stream(normalize_event_ts(stream)),
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink")
+
+
+# ---------------------------------------------------------------------------
+# Frequent-items top-N: Druid approximate-topN parity with exactness flag
+# ---------------------------------------------------------------------------
+
+@register("dash_topn_sketch",
+          topn_frequent_oracle_sql("events", "user_id",
+                                   n=20, m=64, n_shards=32))
+def q_dash_topn_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Druid-topN-parity ranking: top-20 users by event count through the
+    bounded-candidate shard merge (reference dashboard ranks appliances via
+    Druid topN, which is this same bounded-candidate merge across
+    historicals). At sf0.01 per-shard capacity exceeds per-shard distincts,
+    so the result is exact and every row is `guaranteed` — the pruning
+    semantics under pressure are covered by the small-m test."""
+    return topn_frequent(load_table(spark, sf_dir, "events"), "user_id",
+                         n=20, m=64, n_shards=32)
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap repair (slowly-varying-signal variant of gap fill)
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators.timeseries import (  # noqa: E402
+    interpolate_gaps,
+    interpolate_gaps_oracle_sql,
+)
+
+
+@register("events_interpolate", interpolate_gaps_oracle_sql())
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-regularized per-user series with LINEAR interpolation across
+    gaps (`operators/timeseries.py::interpolate_gaps`) — the physical-signal
+    counterpart of the forward-fill repair."""
+    return interpolate_gaps(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate-percentile bridge: exact quantiles as the oracle contract, the
+# percentile_approx scale path validated against them inside the same plan
+# ---------------------------------------------------------------------------
+
+@register("star_approx_percentiles", """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.90) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       TRUE AS approx_ok
+FROM orders
+GROUP BY 1
+""")
+def q_star_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority order-value quantiles PLUS an in-plan check that
+    `percentile_approx` (the KLL-style mergeable sketch — the only viable
+    quantile at 100 TB, where exact percentile needs a per-group sort)
+    lands within 2% relative error. The driver's exact-match oracle sees
+    the exact values and a TRUE flag; an approx-quality regression flips
+    the flag and fails the hash. Same pattern as `star_approx_agg`."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.percentile("o_totalprice", F.lit([0.50, 0.90, 0.99]))
+    approx = F.percentile_approx("o_totalprice",
+                                 F.lit([0.50, 0.90, 0.99]), F.lit(10000))
+    within = (F.abs(F.col("ap")[0] - F.col("ex")[0])
+              <= 0.02 * F.abs(F.col("ex")[0])) \
+        & (F.abs(F.col("ap")[1] - F.col("ex")[1])
+           <= 0.02 * F.abs(F.col("ex")[1])) \
+        & (F.abs(F.col("ap")[2] - F.col("ex")[2])
+           <= 0.02 * F.abs(F.col("ex")[2]))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(exact.alias("ex"), approx.alias("ap"))
+        .select("o_orderpriority",
+                F.col("ex")[0].alias("p50"),
+                F.col("ex")[1].alias("p90"),
+                F.col("ex")[2].alias("p99"),
+                within.alias("approx_ok"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (the "max N pages per domain" curation rule)
+# ---------------------------------------------------------------------------
+
+@register("pipeline_source_cap", """
+SELECT doc_id, source, n_chars, rnk
+FROM (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+      FROM documents)
+WHERE rnk <= 50
+""")
+def q_pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap the corpus at 50 documents per source, keeping the longest first
+    (deterministic doc_id tie-break) — the per-domain cap every web-scale
+    curation pipeline applies so one crawler-friendly site can't dominate
+    the mix. Catalyst plans the rank-filter as WindowGroupLimit: each
+    partition keeps only its local top-50 per source BEFORE the shuffle,
+    so the exchange carries O(|sources| * 50) rows per partition, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             F.asc("doc_id"))
+    return (docs.select("doc_id", "source", "n_chars",
+                        F.row_number().over(w).cast("int").alias("rnk"))
+            .where(F.col("rnk") <= 50))

@@ -1,0 +1,93 @@
+"""Tests for the frequent-items top-N sketch, approx-percentile bridge,
+linear-interpolation gap repair, and per-source cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.sketches import topn_frequent
+from insight_de_smart_grid_spark.operators.timeseries import interpolate_gaps
+from insight_de_smart_grid_spark.plans.registry import QUERIES
+from insight_de_smart_grid_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import check_registered
+
+ORACLE_CHECKED = [
+    "dash_topn_sketch",
+    "star_approx_percentiles",
+    "events_interpolate",
+    "pipeline_source_cap",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_new_query_matches_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
+
+
+def test_topn_under_pruning_pressure(spark):
+    """With m far below per-shard distincts, the sketch must still (a) report
+    exact counts for every surviving candidate, (b) keep the planted hot
+    keys, and (c) only mark rows `guaranteed` when no pruned key could
+    outrank them."""
+    rows = []
+    for k in range(200):                      # long tail: 1 row each
+        rows.append((f"tail{k}",))
+    for k in range(5):                        # hot heads: 50 - 10*k rows
+        rows.extend([(f"hot{k}",)] * (50 - 10 * k))
+    df = spark.createDataFrame(rows, "k: string").repartition(7)
+
+    out = topn_frequent(df, "k", n=5, m=3, n_shards=8).collect()
+    exact = {r.k: r.cnt for r in df.groupBy("k").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    assert out, "sketch returned nothing"
+    for r in out:
+        assert r.cnt == exact[r.k], "candidate count must be exact"
+    kept = [r.k for r in out]
+    # hot0 (50) and hot1 (40) dwarf any shard's pruning ceiling (tail keys
+    # have count 1, so thresholds are tiny) -> must survive and be flagged.
+    top = {r.k: r for r in out}
+    assert "hot0" in top and top["hot0"].rnk == 1 and top["hot0"].guaranteed
+    assert "hot1" in top and top["hot1"].rnk == 2 and top["hot1"].guaranteed
+    # guaranteed rows must truly be unbeatable: count strictly above every
+    # pruned key's count (all pruned keys have exact count <= max threshold).
+    pruned_max = max(c for k, c in exact.items() if k not in kept)
+    for r in out:
+        if r.guaranteed:
+            assert r.cnt > pruned_max
+
+
+def test_topn_exact_when_capacity_sufficient(spark):
+    """m >= per-shard distincts -> identical to exact top-N, all rows
+    guaranteed."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = topn_frequent(ev, "user_id", n=10, m=64, n_shards=32).collect()
+    exact = (ev.groupBy("user_id").count()
+             .orderBy(F.desc("count"), F.asc("user_id")).limit(10).collect())
+    assert [(r.user_id, r.cnt) for r in out] == \
+        [(r.user_id, r["count"]) for r in exact]
+    assert all(r.guaranteed for r in out)
+
+
+def test_interpolate_midpoint_on_planted_gap(spark):
+    """A single missing bucket between observations v=10 and v=20 must fill
+    with 15 (midpoint), flagged unobserved; edges stay observed."""
+    rows = [
+        (1, "2024-01-01 00:30:00", 10.0),
+        (1, "2024-01-01 02:15:00", 20.0),
+    ]
+    df = (spark.createDataFrame(rows, "user_id: int, ts: string, value: double")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = {r.bucket_ts.hour: r for r in interpolate_gaps(df).collect()}
+    assert out[0].value == 10.0 and out[0].is_observed
+    assert out[2].value == 20.0 and out[2].is_observed
+    assert out[1].value == 15.0 and not out[1].is_observed
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The rank<=50 filter must push a WindowGroupLimit below the exchange
+    so partitions pre-prune before shuffling."""
+    plan = (QUERIES["pipeline_source_cap"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan
