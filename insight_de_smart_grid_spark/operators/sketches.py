@@ -107,6 +107,96 @@ QUALIFY rnk <= {n}
 """
 
 
+_KMV_SCALE = float(2 ** 60)  # hashes are 60-bit; normalize to [0, 1)
+
+
+def kmv_sketches(df: DataFrame, key: str, dim, k: int = 256) -> DataFrame:
+    """Per-``dim`` KMV ("k minimum values") sketch of distinct ``key``s: the
+    k smallest portable 60-bit md5 hashes, sorted. This is the theta-sketch
+    family Druid ships for DISTINCT *intersections* — HLL (see hll_rollup)
+    unions beautifully but cannot intersect; KMV supports union, intersect,
+    and difference estimates, all mergeable.
+
+    Scale notes: built WITHOUT collect_set-then-trim (whose per-group state
+    is the full distinct set): distinct (dim, hash) pairs first, then a
+    rank<=k filter that Catalyst plans as WindowGroupLimit — every map
+    partition prunes to its local k before the shuffle — then a bounded
+    k-element collect_list. Per-group state never exceeds k hashes at any
+    stage, at any cardinality."""
+    from pyspark.sql import Window
+
+    d = dim if isinstance(dim, Column) else F.col(dim)
+    h = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+         .cast("long"))
+    hashes = df.select(d.alias("dim"), h.alias("h")).distinct()
+    w = Window.partitionBy("dim").orderBy("h")
+    return (
+        hashes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .groupBy("dim")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"),
+             F.count(F.lit(1)).alias("sz"))
+    )
+
+
+def kmv_estimate(kmv: Column, sz: Column, k: int) -> Column:
+    """Distinct-count estimate from one sketch: exact size when the sketch
+    is complete (|set| < k), else (k-1)/theta with theta = the k-th smallest
+    normalized hash."""
+    return F.when(sz < k, sz.cast("double")) \
+            .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE)
+                       / F.element_at(kmv, k).cast("double"))
+
+
+def kmv_pair_estimates(a_kmv: Column, a_sz: Column, b_kmv: Column,
+                       b_sz: Column, k: int) -> tuple[Column, Column]:
+    """(union_estimate, intersection_estimate) from two sketches.
+
+    Union: k smallest of the merged hash sets, same estimator. Intersection
+    (theta style): common hashes strictly below the cut = min of the two
+    k-th hashes (2^60, i.e. "everything", when a sketch is complete),
+    scaled by 2^60/cut. The cut stays an INTEGER hash — never a normalized
+    double, whose 53-bit mantissa can't hold a 60-bit hash exactly — so
+    membership filtering is exact; doubles appear only in the final
+    estimates, as one multiply+divide on identical operands cross-engine."""
+    big = F.lit(int(_KMV_SCALE))  # sentinel: sketch complete, theta = 1
+    u = F.slice(F.array_sort(F.array_union(a_kmv, b_kmv)), 1, k)
+    u_sz = F.size(u)
+    est_union = F.when(u_sz < k, u_sz.cast("double")) \
+                 .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE)
+                            / F.element_at(u, k).cast("double"))
+    cut_a = F.when(a_sz < k, big).otherwise(F.element_at(a_kmv, k))
+    cut_b = F.when(b_sz < k, big).otherwise(F.element_at(b_kmv, k))
+    cut = F.least(cut_a, cut_b)
+    common = F.size(F.array_intersect(
+        F.filter(a_kmv, lambda x: x < cut),
+        F.filter(b_kmv, lambda x: x < cut)))
+    est_inter = common.cast("double") * F.lit(_KMV_SCALE) \
+        / cut.cast("double")
+    return est_union, est_inter
+
+
+def kmv_sketches_sql(table: str, key: str, dim_sql: str, k: int = 256) -> str:
+    """DuckDB CTE body producing (dim, kmv, sz) identical to
+    :func:`kmv_sketches` (same md5 hashes, same rank<=k cut)."""
+    return f"""
+hashes AS (
+  SELECT DISTINCT {dim_sql} AS dim,
+         CAST(concat('0x', substring(md5(CAST({key} AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM {table}
+),
+sk AS (
+  SELECT dim, list_sort(list(h)) AS kmv, count(*) AS sz
+  FROM (SELECT dim, h,
+               row_number() OVER (PARTITION BY dim ORDER BY h) AS r
+        FROM hashes)
+  WHERE r <= {k}
+  GROUP BY 1
+)
+"""
+
+
 def hll_rollup(events: DataFrame, key: Column | str, ts_col: str = "ts",
                bucket: str = "hour", lg_k: int = 12,
                dims: tuple[str, ...] = ()) -> DataFrame:
