@@ -929,3 +929,76 @@ JOIN sizes sa ON pairs.doc_a = sa.doc_id
 JOIN sizes sb ON pairs.doc_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle overlap: the contamination/provenance matrix
+# ---------------------------------------------------------------------------
+
+def source_overlap(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Pairwise n-gram overlap between SOURCES — the corpus-provenance
+    report behind "how much of source B is already in source A"
+    (mirror-site detection, licensing audits, contamination triage before
+    `decontaminate` runs doc-level).
+
+    Shingles invert per document (same `word_ngrams` as the Jaccard tier),
+    lift to distinct (source, shingle-hash) rows, and self-join on the hash
+    with source_a < source_b. The join fan-out per shingle is bounded by
+    the number of sources carrying it — at most |sources|^2 pairs total,
+    independent of corpus size; the only corpus-sized shuffles are the two
+    distinct aggregations on uniform hash keys. Overlap coefficient
+    |A∩B| / min(|A|,|B|) is a ratio of integers: bit-stable cross-engine."""
+    sh = word_ngrams(docs, n, text_col, id_col)
+    src = docs.select(F.col(id_col), F.col(source_col).alias("src"))
+    sg = (sh.join(src, id_col)
+          .select("src", F.xxhash64("g").alias("h"))
+          .distinct())
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sg.alias("a"), sg.alias("b")
+    inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.src") < F.col("b.src")))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("src").alias("source_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("src").alias("source_b"),
+                      F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "n_shared", "sz_a", "sz_b",
+                    (F.col("n_shared").cast("double")
+                     / F.least("sz_a", "sz_b").cast("double"))
+                    .alias("overlap")))
+
+
+def source_overlap_oracle_sql(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+sg AS (
+  SELECT DISTINCT d.source AS src, s.g
+  FROM sh s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT src, count(*) AS sz FROM sg GROUP BY 1),
+inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(n_shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+           AS overlap
+FROM inter
+JOIN sizes sa ON inter.source_a = sa.src
+JOIN sizes sb ON inter.source_b = sb.src
+"""

@@ -646,3 +646,68 @@ SELECT user_id, valid_from, state, n_events,
            IS NULL AS is_current
 FROM intervals
 """
+
+
+def balanced_shards(docs: DataFrame, n_shards: int = 16,
+                    n_tiles: int = 10) -> DataFrame:
+    """Assign documents to ``n_shards`` output shards with near-equal TOTAL
+    length — the writer-side balancing step before materializing training
+    shards, where hash sharding (see ``global_shuffle``) equalizes counts
+    but lets a few giant documents skew shard bytes.
+
+    Two-phase, no global sort: (1) one tiny aggregate computes corpus-level
+    length deciles, broadcast back as an array; (2) within each size tile,
+    docs rank by (n_chars desc, doc_id) — a per-tile window, distributed
+    across tiles — and deal SERPENTINE to shards (left-to-right, then
+    right-to-left each round: plain round-robin over a descending order
+    hands shard 0 every tile's largest member, a systematic bias the
+    direction flip cancels). Every shard receives the same count (+-1)
+    from every size tile, so totals equalize to within one document's
+    length without any stage seeing more than a per-tile sort. At 100 TB
+    swap the exact percentile for approx_percentile (exact here so the
+    oracle matches)."""
+    from pyspark.sql import Window
+
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    thr = docs.agg(F.percentile("n_chars", F.lit(qs)).alias("thr"))
+    tiled = (docs.join(F.broadcast(thr))
+             .select("doc_id", "n_chars",
+                     F.size(F.filter(
+                         F.col("thr"),
+                         lambda t: F.col("n_chars").cast("double") > t))
+                     .alias("tile")))
+    w = Window.partitionBy("tile").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    pos = F.pmod(F.col("rn") - 1, F.lit(n_shards))
+    rnd = F.floor((F.col("rn") - 1) / F.lit(n_shards))
+    serp = F.when(F.pmod(rnd, F.lit(2)) == 0, pos) \
+            .otherwise(F.lit(n_shards - 1) - pos)
+    # rotate the deal start by tile so each tile's short final round lands
+    # on DIFFERENT shards — without this every tile's remainder piles onto
+    # the same one or two shards
+    shard = F.pmod(serp + F.col("tile"), F.lit(n_shards))
+    return (tiled.withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "n_chars", "tile",
+                    shard.cast("int").alias("shard")))
+
+
+def balanced_shards_oracle_sql(n_shards: int = 16, n_tiles: int = 10) -> str:
+    qs = ", ".join(str(i / n_tiles) for i in range(1, n_tiles))
+    return f"""
+WITH thr AS (
+  SELECT quantile_cont(n_chars, [{qs}]) AS thr FROM documents
+),
+tiled AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(thr, t -> CAST(n_chars AS DOUBLE) > t)) AS tile
+  FROM documents, thr
+)
+SELECT doc_id, n_chars, tile,
+       CAST((CASE WHEN ((rn - 1) // {n_shards}) % 2 = 0
+                  THEN (rn - 1) % {n_shards}
+                  ELSE {n_shards - 1} - ((rn - 1) % {n_shards})
+             END + tile) % {n_shards} AS INT) AS shard
+FROM (SELECT doc_id, n_chars, tile,
+             row_number() OVER (PARTITION BY tile
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM tiled)
+"""

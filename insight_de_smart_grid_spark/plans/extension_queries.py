@@ -283,3 +283,18 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contrastive-training hard negatives) — exactly oracle-checked via the
     portable plane matrix."""
     return sim.lsh_hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_source_overlap", dd.source_overlap_oracle_sql(3))
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level n-gram overlap matrix (mirror/contamination
+    triage) — `operators/dedup.py::source_overlap`."""
+    return dd.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@register("pipeline_balanced_shards", pl.balanced_shards_oracle_sql())
+def q_pipeline_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-balanced shard assignment: decile-tiled round-robin deal so
+    every shard gets near-equal total characters without a global sort —
+    `operators/pipeline.py::balanced_shards`."""
+    return pl.balanced_shards(load_table(spark, sf_dir, "documents"))

@@ -131,3 +131,33 @@ def test_kmv_estimate_accuracy_under_incomplete_sketch(spark):
                     .alias("e")).collect()[0].e
     true = docs.select("doc_id").distinct().count()
     assert abs(est - true) / true < 3.0 / (k - 2) ** 0.5
+
+
+def test_source_overlap_matches_oracle(spark, duck):
+    check_registered(spark, duck, "text_source_overlap")
+
+
+def test_balanced_shards_matches_oracle(spark, duck):
+    check_registered(spark, duck, "pipeline_balanced_shards")
+
+
+def test_balanced_shards_equalizes_totals(spark):
+    """Every shard's total must land within one maximum-document-length of
+    the mean (the serpentine-deal bound), every doc assigned exactly once —
+    the property hash sharding lacks when sizes are skewed."""
+    from insight_de_smart_grid_spark.operators.pipeline import balanced_shards
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = balanced_shards(docs, n_shards=16)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    totals = [r.tot for r in
+              out.groupBy("shard").agg(F.sum("n_chars").alias("tot"))
+              .collect()]
+    assert len(totals) == 16
+    mean = sum(totals) / len(totals)
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    assert max(totals) <= mean + max_doc
+    assert min(totals) >= mean - max_doc
+    # and materially tighter than the worst shard of a naive hash deal
+    assert max(totals) < 1.06 * mean and min(totals) > 0.94 * mean
