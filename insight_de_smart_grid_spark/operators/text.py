@@ -569,7 +569,7 @@ def pmi_bigrams(docs: DataFrame, text_col: str = "text", min_count: int = 20,
 
 
 def pmi_bigrams_oracle_sql(min_count: int = 20, top_n: int = 30) -> str:
-    return f"""
+    return rf"""
 WITH toks AS (
   SELECT list_filter(string_split_regex(trim(text), '\s+'),
                      t -> t != '') AS t

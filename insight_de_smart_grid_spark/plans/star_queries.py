@@ -427,3 +427,31 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (1 - F.col("l_discount"))), 6).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register("star_setops_all", """
+SELECT 'inter' AS op, c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+""")
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL the count difference — tagged and unioned into one result.
+    Both plan as aggregate-count + generate (no join): a single shuffle on
+    the value column each, scale-identical to a grouped count."""
+    o = _t(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    b = (o.filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    inter = a.intersectAll(b).select(F.lit("inter").alias("op"), "c_custkey")
+    exc = a.exceptAll(b).select(F.lit("except").alias("op"), "c_custkey")
+    return inter.unionAll(exc)
