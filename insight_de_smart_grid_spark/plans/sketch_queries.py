@@ -864,3 +864,26 @@ def q_sketch_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "next_day", "est_union", "est_inter", "exact_common",
         (F.abs(F.col("est_inter") - F.col("exact_common").cast("double"))
          <= tol).alias("within_tol"))
+
+
+# ---------------------------------------------------------------------------
+# Python UDAF surface (SURVEY §2.9): Arrow grouped-agg extension point
+# ---------------------------------------------------------------------------
+
+@register("events_mad_udaf", """
+SELECT user_id,
+       floor(mad(value) * 1000000) / 1000000 AS mad_value
+FROM events
+GROUP BY 1
+""")
+def q_events_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-meter median absolute deviation through the Arrow GROUPED_AGG
+    pandas UDAF (`functions/udafs.py::mad_udaf`) — the §2.9 aggregate
+    extension point, oracle-checked against DuckDB's built-in mad().
+    (Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates in
+    one pass — a real API constraint worth encoding here.)"""
+    from insight_de_smart_grid_spark.functions.udafs import mad_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(mad_udaf(F.col("value")).alias("mad_value")))

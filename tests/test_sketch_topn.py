@@ -207,3 +207,17 @@ def test_jsonl_corpus_roundtrip_with_quarantine(spark, tmp_path):
 
 def test_setops_all_matches_oracle(spark, duck):
     check_registered(spark, duck, "star_setops_all")
+
+
+def test_mad_udaf_matches_oracle(spark, duck):
+    check_registered(spark, duck, "events_mad_udaf")
+
+
+def test_mad_udaf_known_answer(spark):
+    """MAD of [1, 2, 4, 100] -> median 3, |x-3| = [2,1,1,97], MAD 1.5."""
+    from insight_de_smart_grid_spark.functions.udafs import mad_udaf
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 4.0), (1, 100.0)], "g: int, value: double")
+    out = df.groupBy("g").agg(mad_udaf(F.col("value")).alias("m")).collect()
+    assert out[0].m == 1.5
