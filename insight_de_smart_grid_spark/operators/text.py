@@ -784,3 +784,45 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Markup / boilerplate stripping (web-crawl text cleaning)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) treat identically.
+MARKUP_PATTERNS = {
+    "tag": r"<[^>]+>",
+    "entity": r"&[A-Za-z]+;|&#[0-9]+;",
+    "url": r"https?://[^ ]+",
+}
+
+
+def markup_counts(col: Column | str) -> list[Column]:
+    """One count column per markup class (split-segments-minus-one, same
+    portable form as ``pii_counts``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        (F.size(F.split(c, pat)) - F.lit(1)).alias(f"n_{name}")
+        for name, pat in MARKUP_PATTERNS.items()
+    ]
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Remove tags/entities/URLs and collapse the leftover whitespace — the
+    first cleaning pass over crawled HTML-ish text. Pure chained
+    ``regexp_replace`` (JVM codegen, scan speed, shuffle-free); class order
+    matters (tags first, so attribute URLs inside tags vanish with the tag)
+    and is fixed for both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in MARKUP_PATTERNS.values():
+        c = F.regexp_replace(c, pat, " ")
+    return F.trim(F.regexp_replace(c, "[ \t\r\n]+", " "))
+
+
+def strip_markup_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_markup` over ``expr``."""
+    c = expr
+    for pat in MARKUP_PATTERNS.values():
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    return rf"trim(regexp_replace({c}, '[ \t\r\n]+', ' ', 'g'))"

@@ -887,3 +887,59 @@ def q_events_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy("user_id")
             .agg(mad_udaf(F.col("value")).alias("mad_value")))
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping over planted deterministic HTML-ish noise
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators.text import (  # noqa: E402
+    markup_counts,
+    strip_markup,
+    strip_markup_sql,
+)
+
+_MARKED_SQL = (
+    "text || ' <p class=\"x\">bold&amp;' || CAST(doc_id AS VARCHAR) || "
+    "'</p> see https://ex.com/d' || CAST(doc_id AS VARCHAR) || "
+    "'?q=1 tail&#39; <br/> end'"
+)
+
+_MARKUP_PATTERNS_SQL = {
+    "tag": "<[^>]+>",
+    "entity": "&[A-Za-z]+;|&#[0-9]+;",
+    "url": "https?://[^ ]+",
+}
+
+
+@register("text_strip_markup", f"""
+WITH marked AS (
+  SELECT doc_id, {_MARKED_SQL} AS mtext FROM documents
+)
+SELECT doc_id,
+       {" , ".join(
+           f"len(string_split_regex(mtext, '{p}')) - 1 AS n_{n}"
+           for n, p in _MARKUP_PATTERNS_SQL.items())},
+       md5({strip_markup_sql("mtext")}) AS stripped_md5,
+       length({strip_markup_sql("mtext")}) AS n_chars_stripped
+FROM marked
+""")
+def q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-cleaning pass: strip tags / entities / URLs and collapse
+    whitespace (`operators/text.py::strip_markup`). The corpus has no
+    organic markup, so each doc gets deterministic doc_id-derived HTML-ish
+    noise appended before cleaning — byte-identical in both engines, so the
+    md5 proves the full regex chain end-to-end. Scan-speed, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    marked = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(' <p class="x">bold&amp;'), d,
+                 F.lit("</p> see https://ex.com/d"), d,
+                 F.lit("?q=1 tail&#39; <br/> end")).alias("mtext"))
+    stripped = strip_markup("mtext")
+    return marked.select(
+        "doc_id", *markup_counts("mtext"),
+        F.md5(stripped).alias("stripped_md5"),
+        F.length(stripped).alias("n_chars_stripped"))

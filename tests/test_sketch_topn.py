@@ -221,3 +221,16 @@ def test_mad_udaf_known_answer(spark):
         [(1, 1.0), (1, 2.0), (1, 4.0), (1, 100.0)], "g: int, value: double")
     out = df.groupBy("g").agg(mad_udaf(F.col("value")).alias("m")).collect()
     assert out[0].m == 1.5
+
+
+def test_strip_markup_matches_oracle(spark, duck):
+    check_registered(spark, duck, "text_strip_markup")
+
+
+def test_strip_markup_known_answer(spark):
+    from insight_de_smart_grid_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [("<div>a &amp; b</div> see https://x.y/z?a=1 end  ",)], "t: string")
+    out = df.select(strip_markup("t").alias("s")).collect()[0].s
+    assert out == "a b see end"
