@@ -234,3 +234,29 @@ def test_strip_markup_known_answer(spark):
         [("<div>a &amp; b</div> see https://x.y/z?a=1 end  ",)], "t: string")
     out = df.select(strip_markup("t").alias("s")).collect()[0].s
     assert out == "a b see end"
+
+
+def test_topn_sketch_prunes_with_window_group_limit(spark):
+    """The per-shard rank<=m cut must plan as WindowGroupLimit (map-side
+    candidate pruning before the shuffle) — the property that bounds merge
+    state at any key cardinality."""
+    plan = (QUERIES["dash_topn_sketch"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_prunes_with_window_group_limit_and_no_collect_set(spark):
+    """The rank<=k cut must plan as WindowGroupLimit, and no collect_set
+    may appear anywhere (per-group state must stay bounded by k)."""
+    plan = (QUERIES["sketch_kmv_retention"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan
+    assert "collect_set" not in plan, plan
+
+
+def test_balanced_shards_broadcasts_thresholds(spark):
+    """The decile-threshold join must broadcast the one-row aggregate —
+    never a sort-merge join against the corpus."""
+    plan = (QUERIES["pipeline_balanced_shards"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan, plan
