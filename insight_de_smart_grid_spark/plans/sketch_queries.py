@@ -943,3 +943,37 @@ def q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *markup_counts("mtext"),
         F.md5(stripped).alias("stripped_md5"),
         F.length(stripped).alias("n_chars_stripped"))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING linear interpolation (deferred emission: gaps close when their
+# right wall finalizes)
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.streaming.gap_fill_stream import (  # noqa: E402,E501
+    interpolate_stream,
+    interpolate_stream_oracle_sql,
+)
+
+
+@register("streaming_interpolate", interpolate_stream_oracle_sql())
+def q_streaming_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live linear-interpolation repair: gaps emit lerped values when the
+    observed bucket on their right CLOSES (interpolation needs the future
+    wall — forward fill doesn't, which is the semantic difference from
+    `streaming_gap_fill`). Oracle = batch interpolation cut at each key's
+    second-largest observed bucket, value-checked through the state
+    machine."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="interp_")
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: interpolate_stream(normalize_event_ts(stream)),
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")

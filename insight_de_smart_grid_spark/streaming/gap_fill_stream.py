@@ -219,3 +219,144 @@ def scd2_stream(events_stream: DataFrame) -> DataFrame:
     return prepared.groupBy("key").applyInPandasWithState(
         fn, SCD2_OUT_SCHEMA, SCD2_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
+
+
+INTERP_OUT_SCHEMA = ("key long, bucket_ts timestamp, value double, "
+                     "is_observed boolean")
+INTERP_STATE_SCHEMA = ("open_bucket long, open_sum double, open_cnt long, "
+                       "prev_bucket long, prev_value double")
+
+
+def interpolate_stream(events_stream: DataFrame,
+                       bucket_seconds: int = 3600) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.py::interpolate_gaps``
+    (linear fill). Interpolation needs the NEXT observed value, so a gap
+    run can only emit when the observed bucket that CLOSES it finalizes:
+    when bucket c closes (a later bucket arrived), the operator emits the
+    gaps between the previously-closed observed bucket and c — lerped
+    between their means — then c itself. Each key's newest bucket stays
+    open, and the gaps ahead of it stay unemitted (their right wall isn't
+    final). Streamed output therefore equals the batch interpolation cut at
+    each key's second-largest observed bucket — exactly what the oracle
+    states, value-checking the deferred-emission state machine.
+
+    State per key is five scalars; fills truncate (floor on the scaled
+    double) exactly like batch — see interpolate_gaps on engine round()
+    tie divergence."""
+    import math
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = [p for p in pdfs if not p.empty]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        uid = key[0]
+        epoch_s = pdf["ts"].astype("int64") // 10**9
+        buckets = (epoch_s // bucket_seconds) * bucket_seconds
+        agg = (pd.DataFrame({"b": buckets, "v": pdf["value"]})
+               .groupby("b")["v"].agg(["sum", "count"]).sort_index())
+
+        if state.exists:
+            ob, osum, ocnt, prevb, prevv = state.get
+        else:
+            ob, osum, ocnt, prevb, prevv = -1, 0.0, 0, -1, 0.0
+
+        out: list[tuple] = []
+        for b, row in agg.iterrows():
+            b = int(b)
+            if ob == -1:
+                ob, osum, ocnt = b, float(row["sum"]), int(row["count"])
+                continue
+            if b == ob:
+                osum += float(row["sum"])
+                ocnt += int(row["count"])
+                continue
+            if b < ob:  # late across batches: expired, dropped
+                continue
+            vc = round(osum / ocnt, 6)
+            if prevb != -1:
+                span = ob - prevb
+                g = prevb + bucket_seconds
+                while g < ob:
+                    frac = (g - prevb) / span
+                    fill = math.floor(
+                        (prevv + (vc - prevv) * frac) * 1e6) / 1e6
+                    out.append((uid, g, fill, False))
+                    g += bucket_seconds
+            out.append((uid, ob, vc, True))
+            prevb, prevv = ob, vc
+            ob, osum, ocnt = b, float(row["sum"]), int(row["count"])
+
+        state.update((int(ob), float(osum), int(ocnt),
+                      int(prevb), float(prevv)))
+        if out:
+            res = pd.DataFrame(
+                out, columns=["key", "bucket_ts", "value", "is_observed"])
+            res["bucket_ts"] = pd.to_datetime(res["bucket_ts"], unit="s")
+            res = res.sort_values(["bucket_ts"]).reset_index(drop=True)
+            yield res
+
+    prepared = events_stream.select(
+        events_stream["user_id"].alias("key"), "ts", "value")
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn, INTERP_OUT_SCHEMA, INTERP_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def interpolate_stream_oracle_sql(bucket: str = "hour") -> str:
+    """Batch linear interpolation cut at each key's second-largest observed
+    bucket (the last one the stream can close)."""
+    return f"""
+WITH observed AS (
+  SELECT user_id AS key, date_trunc('{bucket}', ts) AS bucket_ts,
+         round(avg(value), 6) AS obs_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT key, min(bucket_ts) AS first_ts, max(bucket_ts) AS last_ts
+  FROM observed GROUP BY 1
+), cutoff AS (
+  SELECT key, max(bucket_ts) AS second_last
+  FROM observed o
+  WHERE bucket_ts < (SELECT max(bucket_ts) FROM observed o2
+                     WHERE o2.key = o.key)
+  GROUP BY 1
+), grid AS (
+  SELECT key, unnest(generate_series(first_ts, last_ts,
+                                     INTERVAL 1 {bucket})) AS bucket_ts
+  FROM spans
+), joined AS (
+  SELECT g.key, g.bucket_ts, o.obs_value,
+         CASE WHEN o.obs_value IS NOT NULL THEN g.bucket_ts END AS obs_ts
+  FROM grid g LEFT JOIN observed o
+    ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+), walls AS (
+  SELECT key, bucket_ts, obs_value,
+         last_value(obs_value IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(obs_ts IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS UNBOUNDED PRECEDING) AS prev_t,
+         first_value(obs_value IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_v,
+         first_value(obs_ts IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_t
+  FROM joined
+)
+SELECT w.key, CAST(w.bucket_ts AS TIMESTAMP) AS bucket_ts,
+       CASE WHEN obs_value IS NOT NULL THEN obs_value
+            ELSE floor((prev_v + (next_v - prev_v)
+                        * (CAST(epoch(w.bucket_ts) - epoch(prev_t) AS DOUBLE)
+                           / CAST(epoch(next_t) - epoch(prev_t) AS DOUBLE)))
+                       * 1000000.0) / 1000000.0
+       END AS value,
+       obs_value IS NOT NULL AS is_observed
+FROM walls w
+JOIN cutoff c ON w.key = c.key
+WHERE w.bucket_ts <= c.second_last
+"""

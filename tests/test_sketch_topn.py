@@ -260,3 +260,36 @@ def test_balanced_shards_broadcasts_thresholds(spark):
     plan = (QUERIES["pipeline_balanced_shards"].fn(spark, SF_ORACLE)
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_streaming_interpolate_matches_oracle(spark, duck):
+    check_registered(spark, duck, "streaming_interpolate")
+
+
+def test_streaming_interpolate_defers_until_right_wall_closes(spark, tmp_path):
+    """Planted sequence 10 @h0, (gap h1), 20 @h2, 99 @h3: the h1 gap may
+    only emit once h2 CLOSES (h3 arrives), lerped to 15; h3 stays open and
+    unemitted; the gap ahead of an open wall never emits."""
+    import pandas as pd_
+
+    from insight_de_smart_grid_spark.streaming.gap_fill_stream import (
+        interpolate_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    src = tmp_path / "src.parquet"
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 10.0),
+         (1, "2024-01-01 02:15:00", 20.0),
+         (1, "2024-01-01 03:05:00", 99.0)],
+        "user_id: int, ts: string, value: double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src))
+
+    out = replay_parquet_stream(
+        spark, str(src), interpolate_stream, query_name="interp_contract",
+        checkpoint_dir=str(tmp_path / "ck")).collect()
+    got = {r.bucket_ts.hour: (r.value, r.is_observed) for r in out}
+    assert got == {0: (10.0, True), 1: (15.0, False), 2: (20.0, True)}
