@@ -1002,3 +1002,84 @@ FROM inter
 JOIN sizes sa ON inter.source_a = sa.src
 JOIN sizes sb ON inter.source_b = sb.src
 """
+
+
+def build_bloom(keys: DataFrame, key_col: str = "fp",
+                m_bits: int = 1 << 20, k_hashes: int = 7) -> DataFrame:
+    """Distributed bloom-filter build with PURE DataFrame expressions (no
+    UDF, and no reliance on the JVM-internal ``bloom_filter_agg``, which
+    PySpark does not expose): Kirsch-Mitzenmacher double hashing
+    (pos_i = h1 + i*h2 mod m) sets k bits per key; bits pack into 64-bit
+    words via ``bit_or`` aggregation; the set words collect into ONE
+    map<word_idx, bits> row. State is bounded by m/64 words at every
+    stage — the aggregation is map-side combinable, so the shuffle carries
+    at most m/64 rows per partition regardless of key count."""
+    # reduce both hashes mod m BEFORE combining: raw xxhash64 values span
+    # the full int64 range and h1 + i*h2 would overflow under ANSI mode
+    h1 = F.pmod(F.xxhash64(F.col(key_col)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.col(key_col), F.lit(0x5bd1)), F.lit(m_bits))
+    positions = F.array(*[
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)])
+    bits = (keys.select(F.explode(positions).alias("pos"))
+            .select((F.col("pos") / 64).cast("long").alias("word"),
+                    (F.col("pos") % 64).cast("int").alias("bit"))
+            .groupBy("word")
+            # python-API shiftleft needs a literal count; the SQL form
+            # accepts a column
+            .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                 .alias("bits")))
+    return bits.agg(F.map_from_entries(
+        F.collect_list(F.struct("word", "bits"))).alias("bloom"))
+
+
+def bloom_might_contain_sql(bloom_name: str, key_name: str,
+                            m_bits: int = 1 << 20,
+                            k_hashes: int = 7) -> str:
+    """SQL boolean expression matching :func:`build_bloom`: true iff ALL k
+    bit positions are set. No false negatives by construction. (SQL text
+    because the python-API ``shiftleft`` only takes a literal count.)"""
+    checks = []
+    for i in range(k_hashes):
+        pos = (f"pmod(pmod(xxhash64({key_name}), {m_bits}) + {i} * "
+               f"pmod(xxhash64({key_name}, 23505), {m_bits}), {m_bits})")
+        checks.append(
+            f"(coalesce(element_at({bloom_name}, "
+            f"CAST({pos} / 64 AS BIGINT)), CAST(0 AS BIGINT)) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0")
+    return " AND ".join(checks)
+
+
+def incremental_dedup_bloom(incoming: DataFrame, corpus: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            m_bits: int = 1 << 20,
+                            k_hashes: int = 7) -> DataFrame:
+    """:func:`incremental_dedup` with an EXPLICIT bloom pre-filter: the
+    corpus fingerprint index folds into a ~m_bits/8-byte bloom
+    (:func:`build_bloom`), broadcast to the incoming side, and
+    :func:`bloom_might_contain` discards the bulk of fresh docs BEFORE the
+    anti-join shuffle. Bloom filters have no false negatives, so every
+    true duplicate still reaches the exact anti-join and the result is
+    bit-identical to the exact path — only the false-positive tail pays
+    the shuffle. This is the hand-rolled form of the optimizer's runtime
+    bloom (proven injected in test_plans); an incremental pipeline wants
+    it explicit because the index side is a PERSISTED artifact the
+    optimizer never sees.
+
+    At 100 TB: the daily refresh ships a megabytes-scale bloom instead of
+    shuffling the full incoming batch against the fingerprint index; the
+    anti-join then touches only the fp tail plus true duplicates."""
+    idx = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    bloom = build_bloom(idx, "fp", m_bits, k_hashes)
+    marked = (incoming
+              .withColumn("__fp", fingerprint(text_col))
+              .join(F.broadcast(bloom))
+              .withColumn("__maybe",
+                          F.expr(bloom_might_contain_sql(
+                              "bloom", "__fp", m_bits, k_hashes))))
+    drop = ("__fp", "__maybe", "bloom")
+    survivors_fast = marked.where(~F.col("__maybe"))  # definitely fresh
+    suspects = marked.where(F.col("__maybe"))         # fp tail + true dups
+    fresh_suspects = suspects.join(
+        idx.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
+    return survivors_fast.drop(*drop).unionByName(fresh_suspects.drop(*drop))

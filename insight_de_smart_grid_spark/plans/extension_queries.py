@@ -298,3 +298,15 @@ def q_pipeline_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shard gets near-equal total characters without a global sort —
     `operators/pipeline.py::balanced_shards`."""
     return pl.balanced_shards(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_incremental_bloom", dd.incremental_dedup_oracle_sql())
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as `dedup_incremental`, through the explicit
+    bloom-prefilter path (`operators/dedup.py::incremental_dedup_bloom`) —
+    bit-identical output (no false negatives), so it shares the exact
+    oracle; the plan shuffles only the might_contain suspects."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = pl._hash_bucket(F.col("doc_id").cast("string"))
+    return dd.incremental_dedup_bloom(docs.filter(b >= 80),
+                                      docs.filter(b < 80))

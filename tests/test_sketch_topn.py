@@ -293,3 +293,39 @@ def test_streaming_interpolate_defers_until_right_wall_closes(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ck")).collect()
     got = {r.bucket_ts.hour: (r.value, r.is_observed) for r in out}
     assert got == {0: (10.0, True), 1: (15.0, False), 2: (20.0, True)}
+
+
+def test_bloom_incremental_matches_oracle(spark, duck):
+    check_registered(spark, duck, "dedup_incremental_bloom")
+
+
+def test_bloom_prefilter_is_lossless_and_prunes(spark):
+    """The bloom path must (a) return exactly the exact anti-join's rows
+    (no false negatives can lose a duplicate, no false positive can leak
+    one past the verify join) and (b) actually prune: the might_contain
+    suspects must be far fewer than the incoming batch."""
+    from insight_de_smart_grid_spark.operators.dedup import (
+        bloom_might_contain_sql, build_bloom, fingerprint,
+        incremental_dedup, incremental_dedup_bloom)
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100))
+    incoming, corpus = docs.filter(b >= 50), docs.filter(b < 50)
+
+    exact = {r.doc_id for r in incremental_dedup(incoming, corpus).collect()}
+    fast = {r.doc_id for r in
+            incremental_dedup_bloom(incoming, corpus).collect()}
+    assert fast == exact
+
+    bloom = build_bloom(
+        corpus.select(fingerprint("text").alias("fp")).distinct(), "fp")
+    suspects = (incoming.withColumn("__fp", fingerprint("text"))
+                .join(F.broadcast(bloom))
+                .where(F.expr(bloom_might_contain_sql("bloom", "__fp")))
+                .count())
+    n_in = incoming.count()
+    true_dups = n_in - len(exact)
+    # suspects = true dups + fp tail; the tail must be small (fpp ~ 1e-4
+    # at this fill factor, so <5% of incoming is a generous ceiling)
+    assert suspects >= true_dups
+    assert suspects <= true_dups + max(5, n_in // 20)
