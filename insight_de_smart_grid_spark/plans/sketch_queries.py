@@ -977,3 +977,72 @@ def q_streaming_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream: interpolate_stream(normalize_event_ts(stream)),
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink")
+
+
+# ---------------------------------------------------------------------------
+# CEP sequence detection: ordered click -> view -> purchase chains
+# ---------------------------------------------------------------------------
+
+@register("events_sequence_detect", """
+WITH ordered AS (
+  SELECT user_id, ts, event_type, event_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_ts
+  FROM events
+), chains AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' AND last_click_ts IS NOT NULL
+                         AND ts - last_click_ts <= INTERVAL 30 MINUTE
+                    THEN struct_pack(view_ts := ts, click_ts := last_click_ts)
+                    END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS armed
+  FROM ordered
+)
+SELECT user_id, ts AS purchase_ts,
+       armed.view_ts AS view_ts, armed.click_ts AS click_ts
+FROM chains
+WHERE event_type = 'purchase' AND armed IS NOT NULL
+  AND ts - armed.view_ts <= INTERVAL 30 MINUTE
+""")
+def q_events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing shape (MATCH_RECOGNIZE's common case): for
+    each purchase, the most recent qualifying click -> view -> purchase
+    chain with every hop within 30 minutes. Two stacked conditional
+    last_value windows — an "arming" automaton carried as window state:
+    the first pass carries the last click, the second carries the last
+    view that was itself armed by a click. One hash(user_id) shuffle and
+    one per-key sort serve both passes; no self-joins, so cost is O(events)
+    regardless of chain density (the three-way join formulation explodes
+    on hot users)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True).over(w)
+    ordered = ev.select("user_id", "ts", "event_type", "event_id",
+                        last_click.alias("last_click_ts"))
+    armed_view = F.last(
+        F.when((F.col("event_type") == "view")
+               & F.col("last_click_ts").isNotNull()
+               & (F.col("ts") <= F.col("last_click_ts")
+                  + F.expr("INTERVAL 30 MINUTES")),
+               F.struct(F.col("ts").alias("view_ts"),
+                        F.col("last_click_ts").alias("click_ts"))),
+        ignorenulls=True).over(w)
+    chains = ordered.select("user_id", "ts", "event_type",
+                            armed_view.alias("armed"))
+    return (chains
+            .where((F.col("event_type") == "purchase")
+                   & F.col("armed").isNotNull()
+                   & (F.col("ts") <= F.col("armed.view_ts")
+                      + F.expr("INTERVAL 30 MINUTES")))
+            .select("user_id", F.col("ts").alias("purchase_ts"),
+                    F.col("armed.view_ts").alias("view_ts"),
+                    F.col("armed.click_ts").alias("click_ts")))

@@ -329,3 +329,43 @@ def test_bloom_prefilter_is_lossless_and_prunes(spark):
     # at this fill factor, so <5% of incoming is a generous ceiling)
     assert suspects >= true_dups
     assert suspects <= true_dups + max(5, n_in // 20)
+
+
+def test_sequence_detect_matches_oracle(spark, duck):
+    check_registered(spark, duck, "events_sequence_detect")
+
+
+def test_sequence_detect_on_planted_chain(spark):
+    """Planted: a valid click->view->purchase chain, a broken one (no view),
+    and one with a stale click outside the 30m hop — only the valid chain
+    may fire, and it must pick the MOST RECENT qualifying view/click."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES
+    import tempfile, os
+
+    rows = [
+        # user 1: valid chain, with an older click that must NOT be chosen
+        (1, 1, "2024-01-01 10:00:00", "click"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "view"),
+        (4, 1, "2024-01-01 10:20:00", "purchase"),
+        # user 2: no view between click and purchase
+        (5, 2, "2024-01-01 10:00:00", "click"),
+        (6, 2, "2024-01-01 10:20:00", "purchase"),
+        # user 3: click too far before the view (35m hop)
+        (7, 3, "2024-01-01 09:00:00", "click"),
+        (8, 3, "2024-01-01 09:40:00", "view"),
+        (9, 3, "2024-01-01 09:50:00", "purchase"),
+    ]
+    df = (spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: string, event_type: string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}")))
+    d = tempfile.mkdtemp(prefix="seq_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    out = QUERIES["events_sequence_detect"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1
+    assert r.click_ts.minute == 5   # the most recent qualifying click
+    assert r.view_ts.minute == 10 and r.purchase_ts.minute == 20
