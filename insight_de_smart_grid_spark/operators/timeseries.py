@@ -217,3 +217,56 @@ SELECT user_id, ts, value, delta,
        round(CASE WHEN delta < 0 THEN value ELSE delta END, 6) AS consumed
 FROM seq WHERE delta IS NOT NULL
 """
+
+
+def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      bucket: str = "day") -> DataFrame:
+    """Time-weighted average per (key, bucket) for IRREGULARLY sampled
+    series — the metering aggregate plain avg() gets wrong: a reading held
+    for 50 minutes must weigh 10x one held for 5. Each reading weighs its
+    duration-until-next-reading (lead window, clipped at the bucket edge;
+    a key's last reading in a bucket carries to the bucket edge). Weights
+    are integer MICROseconds (unix_micros — second-granularity truncation
+    differs between engines when timestamps carry sub-second parts), so
+    the weighted sum is sum(value * int) — one
+    hash(key) shuffle for the lead window, then a grouped aggregation on
+    (key, bucket): identical scale shape to counter_deltas."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    bucket_start = F.date_trunc(bucket, F.col(ts_col))
+    bucket_end = bucket_start + F.expr(f"INTERVAL 1 {bucket}")
+    next_ts = F.coalesce(
+        F.least(F.lead(ts_col).over(w), bucket_end), bucket_end)
+    dt = F.unix_micros(next_ts) - F.unix_micros(F.col(ts_col))
+    return (events
+            .select(F.col(key_col).alias("key"),
+                    bucket_start.alias("bucket_ts"),
+                    F.col(value_col).alias("v"), dt.alias("dt"))
+            .where(F.col("dt") > 0)
+            .groupBy("key", "bucket_ts")
+            .agg((F.sum(F.col("v") * F.col("dt"))
+                  / F.sum("dt")).alias("twa"),
+                 F.sum("dt").alias("covered_us"),
+                 F.count(F.lit(1)).alias("n_readings")))
+
+
+def time_weighted_avg_oracle_sql(bucket: str = "day") -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id AS key,
+         CAST(date_trunc('{bucket}', ts) AS TIMESTAMP) AS bucket_ts,
+         value AS v,
+         epoch_us(coalesce(
+             least(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   date_trunc('{bucket}', ts) + INTERVAL 1 {bucket}),
+             date_trunc('{bucket}', ts) + INTERVAL 1 {bucket}))
+              - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT key, bucket_ts,
+       sum(v * dt) / sum(dt) AS twa,
+       CAST(sum(dt) AS BIGINT) AS covered_us,
+       count(*) AS n_readings
+FROM seq WHERE dt > 0
+GROUP BY 1, 2
+"""

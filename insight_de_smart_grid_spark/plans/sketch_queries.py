@@ -1046,3 +1046,46 @@ def q_events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("ts").alias("purchase_ts"),
                     F.col("armed.view_ts").alias("view_ts"),
                     F.col("armed.click_ts").alias("click_ts")))
+
+
+from insight_de_smart_grid_spark.streaming.stream_ops import (  # noqa: E402
+    sequence_detect_stream,
+)
+from insight_de_smart_grid_spark.plans.registry import QUERIES as _Q  # noqa: E402,E501
+
+
+@register("streaming_sequence_detect", _Q["events_sequence_detect"].sql)
+def q_streaming_sequence_detect(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Live CEP: the click→view→purchase automaton as per-key streaming
+    state. Forward-only, so the streamed chains equal the batch query
+    EXACTLY — this query shares `events_sequence_detect`'s oracle verbatim
+    (the strongest batch≡stream statement in the suite: same rows, same
+    values, through the state store)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="seqdet_")
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: sequence_detect_stream(normalize_event_ts(stream)),
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink")
+
+
+from insight_de_smart_grid_spark.operators.timeseries import (  # noqa: E402
+    time_weighted_avg,
+    time_weighted_avg_oracle_sql,
+)
+
+
+@register("events_time_weighted_avg", time_weighted_avg_oracle_sql())
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily TIME-weighted average for irregular sampling
+    (`operators/timeseries.py::time_weighted_avg`) — the metering
+    aggregate plain avg() distorts when reading intervals vary."""
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))

@@ -263,3 +263,67 @@ def read_upsert_snapshot(spark, snapshot_dir: str):
     root = Path(snapshot_dir)
     version = (root / "CURRENT").read_text().strip()
     return spark.read.parquet(str(root / version))
+
+
+SEQ_OUT_SCHEMA = ("user_id long, purchase_ts timestamp, view_ts timestamp, "
+                  "click_ts timestamp")
+SEQ_STATE_SCHEMA = ("last_click_us long, armed_view_us long, "
+                    "armed_click_us long, last_us long")
+
+
+def sequence_detect_stream(events_stream, gap_minutes: int = 30):
+    """Streaming twin of the `events_sequence_detect` CEP query: the
+    click→view→purchase arming automaton carried as PER-KEY STATE instead
+    of window passes. The automaton is forward-only — a purchase fires on
+    the state accumulated so far, never on future events — so the streamed
+    output equals the batch query EXACTLY (no open-bucket holdback; the
+    oracle is the identical chain set). State is four scalar timestamps
+    per user. Events at or before the carried last timestamp are expired
+    laggards and drop (same contract as every stateful op here)."""
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        rows = [p for p in pdfs if not p.empty]
+        if not rows:
+            return
+        pdf = (pd.concat(rows, ignore_index=True)
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        uid = key[0]
+        if state.exists:
+            last_click, armed_view, armed_click, last_us = state.get
+        else:
+            last_click, armed_view, armed_click, last_us = -1, -1, -1, -1
+
+        out: list[tuple] = []
+        for ts, et in zip(pdf["ts"], pdf["event_type"]):
+            us = ts.value // 1000
+            if us <= last_us:
+                continue
+            last_us = us
+            if et == "click":
+                last_click = us
+            elif et == "view":
+                if last_click != -1 and us - last_click <= gap_us:
+                    armed_view, armed_click = us, last_click
+            elif et == "purchase":
+                if armed_view != -1 and us - armed_view <= gap_us:
+                    out.append((uid, pd.Timestamp(us * 1000),
+                                pd.Timestamp(armed_view * 1000),
+                                pd.Timestamp(armed_click * 1000)))
+        state.update((int(last_click), int(armed_view),
+                      int(armed_click), int(last_us)))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "purchase_ts", "view_ts", "click_ts"])
+
+    prepared = events_stream.select(
+        "user_id", "ts", "event_id", "event_type")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, SEQ_OUT_SCHEMA, SEQ_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)

@@ -369,3 +369,30 @@ def test_sequence_detect_on_planted_chain(spark):
     assert r.user_id == 1
     assert r.click_ts.minute == 5   # the most recent qualifying click
     assert r.view_ts.minute == 10 and r.purchase_ts.minute == 20
+
+
+def test_streaming_sequence_detect_matches_batch_oracle(spark, duck):
+    check_registered(spark, duck, "streaming_sequence_detect")
+
+
+def test_time_weighted_avg_matches_oracle(spark, duck):
+    check_registered(spark, duck, "events_time_weighted_avg")
+
+
+def test_time_weighted_avg_weighs_held_values(spark):
+    """v=10 held 50 min then v=100 held 10 min (to bucket edge... clipped
+    at next reading) within one day: TWA = (10*50 + 100*10)/60 = 25,
+    where plain avg would say 55."""
+    rows = [
+        (1, "2024-01-01 23:00:00", 10.0),
+        (1, "2024-01-01 23:50:00", 100.0),
+    ]
+    df = (spark.createDataFrame(rows, "user_id: int, ts: string, value: double")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    from insight_de_smart_grid_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    out = time_weighted_avg(df).collect()
+    assert len(out) == 1
+    assert abs(out[0].twa - 25.0) < 1e-9
+    assert out[0].covered_us == 3600 * 1_000_000
