@@ -396,3 +396,53 @@ def test_time_weighted_avg_weighs_held_values(spark):
     assert len(out) == 1
     assert abs(out[0].twa - 25.0) < 1e-9
     assert out[0].covered_us == 3600 * 1_000_000
+
+
+def test_observation_metrics_ride_the_same_pass(spark):
+    """Observation aggregates must equal a separate count/sum — without a
+    second scan (the metric comes back from the SAME collect)."""
+    from insight_de_smart_grid_spark.streaming.monitor import observe_load
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    df, obs = observe_load(
+        ev, "load",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("null_values"))
+    n_direct = df.count()   # the one action; metrics materialize here
+    got = obs.get
+    assert got["n_rows"] == n_direct
+    assert got["null_values"] == ev.where(F.col("value").isNull()).count()
+
+
+def test_streaming_listener_captures_progress(spark, tmp_path):
+    """ProgressCapture must see every micro-batch: total numInputRows over
+    the replay equals the source row count (+1 flush sentinel if staged)."""
+    from insight_de_smart_grid_spark.sources.tables import (
+        events_to_readings, normalize_event_ts)
+    from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+        duty_cycle_stream_plan,
+    )
+    from insight_de_smart_grid_spark.streaming.monitor import ProgressCapture
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        replay_parquet_stream(
+            spark, f"{SF_ORACLE}/events.parquet",
+            lambda s: duty_cycle_stream_plan(
+                events_to_readings(normalize_event_ts(s))),
+            query_name="monitored_dc",
+            checkpoint_dir=str(tmp_path / "ck")).count()
+        progress = cap.drain()
+    finally:
+        spark.streams.removeListener(cap)
+
+    assert progress, "no progress events captured"
+    n_src = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    total_in = sum(p["num_input_rows"] for p in progress)
+    assert total_in >= n_src  # sentinel may add one row
+    assert any((p["state_rows"] or 0) > 0 for p in progress), \
+        "stateful aggregation should report state rows"
