@@ -1,17 +1,28 @@
-"""Mergeable-sketch rollup and data-governance (PII) queries.
+"""Sketches, governance, simulated-broker streaming, time-series repair,
+CEP, and extension-point queries — the capabilities a reference user gets
+from Druid/enterprise tooling that the engine must own directly.
 
-Two capabilities a reference user gets from Druid/enterprise tooling that the
-engine must own directly:
+Families registered here:
 
-- **Sketch rollup** (Druid metricsSpec parity): COUNT DISTINCT over a rollup
-  table via stored HLL sketches, unioned at query time. The registered query
-  validates the two-phase sketch path against the exact count inside the same
-  plan, so the driver's exact-match oracle still applies.
-- **PII redaction** (training-data governance): regex classes counted and
-  replaced JVM-side. The corpus fixture is synthetic word-salad with no real
-  PII, so the registered query *plants* deterministic PII derived from
-  ``doc_id`` (identically in Spark and DuckDB) and proves detection,
-  counting, and redaction end-to-end by hashing the redacted text.
+- **Sketch rollups** (Druid metricsSpec parity): HLL count-distinct (batch
+  + streaming state), KMV/theta distinct-intersection, frequent-items topN
+  — each validated against an exact twin inside the same plan, so the
+  driver's exact-match oracle still applies.
+- **Data governance**: PII redaction and markup stripping over PLANTED
+  deterministic noise (the synthetic corpus has none organically), proving
+  the full regex chains via md5.
+- **Simulated-broker pipelines**: the composed Kafka envelope -> Avro ->
+  duty-cycle path, batch and streaming, without a broker in the container.
+- **Time-series repair**, batch and streaming: gap fill, linear
+  interpolation (deferred right-wall emission in the stream), counter
+  deltas, SCD2, time-weighted averages.
+- **CEP sequence detection** (batch windows; the streaming automaton lives
+  in streaming/stream_ops.py and shares the batch oracle verbatim).
+- **Extension points**: the Arrow grouped-agg pandas UDAF (per-meter MAD).
+
+The planting pattern used throughout: derive deterministic test content
+from ``doc_id`` identically in Spark and DuckDB so exact value hashes
+prove behavior end-to-end on data the fixture lacks.
 """
 
 from __future__ import annotations
