@@ -103,3 +103,44 @@ def band_self_join(df: DataFrame, value_col: str, eps: float,
             .select(*group_cols, "a_id", "b_id",
                     F.round(F.abs(F.col("a_value") - F.col("b_value")), 9)
                     .alias("value_gap")))
+
+
+def fuzzy_match(dirty: DataFrame, clean: DataFrame,
+                dirty_col: str = "dirty_name", clean_col: str = "clean_name",
+                max_dist: int = 2) -> DataFrame:
+    """Blocked fuzzy string matching (entity resolution of messy names):
+    candidate pairs share a block key — (first char, length//4 band, with
+    each dirty string probing its own band and both neighbors) — then an
+    exact ``levenshtein`` verify keeps pairs within ``max_dist``. Ties
+    resolve to the closest match (then lexicographic) per dirty name.
+
+    Blocking recall: edit distance <= 2 implies a length difference <= 2
+    (the band probe covers it) but CAN change the first character; this
+    blocking is exact for corruptions beyond position 0 and is the
+    documented tier-1. The lossless general scheme is PassJoin-style
+    segment inversion (partition into max_dist+1 segments; pigeonhole
+    guarantees one exact segment) — same bucket-join shape, more keys.
+    At scale both are equi-joins on bounded blocks; nothing compares all
+    pairs."""
+    from pyspark.sql import Window
+
+    def keyed(df: DataFrame, col: str, probe: bool) -> DataFrame:
+        band = F.floor(F.length(F.col(col)) / 4)
+        bands = [band + d for d in (-1, 0, 1)] if probe else [band]
+        return df.select(
+            F.col(col),
+            F.substring(F.col(col), 1, 1).alias("blk_c"),
+            F.explode(F.array(*bands)).alias("blk_b"))
+
+    cands = (keyed(dirty.select(dirty_col).distinct(), dirty_col, True)
+             .join(keyed(clean.select(clean_col).distinct(),
+                         clean_col, False),
+                   ["blk_c", "blk_b"])
+             .select(dirty_col, clean_col,
+                     F.levenshtein(dirty_col, clean_col).alias("distance"))
+             .where(F.col("distance") <= max_dist)
+             .distinct())
+    w = Window.partitionBy(dirty_col).orderBy("distance", clean_col)
+    return (cands.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(dirty_col, clean_col, "distance"))

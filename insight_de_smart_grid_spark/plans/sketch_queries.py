@@ -1100,3 +1100,106 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/timeseries.py::time_weighted_avg`) — the metering
     aggregate plain avg() distorts when reading intervals vary."""
     return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy name matching over planted typos
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators.relational import (  # noqa: E402
+    fuzzy_match,
+)
+
+
+@register("fuzzy_supplier_match", """
+WITH dirty AS (
+  SELECT concat(substring(s_name, 1, 1 + (s_suppkey % (length(s_name) - 1))),
+                'x',
+                substring(s_name, 3 + (s_suppkey % (length(s_name) - 1))))
+         AS dirty_name
+  FROM supplier
+),
+dk AS (
+  SELECT DISTINCT dirty_name, substring(dirty_name, 1, 1) AS blk_c,
+         (length(dirty_name) // 4) + d.d AS blk_b
+  FROM dirty, (VALUES (-1), (0), (1)) AS d(d)
+),
+ck AS (
+  SELECT DISTINCT s_name AS clean_name, substring(s_name, 1, 1) AS blk_c,
+         length(s_name) // 4 AS blk_b
+  FROM supplier
+),
+cand AS (
+  SELECT DISTINCT dirty_name, clean_name,
+         levenshtein(dirty_name, clean_name) AS distance
+  FROM dk JOIN ck USING (blk_c, blk_b)
+  WHERE levenshtein(dirty_name, clean_name) <= 2
+)
+SELECT dirty_name, clean_name, CAST(distance AS INT) AS distance
+FROM (SELECT *, row_number() OVER (PARTITION BY dirty_name
+                                   ORDER BY distance, clean_name) AS rnk
+      FROM cand)
+WHERE rnk = 1
+""")
+def q_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: supplier names with a PLANTED deterministic typo
+    (one character substituted at 2 + suppkey mod (len-1) — never position
+    1, so the first-char block is lossless for this corruption class)
+    fuzzy-matched back to the clean catalog via
+    `operators/relational.py::fuzzy_match` (blocked candidates + exact
+    levenshtein verify, best match per dirty name)."""
+    s = load_table(spark, sf_dir, "supplier")
+    dirty = s.select(
+        F.concat(F.expr("substring(s_name, 1, "
+                        "1 + (s_suppkey % (length(s_name) - 1)))"),
+                 F.lit("x"),
+                 F.expr("substring(s_name, "
+                        "3 + (s_suppkey % (length(s_name) - 1)))"))
+        .alias("dirty_name"))
+    clean = s.select(F.col("s_name").alias("clean_name"))
+    out = fuzzy_match(dirty, clean)
+    return out.select("dirty_name", "clean_name",
+                      F.col("distance").cast("int").alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: Benford first-digit distribution
+# ---------------------------------------------------------------------------
+
+@register("audit_benford_totalprice", """
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM digits)
+SELECT digit,
+       count(*) AS n_obs,
+       n * log10(1.0 + 1.0 / digit) AS expected_n,
+       (count(*) - n * log10(1.0 + 1.0 / digit))
+       * (count(*) - n * log10(1.0 + 1.0 / digit))
+       / (n * log10(1.0 + 1.0 / digit)) AS chi2_part
+FROM digits, n
+GROUP BY digit, n
+""")
+def q_audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals — the
+    data-quality screen for fabricated or truncated monetary columns.
+    First digit via integer-string projection (portable; log10+floor has
+    boundary hazards), expected mass log10(1 + 1/d), per-digit chi-square
+    contribution. One scan, one 9-key aggregation — audit-at-scan-speed
+    at any scale."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = (F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                         1, 1).cast("int").alias("digit"))
+    digits = o.select(digit)
+    n = digits.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    expected = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (digits.join(F.broadcast(n))
+            .groupBy("digit", "n")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .select("digit", "n_obs",
+                    expected.alias("expected_n"),
+                    ((F.col("n_obs") - expected)
+                     * (F.col("n_obs") - expected)
+                     / expected).alias("chi2_part")))

@@ -446,3 +446,45 @@ def test_streaming_listener_captures_progress(spark, tmp_path):
     assert total_in >= n_src  # sentinel may add one row
     assert any((p["state_rows"] or 0) > 0 for p in progress), \
         "stateful aggregation should report state rows"
+
+
+def test_fuzzy_match_matches_oracle(spark, duck):
+    check_registered(spark, duck, "fuzzy_supplier_match")
+
+
+def test_fuzzy_match_recovers_planted_typos(spark):
+    """Every dirty name (one substituted char, never position 0) must map
+    back to its source supplier name at distance <= 1."""
+    out = QUERIES["fuzzy_supplier_match"].fn(spark, SF_ORACLE).collect()
+    n_sup = load_table(spark, SF_ORACLE, "supplier").count()
+    assert len(out) == load_table(spark, SF_ORACLE, "supplier") \
+        .selectExpr("concat(substring(s_name, 1, 1 + (s_suppkey % "
+                    "(length(s_name) - 1))), 'x', substring(s_name, 3 + "
+                    "(s_suppkey % (length(s_name) - 1)))) AS d") \
+        .distinct().count()
+    assert all(r.distance <= 1 for r in out)
+    assert n_sup > 0
+
+
+def test_benford_matches_oracle(spark, duck):
+    check_registered(spark, duck, "audit_benford_totalprice")
+
+
+def test_benford_partitions_and_masses(spark):
+    """Digit counts must sum to the filtered row count and expected masses
+    to ~1: the audit's internal consistency."""
+    rows = QUERIES["audit_benford_totalprice"].fn(spark, SF_ORACLE).collect()
+    o = load_table(spark, SF_ORACLE, "orders")
+    n = o.where(F.col("o_totalprice") >= 1).count()
+    assert sum(r.n_obs for r in rows) == n
+    assert abs(sum(r.expected_n for r in rows) - n) < 1e-6 * n
+    assert {r.digit for r in rows} <= set(range(1, 10))
+
+
+def test_interpolate_avoids_quadratic_window_frame(spark):
+    """The forward walls must come from a reverse-ordered RUNNING frame —
+    an UnboundedFollowing frame is O(n^2) per key (measured 40x slower at
+    sf0.1). The plan must not contain an UnboundedFollowing frame bound."""
+    plan = (QUERIES["events_interpolate"].fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "unboundedfollowing" not in plan.lower(), plan
