@@ -1203,3 +1203,55 @@ def q_audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_obs") - expected)
                      * (F.col("n_obs") - expected)
                      / expected).alias("chi2_part")))
+
+
+# ---------------------------------------------------------------------------
+# FULL-OUTER stream-stream join (completes the inner/left/full matrix)
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.streaming.stream_ops import (  # noqa: E402
+    purchase_click_full_stream_plan,
+)
+
+
+@register("streaming_full_join", """
+SELECT coalesce(p.user_id, c.click_user_id) AS user_id,
+       p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+FROM (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT user_id AS click_user_id, event_id AS click_id,
+                  ts AS click_ts
+           FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.click_user_id
+ AND c.click_ts > p.purchase_ts - INTERVAL 30 MINUTE
+ AND c.click_ts <= p.purchase_ts
+""")
+def q_streaming_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live FULL-OUTER purchase/click attribution: matched pairs plus
+    null-extended rows on BOTH sides as the watermark closes them —
+    value-checked against the batch FULL JOIN
+    (`streaming/stream_ops.py::purchase_click_full_stream_plan`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="fulljoin_")
+    # Two PER-TYPE sentinels, one micro-batch per file: (a) the join sides
+    # collect event-time stats AFTER their type filters, so the sentinel
+    # must exist as a click AND a purchase or one side's watermark stalls
+    # at its real maximum; (b) a watermark update only takes effect in the
+    # NEXT batch, and an unmatched click's outer row needs the watermark
+    # past click_ts + lookback — for the stream's tail that watermark only
+    # exists in a batch processed after sentinel #1. Sentinel rows carry
+    # user_id = -1 and are dropped after the join (their own outer rows
+    # flush once the second sentinel's watermark passes them).
+    out = replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        purchase_click_full_stream_plan,
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink", flush_sentinel=True,
+        sentinel_count=2, max_files_per_trigger=1,
+        sentinel_all_types=True)
+    return out.where(F.col("user_id") != -1)

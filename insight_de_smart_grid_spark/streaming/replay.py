@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 def parquet_stream_source(spark: SparkSession, parquet_path: str,
                           flush_sentinel: bool = False,
-                          sentinel_margin_s: int = 3600) -> DataFrame:
+                          sentinel_margin_s: int = 3600,
+                          sentinel_count: int = 1,
+                          max_files_per_trigger: int | None = None,
+                          sentinel_all_types: bool = False
+                          ) -> DataFrame:
     """Schema-pinned streaming file source over a parquet table. The file
     source requires a directory, so a single parquet file is staged behind a
     symlink dir; nanos-precision timestamps surface as longs (same policy as
@@ -32,7 +36,18 @@ def parquet_stream_source(spark: SparkSession, parquet_path: str,
     windows end after the watermark and are never emitted — the marker key is
     only a belt-and-braces filter for callers. This is the standard
     end-of-replay flush for finite sources; a live deployment doesn't need it
-    (the next real event plays the same role)."""
+    (the next real event plays the same role).
+
+    ``sentinel_count`` > 1 (with ``max_files_per_trigger=1`` so each
+    sentinel lands in its OWN micro-batch) is for operators whose
+    watermark-gated output needs a batch to run AFTER the watermark
+    advance: a watermark update only takes effect in the NEXT batch, and
+    availableNow stops after the last data batch. Outer stream-stream
+    joins are the case in point — an unmatched click emits when the
+    watermark passes click_ts + lookback, which for the stream's tail
+    only happens in a batch processed after sentinel #1; sentinel #2
+    provides that batch. Single-sentinel semantics (windowed aggs, left
+    joins keyed on the row's own timestamp) are unchanged."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     p = Path(parquet_path)
     if p.is_file() or flush_sentinel:
@@ -43,15 +58,21 @@ def parquet_stream_source(spark: SparkSession, parquet_path: str,
             (staged / src.name).symlink_to(src)
         parquet_path = str(staged)
     if flush_sentinel:
-        parquet_path = _stage_flush_sentinel(spark, parquet_path,
-                                             sentinel_margin_s)
+        for i in range(sentinel_count):
+            parquet_path = _stage_flush_sentinel(
+                spark, parquet_path, sentinel_margin_s * (i + 1), seq=i,
+                all_types=sentinel_all_types)
     schema = spark.read.parquet(parquet_path).schema
-    return (spark.readStream.schema(schema).format("parquet")
-            .load(parquet_path))
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.load(parquet_path)
 
 
 def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
-                          margin_s: int) -> str:
+                          margin_s: int, seq: int = 0,
+                          all_types: bool = False) -> str:
     """Write the watermark-flush sentinel row beside the staged source files.
 
     ``ts`` at this layer is whatever the parquet surfaces: a nanos-since-epoch
@@ -73,10 +94,24 @@ def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
                 .withColumn("ts", bumped)
                 .withColumn("user_id", F.lit(-1)
                             .cast(batch.schema["user_id"].dataType)))
+    if all_types and "event_type" in batch.columns:
+        # one sentinel row PER event type: queries that split the stream by
+        # type (stream-stream joins) collect their event-time stats on the
+        # POST-filter branches, so a single-type sentinel advances only the
+        # branch whose filter it passes — the other side's watermark stalls
+        # at its own real maximum and tail outer rows never flush
+        types = batch.select("event_type").distinct()
+        sentinel = sentinel.drop("event_type").crossJoin(types)
     tmp = tempfile.mkdtemp(prefix="sentinel_")
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = next(Path(tmp).glob("part-*.parquet"))
-    part.rename(Path(staged_dir) / "zz_flush_sentinel.parquet")
+    dest = Path(staged_dir) / f"zz_flush_sentinel_{seq}.parquet"
+    part.rename(dest)
+    # strictly increasing mtimes: the file source orders batches by
+    # modification time, and sentinel N must process after sentinel N-1
+    import os
+    now = os.stat(staged_dir).st_mtime + 10 * (seq + 1)
+    os.utime(dest, (now, now))
     return staged_dir
 
 
@@ -86,7 +121,11 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
                           checkpoint_dir: str | None = None,
                           out_dir: str | None = None,
                           state_partitions: int | None = 8,
-                          flush_sentinel: bool = False) -> DataFrame:
+                          flush_sentinel: bool = False,
+                          sentinel_count: int = 1,
+                          max_files_per_trigger: int | None = None,
+                          sentinel_all_types: bool = False
+                          ) -> DataFrame:
     """Build ``plan_fn(stream)`` over a parquet file source and drain it with
     ``trigger(availableNow=True)``; returns the sink contents as a batch
     DataFrame (memory sink by default, fault-tolerant parquet sink when
@@ -100,8 +139,11 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    plan = plan_fn(parquet_stream_source(spark, parquet_path,
-                                         flush_sentinel=flush_sentinel))
+    plan = plan_fn(parquet_stream_source(
+        spark, parquet_path, flush_sentinel=flush_sentinel,
+        sentinel_count=sentinel_count,
+        max_files_per_trigger=max_files_per_trigger,
+        sentinel_all_types=sentinel_all_types))
     try:
         if out_dir:
             writer = (plan.writeStream.outputMode("append")

@@ -327,3 +327,39 @@ def sequence_detect_stream(events_stream, gap_minutes: int = 30):
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn, SEQ_OUT_SCHEMA, SEQ_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def purchase_click_full_stream_plan(events_stream: DataFrame,
+                                    lookback: str = "30 minutes",
+                                    watermark: str = "2 seconds") -> DataFrame:
+    """FULL-OUTER stream-stream join — completing the inner/left/full
+    matrix: unmatched PURCHASES null-extend (as in the left join) and
+    unmatched CLICKS null-extend too, each side emitting once the
+    watermark proves no partner can arrive. Same shared-watermark-before-
+    filters discipline as the left join (a stalled min-of-sides watermark
+    would hold BOTH kinds of outer rows forever). A click's outer row
+    needs the watermark past click_ts + lookback; the replay sentinel's
+    margin exceeds the lookback, so every real unmatched click flushes
+    while the sentinel itself stays in state."""
+    ev = normalize_event_ts(events_stream).withWatermark("ts", watermark)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""user_id = click_user_id
+                   AND click_ts > purchase_ts - INTERVAL {lookback}
+                   AND click_ts <= purchase_ts"""),
+        "fullOuter")
+    return joined.select(
+        F.coalesce("user_id", "click_user_id").alias("user_id"),
+        "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -488,3 +488,18 @@ def test_interpolate_avoids_quadratic_window_frame(spark):
     plan = (QUERIES["events_interpolate"].fn(spark, SF_ORACLE)
             ._jdf.queryExecution().executedPlan().toString())
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_streaming_full_join_matches_oracle(spark, duck):
+    check_registered(spark, duck, "streaming_full_join")
+
+
+def test_streaming_full_join_emits_both_outer_sides(spark):
+    """Null-extended rows must appear on BOTH sides (unmatched purchases
+    AND unmatched clicks) — the property the left join lacks — and no
+    sentinel (-1) rows may leak."""
+    out = QUERIES["streaming_full_join"].fn(spark, SF_ORACLE)
+    rows = out.collect()
+    assert any(r.purchase_id is None for r in rows)
+    assert any(r.click_id is None for r in rows)
+    assert all(r.user_id != -1 for r in rows)
