@@ -223,9 +223,19 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_click_left_stream_plan,
     )
 
-    return replay_parquet_stream(
+    # Same sentinel scheme as streaming_full_join: per-type sentinels in
+    # their own micro-batches. The left join passed with a single 'view'
+    # sentinel only by luck of the data — per-side event-time stats
+    # collect after the type filters, so the effective watermark stalls at
+    # min(max purchase, max click) and any unmatched purchase newer than
+    # that would be held. -1 guard drops the sentinels' own outer rows.
+    from pyspark.sql import functions as _F
+
+    out = replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet", purchase_click_left_stream_plan,
-        query_name=f"slj_{uuid.uuid4().hex[:8]}", flush_sentinel=True)
+        query_name=f"slj_{uuid.uuid4().hex[:8]}", flush_sentinel=True,
+        sentinel_count=2, max_files_per_trigger=1, sentinel_all_types=True)
+    return out.where(_F.col("user_id") != -1)
 
 
 # ---------------------------------------------------------------------------

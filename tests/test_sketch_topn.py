@@ -503,3 +503,37 @@ def test_streaming_full_join_emits_both_outer_sides(spark):
     assert any(r.purchase_id is None for r in rows)
     assert any(r.click_id is None for r in rows)
     assert all(r.user_id != -1 for r in rows)
+
+
+def test_left_join_flushes_tail_unmatched_purchase(spark, tmp_path):
+    """Regression for the per-side watermark stall: an unmatched purchase
+    AFTER the last click (inside the stall window that a single-type
+    sentinel cannot clear) must still emit a null-extended row."""
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        purchase_click_left_stream_plan,
+    )
+
+    rows = [
+        (1, 7, "2024-01-01 10:00:00", "click", 1.0, "{}"),
+        (2, 7, "2024-01-01 10:10:00", "purchase", 1.0, "{}"),   # matched
+        (3, 8, "2024-01-01 11:00:00", "purchase", 1.0, "{}"),   # tail, unmatched
+    ]
+    df = (spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: string, "
+              "event_type: string, value: double, props: string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = tmp_path / "events.parquet"
+    df.coalesce(1).write.parquet(str(src))
+
+    out = replay_parquet_stream(
+        spark, str(src), purchase_click_left_stream_plan,
+        query_name="stall_regression", checkpoint_dir=str(tmp_path / "ck"),
+        flush_sentinel=True, sentinel_count=2, max_files_per_trigger=1,
+        sentinel_all_types=True)
+    got = {(r.purchase_id, r.click_id)
+           for r in out.where(F.col("user_id") != -1).collect()}
+    assert (2, 1) in got, got          # the matched pair
+    assert (3, None) in got, got       # the stall-window outer row
