@@ -1255,3 +1255,57 @@ def q_streaming_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel_count=2, max_files_per_trigger=1,
         sentinel_all_types=True)
     return out.where(F.col("user_id") != -1)
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path mining: top-k ordered event-type paths per session
+# ---------------------------------------------------------------------------
+
+@register("events_top_paths", """
+WITH sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS INT) AS rnk
+FROM paths
+GROUP BY path
+QUALIFY rnk <= 20
+""")
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 20 most common ordered event-type
+    sequences per 30-minute session — the product-analytics report behind
+    "what do users actually do". Reuses the sessionizer
+    (`operators/sessionize.py`); the path string is a deterministic
+    ordered aggregation (sorted collect_list), the report a bounded top-K.
+    Paths are bounded by session length, sessions shuffle on the user key,
+    and the final rank touches |distinct paths| rows — scale-safe at any
+    event volume."""
+    from insight_de_smart_grid_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev)
+    paths = (sess.groupBy("user_id", "session_seq")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     "ts", "event_id", "event_type"))),
+                 lambda s: s.event_type)).alias("path")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .where(F.col("rnk") <= 20))

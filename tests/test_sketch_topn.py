@@ -537,3 +537,7 @@ def test_left_join_flushes_tail_unmatched_purchase(spark, tmp_path):
            for r in out.where(F.col("user_id") != -1).collect()}
     assert (2, 1) in got, got          # the matched pair
     assert (3, None) in got, got       # the stall-window outer row
+
+
+def test_top_paths_matches_oracle(spark, duck):
+    check_registered(spark, duck, "events_top_paths")
