@@ -541,3 +541,51 @@ def test_left_join_flushes_tail_unmatched_purchase(spark, tmp_path):
 
 def test_top_paths_matches_oracle(spark, duck):
     check_registered(spark, duck, "events_top_paths")
+
+
+@pytest.mark.parametrize("name", [
+    "pipeline_sample_k_per_source",
+    "pipeline_cdc_net_state",
+    "audit_table_checksum",
+])
+def test_ops_utilities_match_oracle(spark, duck, name):
+    check_registered(spark, duck, name)
+
+
+def test_sample_k_is_exact_and_stable(spark):
+    out1 = QUERIES["pipeline_sample_k_per_source"].fn(spark, SF_ORACLE)
+    out2 = QUERIES["pipeline_sample_k_per_source"].fn(spark, SF_ORACLE)
+    per = out1.groupBy("source").count().collect()
+    assert all(r["count"] == 25 for r in per)
+    assert {r.doc_id for r in out1.collect()} == \
+        {r.doc_id for r in out2.collect()}  # reproducible
+
+
+def test_checksum_flips_on_any_row_change(spark):
+    """Changing one value, dropping one row, or duplicating one row must
+    each change the (checksum, n_rows) pair."""
+    from insight_de_smart_grid_spark.plans.registry import QUERIES as Q
+
+    base = Q["audit_table_checksum"].fn(spark, SF_ORACLE).collect()[0]
+    li = load_table(spark, SF_ORACLE, "lineitem")
+
+    def chk(df):
+        rh = (F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_returnflag"))), 1, 15), 16, 10).cast("long"))
+        return tuple(df.select(rh.alias("rh"))
+                     .agg(F.bit_xor("rh"), F.count(F.lit(1)))
+                     .collect()[0])
+
+    assert chk(li) == (base.checksum, base.n_rows)
+    victim = li.select("l_orderkey", "l_linenumber").head(1)[0]
+    hit = ((F.col("l_orderkey") == victim.l_orderkey)
+           & (F.col("l_linenumber") == victim.l_linenumber))
+    mutated = li.withColumn(
+        "l_returnflag",
+        F.when(hit, F.lit("Z")).otherwise(F.col("l_returnflag")))
+    assert chk(mutated)[0] != base.checksum
+    dropped = li.where(~hit)
+    assert chk(dropped) != (base.checksum, base.n_rows)
