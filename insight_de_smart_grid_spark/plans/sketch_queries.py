@@ -1406,3 +1406,39 @@ def q_audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.select(rh.alias("rh"))
             .agg(F.bit_xor("rh").alias("checksum"),
                  F.count(F.lit(1)).alias("n_rows")))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING KMV sketches finalized by EVENT-TIME TIMEOUT (the third
+# emission discipline: the clock closes the group, not a later element)
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.streaming.sketch_stream import (  # noqa: E402,E501
+    kmv_daily_stream,
+    kmv_daily_stream_oracle_sql,
+)
+
+
+@register("streaming_kmv_daily", kmv_daily_stream_oracle_sql())
+def q_streaming_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-day KMV distinct sketches: each day's
+    bounded k-min-hash state emits its finalized estimate when the
+    WATERMARK passes the day's end (applyInPandasWithState +
+    EventTimeTimeout — Druid's streaming sketch segment-close). The replay
+    sentinel's 3-day margin pushes the final watermark past every real
+    day's end, so the streamed output equals the batch per-day sketch
+    table exactly."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="kmvd_")
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        lambda stream: kmv_daily_stream(normalize_event_ts(stream)),
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink", flush_sentinel=True,
+        sentinel_count=1).where(F.col("day") < "2100-01-01")

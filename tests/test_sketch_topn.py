@@ -589,3 +589,15 @@ def test_checksum_flips_on_any_row_change(spark):
     assert chk(mutated)[0] != base.checksum
     dropped = li.where(~hit)
     assert chk(dropped) != (base.checksum, base.n_rows)
+
+
+def test_streaming_kmv_daily_matches_oracle(spark, duck):
+    check_registered(spark, duck, "streaming_kmv_daily")
+
+
+def test_streaming_kmv_state_is_bounded(spark):
+    """Every emitted sketch must retain at most k hashes regardless of the
+    day's event volume (the bounded-state contract)."""
+    rows = QUERIES["streaming_kmv_daily"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r.retained <= 64 for r in rows)
