@@ -1442,3 +1442,58 @@ def q_streaming_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink", flush_sentinel=True,
         sentinel_count=1).where(F.col("day") < "2100-01-01")
+
+
+# ---------------------------------------------------------------------------
+# Dedup ROI report: what near-dup clustering actually saves
+# ---------------------------------------------------------------------------
+
+from insight_de_smart_grid_spark.operators import dedup as _ddq  # noqa: E402
+
+
+def _savings_oracle_sql() -> str:
+    base = _ddq.keep_best_oracle_sql()
+    out = (base.replace(
+        "SELECT c.doc_id, c.cluster_id, q.quality,\n"
+        "       CAST(row_number() OVER (PARTITION BY c.cluster_id\n"
+        "                               ORDER BY q.quality DESC, c.doc_id)\n"
+        "            = 1 AS INT) AS keep\n"
+        "FROM clus c JOIN qual q ON c.doc_id = q.doc_id",
+        """, marked AS (
+  SELECT c.doc_id, c.cluster_id,
+         CAST(row_number() OVER (PARTITION BY c.cluster_id
+                                 ORDER BY q.quality DESC, c.doc_id)
+              = 1 AS INT) AS keep
+  FROM clus c JOIN qual q ON c.doc_id = q.doc_id
+)
+SELECT m.cluster_id, count(*) AS n_docs,
+       sum(d.n_chars) AS chars_total,
+       sum(CASE WHEN m.keep = 0 THEN d.n_chars ELSE 0 END) AS chars_saved,
+       min(CASE WHEN m.keep = 1 THEN m.doc_id END) AS keeper_doc
+FROM marked m JOIN documents d ON m.doc_id = d.doc_id
+GROUP BY 1"""))
+    # splicing on the exact tail of keep_best_oracle_sql — fail loudly if
+    # that text drifts, or this oracle silently degrades to keep_best's
+    assert "marked AS" in out, "keep_best oracle tail changed; update splice"
+    return out
+
+
+@register("dedup_savings_report", _savings_oracle_sql())
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI scoreboard: per near-dup cluster, how many documents
+    collapse, the total and SAVED characters (everything but the
+    quality-ranked keeper), and which doc survives — the report that
+    justifies (or kills) a dedup stage in a curation pipeline. Pure
+    composition of `dup_clusters` + `keep_best_per_cluster` + one
+    bounded aggregation over |clustered docs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = _ddq.keep_best_per_cluster(
+        docs, _ddq.ngram_jaccard_pairs(docs))
+    return (marked.join(docs.select("doc_id", "n_chars"), "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars_total"),
+                 F.sum(F.when(F.col("keep") == 0, F.col("n_chars"))
+                       .otherwise(F.lit(0))).alias("chars_saved"),
+                 F.min(F.when(F.col("keep") == 1, F.col("doc_id")))
+                 .alias("keeper_doc")))

@@ -601,3 +601,46 @@ def test_streaming_kmv_state_is_bounded(spark):
     rows = QUERIES["streaming_kmv_daily"].fn(spark, SF_ORACLE).collect()
     assert rows
     assert all(r.retained <= 64 for r in rows)
+
+
+def test_dedup_savings_matches_oracle(spark, duck):
+    check_registered(spark, duck, "dedup_savings_report")
+
+
+def test_dedup_savings_identities(spark):
+    """chars_saved must equal chars_total minus the keeper's n_chars, and
+    every cluster keeps exactly one document."""
+    rows = QUERIES["dedup_savings_report"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    docs = {r.doc_id: r.n_chars for r in
+            load_table(spark, SF_ORACLE, "documents")
+            .select("doc_id", "n_chars").collect()}
+    for r in rows:
+        assert r.chars_saved == r.chars_total - docs[r.keeper_doc]
+        assert r.n_docs >= 2  # singleton docs never form clusters
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """With the static broadcast threshold disabled, AQE must still convert
+    the join to broadcast at runtime once the filtered dim's actual size
+    is known — the optimizer safety net a 100 TB plan relies on when
+    static stats lie."""
+    from insight_de_smart_grid_spark.sources.tables import load_table as lt
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # static planner: broadcasts off; runtime: AQE's own threshold on
+        # (it does NOT inherit a sane default when the static one is -1)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "10485760")
+        li = lt(spark, SF_ORACLE, "lineitem")
+        pt = lt(spark, SF_ORACLE, "part").where(F.col("p_size") == 1)
+        j = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand") \
+              .agg(F.sum("l_quantity").alias("q"))
+        j.collect()  # materialize so AQE finalizes the plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
