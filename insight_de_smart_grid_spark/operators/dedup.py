@@ -1083,3 +1083,75 @@ def incremental_dedup_bloom(incoming: DataFrame, corpus: DataFrame,
     fresh_suspects = suspects.join(
         idx.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
     return survivors_fast.drop(*drop).unionByName(fresh_suspects.drop(*drop))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs_prefix_filtered(docs: DataFrame, n: int = 3,
+                                  threshold: float = 0.5,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard >= threshold via PREFIX FILTERING (the AllPairs/PPJoin
+    recipe, Bayardo et al. WWW'07 / Xiao et al. WWW'08): invert only each
+    document's prefix tokens instead of its whole shingle set.
+
+    Order every doc's shingles by a global total order (ascending document
+    frequency, shingle-hash tiebreak — rarest first). Jaccard >= t implies
+    |A ∩ B| >= t * |A ∪ B| >= ceil(t * |A|) (and symmetrically for B), so if
+    A shares NO token within its first ``sz - ceil(t*sz) + 1`` sorted tokens
+    with B's prefix, the at most ``ceil(t*sz) - 1`` remaining tokens cannot
+    reach the required overlap: the filter is LOSSLESS under any common
+    total order. Candidate volume falls twice over plain shingle
+    inversion: only prefixes join (1-t fraction of each set), and prefixes
+    concentrate on RARE shingles, so the quadratic per-key blowup lands on
+    document frequencies near 1 instead of on stop-shingles.
+
+    Cost shape: df counts are one shuffle on the shingle hash; the df
+    join-back rides the same key; the per-doc prefix ranking is one window
+    on the (uniform) doc id; the candidate join carries NARROW
+    (id, hash) rows. The exact verify joins full shingle sets back for the
+    candidate pairs only — identical final semantics to
+    ``ngram_jaccard_pairs`` (same oracle), at a fraction of the candidate
+    pairs (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    sh = (word_ngrams(docs, n, text_col, id_col)
+          .select(F.col(id_col), F.xxhash64("g").alias("g")))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.join(dfreq, "g")
+    w = Window.partitionBy(id_col).orderBy("df", "g")
+    ranked = (sized
+              .withColumn("pos", F.row_number().over(w))
+              .withColumn("sz", F.count(F.lit(1))
+                          .over(Window.partitionBy(id_col))))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+        + F.lit(1)).select(F.col(id_col), "g", "sz")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               # size filter: t*sa <= sb <= sa/t is necessary for Jaccard>=t
+               & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
+               & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+        .dropDuplicates(["doc_a", "doc_b"]))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "g")
+    sb = sh.select(F.col(id_col).alias("db"), F.col("g").alias("gb"))
+    inter = (cands.join(sa, "doc_a")
+             .join(sb, (F.col("doc_b") == F.col("db"))
+                   & (F.col("g") == F.col("gb")))
+             .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .withColumn("jaccard",
+                        F.col("inter").cast("double")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("doc_a", "doc_b", "jaccard"))

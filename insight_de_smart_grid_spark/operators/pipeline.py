@@ -711,3 +711,48 @@ FROM (SELECT doc_id, n_chars, tile,
                                 ORDER BY n_chars DESC, doc_id) AS rn
       FROM tiled)
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis exponential race)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(docs: DataFrame, k: int = 20, seed: str = "ws0",
+                    id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Draw k docs WITHOUT replacement with probability proportional to
+    ``weight_col`` (Efraimidis & Spirakis 2006): each row races with key
+    ``-ln(u) / w`` for a per-row uniform u, and the k SMALLEST keys win —
+    an order statistic, so the whole draw is one TakeOrderedAndProject over
+    a projection: no shuffle, no driver state, reweighting = new ``seed``.
+
+    u is md5-derived (first 8 hex chars -> (0,1), same portable-hash recipe
+    as ``global_shuffle``) so engine and oracle draw the identical sample;
+    the race key rounds to 12 decimals to absorb last-ulp ln() differences
+    between engines (keys sit around 1e-3-1e-6 where 1e-12 is ~1e6 ulps of
+    headroom).
+    """
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    u = ((F.conv(F.substring(key, 1, 8), 16, 10).cast("double") + F.lit(0.5))
+         / F.lit(4294967296.0))
+    race = F.round(-F.log(u) / F.col(weight_col).cast("double"), 12)
+    return (docs
+            .select(F.col(id_col),
+                    F.col(weight_col).cast("bigint").alias("weight"),
+                    race.alias("race_key"))
+            .orderBy(F.asc("race_key"), F.asc(id_col))
+            .limit(k))
+
+
+def weighted_sample_oracle_sql(k: int = 20, seed: str = "ws0") -> str:
+    key = f"md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR)))"
+    u = (f"(CAST(concat('0x', substring({key}, 1, 8)) AS BIGINT) + 0.5)"
+         f" / 4294967296.0")
+    return f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       round(-ln({u}) / CAST(n_chars AS DOUBLE), 12) AS race_key
+FROM documents
+ORDER BY race_key ASC, doc_id ASC
+LIMIT {k}
+"""

@@ -539,3 +539,147 @@ WHERE e.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def quantized_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                   oversample: int = 4,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Two-stage ANN over an int8 scalar-quantized index: rank candidates by
+    the cosine of per-vector-scaled int8 codes, then rescore the survivors at
+    full precision — the standard memory lever for a 100 TB embedding store
+    (4x smaller index than float32; the full-precision column is touched only
+    for ``k * oversample`` rows per query).
+
+    Quantization is per-vector symmetric max-abs: ``scale = max|v| / 127``,
+    ``q_i = floor(v_i / scale + 0.5)`` (explicit half-up floor — identical
+    semantics in Spark and DuckDB, unlike bankers'-rounding ``round``).
+    Because cosine is scale-invariant the int codes rank WITHOUT
+    dequantization: integer dot products <= 127^2 * dim are exact in doubles,
+    so engine and oracle agree bit-for-bit before the final rounding.
+
+    At cluster scale the quantized (id, int8[dim]) table is the persisted
+    index — a broadcast of one query vector + TakeOrderedAndProject, no
+    shuffle; rescoring is a semi-join of the candidate ids back to the
+    full-precision table.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    maxabs = F.aggregate("v", F.lit(0.0),
+                         lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)).alias("scale")
+    quant = emb.select(
+        F.col(id_col), "v", scale).select(
+        F.col(id_col), "v",
+        F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+                    .cast("double")).alias("qv"))
+    q = (quant.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("qv").alias("qqv"), F.col("v").alias("qfull")))
+    cand = (quant.filter(F.col(id_col) != query_vec_id)
+            .join(F.broadcast(q))
+            .select(F.col(id_col), "v", "qfull",
+                    F.round(_dot(F.col("qv"), F.col("qqv"))
+                            / (_norm(F.col("qv")) * _norm(F.col("qqv"))), 6)
+                    .alias("qcos"))
+            .orderBy(F.desc("qcos"), F.asc(id_col))
+            .limit(k * oversample))
+    return (cand.select(
+        F.col(id_col),
+        F.round(_dot(F.col("v"), F.col("qfull"))
+                / (_norm(F.col("v")) * _norm(F.col("qfull"))), 6)
+        .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k))
+
+
+def quantized_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                              oversample: int = 4) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0
+         AS scale
+  FROM emb
+),
+qz AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+  FROM sc
+),
+q AS (SELECT qv AS qqv, v AS qfull FROM qz WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT qz.vec_id, qz.v, q.qfull,
+         round(list_cosine_similarity(qz.qv, q.qqv), 6) AS qcos
+  FROM qz, q
+  WHERE qz.vec_id != {query_vec_id}
+  ORDER BY qcos DESC, qz.vec_id ASC
+  LIMIT {k * oversample}
+)
+SELECT vec_id,
+       round(list_cosine_similarity(v, qfull), 6) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def matryoshka_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                    prefix_dim: int = 16, oversample: int = 4,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Two-stage retrieval over prefix dimensions (Matryoshka-style): rank
+    candidates by cosine over the FIRST ``prefix_dim`` components, rescore
+    the ``k * oversample`` survivors over the full vector.
+
+    With MRL-trained embeddings the information-dense prefix preserves
+    neighborhood ordering, so stage 1 reads a 4x-narrower column (a separate
+    physical column at scale — column pruning keeps the full vector out of
+    the scan) and stage 2 touches full vectors for a bounded candidate set.
+    Same broadcast + TakeOrderedAndProject shape as ``cosine_topk`` — no
+    shuffle at any scale.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    pre = emb.select(F.col(id_col), "v",
+                     F.slice("v", 1, prefix_dim).alias("pv"))
+    q = (pre.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("pv").alias("qpv"), F.col("v").alias("qfull")))
+    cand = (pre.filter(F.col(id_col) != query_vec_id)
+            .join(F.broadcast(q))
+            .select(F.col(id_col), "v", "qfull",
+                    F.round(_dot(F.col("pv"), F.col("qpv"))
+                            / (_norm(F.col("pv")) * _norm(F.col("qpv"))), 6)
+                    .alias("pcos"))
+            .orderBy(F.desc("pcos"), F.asc(id_col))
+            .limit(k * oversample))
+    return (cand.select(
+        F.col(id_col),
+        F.round(_dot(F.col("v"), F.col("qfull"))
+                / (_norm(F.col("v")) * _norm(F.col("qfull"))), 6)
+        .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k))
+
+
+def matryoshka_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                               prefix_dim: int = 16,
+                               oversample: int = 4) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pre AS (SELECT vec_id, v, v[1:{prefix_dim}] AS pv FROM emb),
+q AS (SELECT pv AS qpv, v AS qfull FROM pre WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT pre.vec_id, pre.v, q.qfull,
+         round(list_cosine_similarity(pre.pv, q.qpv), 6) AS pcos
+  FROM pre, q
+  WHERE pre.vec_id != {query_vec_id}
+  ORDER BY pcos DESC, pre.vec_id ASC
+  LIMIT {k * oversample}
+)
+SELECT vec_id,
+       round(list_cosine_similarity(v, qfull), 6) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from insight_de_smart_grid_spark.operators.similarity import (
     ivf_portable_topk,
     ivf_portable_topk_oracle_sql,
+    matryoshka_topk,
+    matryoshka_topk_oracle_sql,
+    quantized_topk,
+    quantized_topk_oracle_sql,
 )
 from insight_de_smart_grid_spark.operators.text import (
     pmi_bigrams,
@@ -144,6 +148,23 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_portable_topk(load_table(spark, sf_dir, "embeddings"),
                              query_vec_id=7)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-index ANN: int8 scalar quantization and Matryoshka prefix-dim
+# retrieval, both with bounded full-precision rescoring
+# ---------------------------------------------------------------------------
+
+@register("sim_quantized_topk", quantized_topk_oracle_sql(7))
+def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantized_topk(load_table(spark, sf_dir, "embeddings"),
+                          query_vec_id=7)
+
+
+@register("sim_matryoshka_topk", matryoshka_topk_oracle_sql(7))
+def q_sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_topk(load_table(spark, sf_dir, "embeddings"),
+                           query_vec_id=7)
 
 
 # ---------------------------------------------------------------------------

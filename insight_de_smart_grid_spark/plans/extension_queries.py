@@ -310,3 +310,22 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pl._hash_bucket(F.col("doc_id").cast("string"))
     return dd.incremental_dedup_bloom(docs.filter(b >= 80),
                                       docs.filter(b < 80))
+
+
+@register("dedup_jaccard_prefix", dd.ngram_jaccard_oracle_sql(3, 0.5))
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin) — identical
+    final semantics to full shingle inversion (it shares the plain
+    ngram-Jaccard oracle at the same threshold) with candidate volume
+    bounded by rare-shingle prefixes —
+    `operators/dedup.py::jaccard_pairs_prefix_filtered`."""
+    return dd.jaccard_pairs_prefix_filtered(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@register("pipeline_weighted_sample", pl.weighted_sample_oracle_sql())
+def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis race keys
+    over portable md5 uniforms): one TakeOrderedAndProject, no shuffle —
+    `operators/pipeline.py::weighted_sample`."""
+    return pl.weighted_sample(load_table(spark, sf_dir, "documents"))

@@ -11,6 +11,8 @@ from insight_de_smart_grid_spark.operators import dedup as dd
 from insight_de_smart_grid_spark.operators.similarity import (
     cosine_topk,
     ivf_portable_topk,
+    matryoshka_topk,
+    quantized_topk,
 )
 from insight_de_smart_grid_spark.sources.tables import load_table
 from tests.conftest import SF_ORACLE
@@ -50,6 +52,8 @@ ORACLE_CHECKED = [
     "pipeline_prepare_training_data",
     "star_priority_with_late_items",
     "star_promo_share",
+    "sim_quantized_topk",
+    "sim_matryoshka_topk",
 ]
 
 
@@ -154,6 +158,43 @@ def test_portable_ivf_no_driver_collect(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings")
     df = ivf_portable_topk(emb, 7, k=10)
     assert df.count() == 10  # materializes purely through the plan
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 max-abs quantization of 64-dim vectors barely perturbs cosine
+    ordering: at 4x oversampling the rescored top-10 should recover nearly
+    all of the exact top-10 (quantization error ~ 1/254 per component)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
+    approx = {r.vec_id for r in quantized_topk(emb, 7, k=10).collect()}
+    assert len(exact & approx) >= 8
+
+
+def test_matryoshka_topk_recall_vs_exact(spark):
+    """Prefix-16-of-64 ranking is lossier than int8 quantization (3/4 of the
+    signal is unseen in stage 1), but with 4x oversampling and full-precision
+    rescoring a majority of the true top-10 must survive on a corpus whose
+    labels cluster by construction."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
+    approx = {r.vec_id for r in matryoshka_topk(emb, 7, k=10).collect()}
+    assert len(exact & approx) >= 5
+
+
+def test_quantized_codes_are_int8_range(spark):
+    """The stage-1 ranking really runs over int8-representable codes: every
+    quantized component must lie in [-127, 127] (the storage contract the
+    4x memory claim rests on)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(50)
+    v = F.col("embedding").cast("array<double>")
+    maxabs = F.aggregate(v, F.lit(0.0),
+                         lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
+    qmax = emb.select(
+        F.aggregate(
+            F.transform(v, lambda x: F.abs(F.floor(x / scale + F.lit(0.5)))),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x)).alias("m"))
+    assert qmax.agg(F.max("m")).collect()[0][0] <= 127
 
 
 def test_zipf_slope_is_negative(spark):

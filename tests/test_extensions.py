@@ -50,6 +50,8 @@ ORACLE_CHECKED = [
     "dedup_incremental",
     "pipeline_corpus_diff",
     "sim_hard_negatives",
+    "dedup_jaccard_prefix",
+    "pipeline_weighted_sample",
 ]
 
 
@@ -451,3 +453,56 @@ def test_hard_negatives_labels_differ_and_ranked(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         sims = [r.cos_sim for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_prefix_filtered_jaccard_equals_full_inversion(spark):
+    """The prefix filter is lossless: at the same threshold the PPJoin-style
+    operator must return the EXACT same pairs/scores as plain shingle
+    inversion (its whole point is fewer candidates, not different answers)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    full = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dd.ngram_jaccard_pairs(docs, 3, 0.5).collect()}
+    pref = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dd.jaccard_pairs_prefix_filtered(docs, 3, 0.5).collect()}
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_filter_inverts_fewer_rows(spark):
+    """Candidate-volume claim: the prefix index holds strictly fewer
+    (doc, shingle) rows than the full inversion — about 1-t of each set,
+    concentrated on rare shingles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    sh = (dd.word_ngrams(docs, 3)
+          .select("doc_id", F.xxhash64("g").alias("g")))
+    full_rows = sh.count()
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    ranked = (sh.join(dfreq, "g")
+              .withColumn("pos", F.row_number().over(w))
+              .withColumn("sz", F.count(F.lit(1))
+                          .over(Window.partitionBy("doc_id"))))
+    prefix_rows = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz"))
+        + F.lit(1)).count()
+    assert prefix_rows < 0.6 * full_rows
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Sampling probability tracks weight: the mean length of a 100-doc
+    weighted sample must exceed the corpus mean length (weights ARE
+    lengths), and the draw must be deterministic per seed."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    s1 = pl.weighted_sample(docs, k=100, seed="ws0")
+    s2 = pl.weighted_sample(docs, k=100, seed="ws0")
+    assert [r.doc_id for r in s1.collect()] == [r.doc_id
+                                                for r in s2.collect()]
+    mean_sample = s1.agg(F.avg("weight")).collect()[0][0]
+    mean_corpus = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_sample > mean_corpus
+    s3 = pl.weighted_sample(docs, k=100, seed="ws1")
+    assert {r.doc_id for r in s3.collect()} != {r.doc_id
+                                                for r in s1.collect()}
