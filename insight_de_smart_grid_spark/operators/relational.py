@@ -132,13 +132,18 @@ def fuzzy_match(dirty: DataFrame, clean: DataFrame,
             F.substring(F.col(col), 1, 1).alias("blk_c"),
             F.explode(F.array(*bands)).alias("blk_b"))
 
+    # threshold-bounded levenshtein: banded DP, O(max_dist * len) per pair
+    # instead of O(len^2), returning -1 above the bound — the verify is the
+    # hot loop when a uniform-prefix catalog degenerates the first-char
+    # block into one big bucket, so the bounded form matters
     cands = (keyed(dirty.select(dirty_col).distinct(), dirty_col, True)
              .join(keyed(clean.select(clean_col).distinct(),
                          clean_col, False),
                    ["blk_c", "blk_b"])
              .select(dirty_col, clean_col,
-                     F.levenshtein(dirty_col, clean_col).alias("distance"))
-             .where(F.col("distance") <= max_dist)
+                     F.levenshtein(dirty_col, clean_col,
+                                   max_dist).alias("distance"))
+             .where(F.col("distance") >= 0)
              .distinct())
     w = Window.partitionBy(dirty_col).orderBy("distance", clean_col)
     return (cands.withColumn("rnk", F.row_number().over(w))
