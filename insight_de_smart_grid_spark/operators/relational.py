@@ -149,3 +149,92 @@ def fuzzy_match(dirty: DataFrame, clean: DataFrame,
     return (cands.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") == 1)
             .select(dirty_col, clean_col, "distance"))
+
+
+def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
+                         dirty_col: str = "dirty_name",
+                         clean_col: str = "clean_name",
+                         max_dist: int = 2) -> DataFrame:
+    """LOSSLESS blocked fuzzy matching via PassJoin segment inversion
+    (Li/Deng/Feng ICDE'11): the tier-2 scheme ``fuzzy_match`` documents.
+
+    Pigeonhole: partition every indexed string of length l into
+    ``max_dist + 1`` contiguous segments; any string within edit distance d
+    of it must contain ONE segment exactly, starting within +-d of the
+    segment's home position. So the clean side indexes (l, seg_idx,
+    segment) rows and each dirty string of length m probes, for every
+    candidate clean length l in [m-d, m+d] and every segment of that
+    length's partition, the substrings at the O(d) shifted starts — a
+    bounded constant (<= (2d+1)^2 (d+1) ~ 75 narrow rows for d=2) per
+    string, never a cross join. Unlike the (first char, length band) tier-1
+    this catches first-character corruption AND insertions/deletions; the
+    exact verify is the same threshold-bounded levenshtein.
+
+    At scale both sides are narrow (key, name) rows through an equi-join
+    on (l, seg_idx, segment); the segment index is persistable and the
+    probe fan-out is a map-side explode — same shape as the shingle
+    inversion dedup family."""
+    d = max_dist
+    n_seg = d + 1
+
+    def seg_bounds(l: Column, i: int) -> tuple[Column, Column]:
+        """(start0, length) of segment i under even partitioning: the first
+        ``l % n_seg`` segments get the extra char."""
+        base = (l / n_seg).cast("int")
+        extra = l % n_seg
+        start = (F.lit(i) * base
+                 + F.least(F.lit(i), extra)).cast("int")
+        length = (base + F.when(F.lit(i) < extra, 1)
+                  .otherwise(0)).cast("int")
+        return start, length
+
+    cl = (clean.select(clean_col).distinct()
+          .withColumn("l", F.length(clean_col).cast("int")))
+    idx_parts = []
+    for i in range(n_seg):
+        s, ln = seg_bounds(F.col("l"), i)
+        idx_parts.append(cl.select(
+            F.col(clean_col), "l", F.lit(i).alias("seg_i"),
+            F.substring(F.col(clean_col), s + 1, ln).alias("seg")))
+    idx = idx_parts[0]
+    for p in idx_parts[1:]:
+        idx = idx.unionByName(p)
+
+    dr = (dirty.select(dirty_col).distinct()
+          .withColumn("m", F.length(dirty_col).cast("int")))
+    # candidate clean lengths l in [m-d, m+d]
+    dr = dr.select(dirty_col, "m",
+                   F.explode(F.sequence(F.col("m") - d, F.col("m") + d))
+                   .alias("l")).filter(F.col("l") > 0)
+    probe_parts = []
+    for i in range(n_seg):
+        s, ln = seg_bounds(F.col("l"), i)
+        part = (dr
+                .withColumn("p0", s).withColumn("ln", ln)
+                .filter(F.col("ln") > 0)
+                # shifted starts clamped to [0, m - ln]; empty windows
+                # (lo > hi) must not explode a DESCENDING sequence
+                .withColumn("lo", F.greatest(F.col("p0") - d, F.lit(0)))
+                .withColumn("hi", F.least(F.col("p0") + d,
+                                          F.col("m") - F.col("ln")))
+                .filter(F.col("lo") <= F.col("hi"))
+                .select(dirty_col, "l", "ln",
+                        F.explode(F.sequence(F.col("lo"), F.col("hi")))
+                        .alias("st"))
+                .select(dirty_col, "l", F.lit(i).alias("seg_i"),
+                        F.substring(F.col(dirty_col), F.col("st") + 1,
+                                    F.col("ln")).alias("seg")))
+        probe_parts.append(part)
+    probes = probe_parts[0]
+    for p in probe_parts[1:]:
+        probes = probes.unionByName(p)
+
+    cands = (probes.join(idx, ["l", "seg_i", "seg"])
+             .select(dirty_col, clean_col).distinct()
+             .select(dirty_col, clean_col,
+                     F.levenshtein(dirty_col, clean_col, d).alias("distance"))
+             .where(F.col("distance") >= 0))
+    w = Window.partitionBy(dirty_col).orderBy("distance", clean_col)
+    return (cands.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(dirty_col, clean_col, "distance"))

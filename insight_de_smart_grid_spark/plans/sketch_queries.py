@@ -1108,6 +1108,7 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from insight_de_smart_grid_spark.operators.relational import (  # noqa: E402
     fuzzy_match,
+    passjoin_fuzzy_match,
 )
 
 
@@ -1158,6 +1159,44 @@ def q_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dirty_name"))
     clean = s.select(F.col("s_name").alias("clean_name"))
     out = fuzzy_match(dirty, clean)
+    return out.select("dirty_name", "clean_name",
+                      F.col("distance").cast("int").alias("distance"))
+
+
+@register("fuzzy_supplier_passjoin", """
+WITH dirty AS (
+  SELECT DISTINCT
+         concat(substring(s_name, 1, (s_suppkey % length(s_name))),
+                substring(s_name, 2 + (s_suppkey % length(s_name))))
+         AS dirty_name
+  FROM supplier
+),
+cand AS (
+  SELECT dirty_name, s_name AS clean_name,
+         levenshtein(dirty_name, s_name) AS distance
+  FROM dirty, supplier
+  WHERE levenshtein(dirty_name, s_name) <= 2
+)
+SELECT dirty_name, clean_name, CAST(distance AS INT) AS distance
+FROM (SELECT *, row_number() OVER (PARTITION BY dirty_name
+                                   ORDER BY distance, clean_name) AS rnk
+      FROM cand)
+WHERE rnk = 1
+""")
+def q_fuzzy_supplier_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PassJoin segment-inversion fuzzy matching against a planted DELETION
+    (char at 1 + suppkey mod len removed — sometimes the FIRST character,
+    the case (first char, length band) blocking cannot recall). The oracle
+    is the unblocked brute force: PassJoin's pigeonhole blocking is
+    lossless, so blocked and brute-force answers must be identical —
+    `operators/relational.py::passjoin_fuzzy_match`."""
+    s = load_table(spark, sf_dir, "supplier")
+    dirty = s.select(
+        F.concat(F.expr("substring(s_name, 1, s_suppkey % length(s_name))"),
+                 F.expr("substring(s_name, 2 + (s_suppkey % length(s_name)))"))
+        .alias("dirty_name")).distinct()
+    clean = s.select(F.col("s_name").alias("clean_name"))
+    out = passjoin_fuzzy_match(dirty, clean)
     return out.select("dirty_name", "clean_name",
                       F.col("distance").cast("int").alias("distance"))
 

@@ -466,6 +466,45 @@ def test_fuzzy_match_recovers_planted_typos(spark):
     assert n_sup > 0
 
 
+def test_passjoin_matches_oracle(spark, duck):
+    check_registered(spark, duck, "fuzzy_supplier_passjoin")
+
+
+def test_passjoin_equals_brute_force_on_indels(spark):
+    """PassJoin blocking is LOSSLESS for general edit distance: on planted
+    first-char deletion, first-char insertion, mid deletion, and
+    substitution (the first two are exactly what (first char, length band)
+    blocking cannot recall) the blocked result must equal the unblocked
+    brute force."""
+    from pyspark.sql import Window
+
+    from insight_de_smart_grid_spark.operators.relational import (
+        passjoin_fuzzy_match,
+    )
+
+    clean = spark.createDataFrame(
+        [("Supplier#000000001",), ("Supplier#000000002",),
+         ("Acme Widgets",), ("Shortname",)], "clean_name string")
+    dirty = spark.createDataFrame(
+        [("upplier#000000001",), ("Supplier#00x000002",),
+         ("XAcme Widgets",), ("Shortnme",), ("totally different",)],
+        "dirty_name string")
+    got = {(r.dirty_name, r.clean_name, r.distance)
+           for r in passjoin_fuzzy_match(dirty, clean).collect()}
+    bf = (dirty.crossJoin(clean)
+          .select("dirty_name", "clean_name",
+                  F.levenshtein("dirty_name", "clean_name", 2).alias("d"))
+          .where(F.col("d") >= 0))
+    w = Window.partitionBy("dirty_name").orderBy("d", "clean_name")
+    exp = {(r.dirty_name, r.clean_name, r.d)
+           for r in bf.withColumn("rn", F.row_number().over(w))
+           .where("rn = 1").collect()}
+    assert got == exp and len(got) == 4
+    # the first-char cases are present — tier-1 blocking would lose them
+    assert ("upplier#000000001", "Supplier#000000001", 1) in got
+    assert ("XAcme Widgets", "Acme Widgets", 1) in got
+
+
 def test_benford_matches_oracle(spark, duck):
     check_registered(spark, duck, "audit_benford_totalprice")
 

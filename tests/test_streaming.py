@@ -439,3 +439,57 @@ def test_foreachbatch_upsert_is_incremental(spark, tmp_path):
     assert got == want
     assert got[(1, "click")][1] == 9.0
     assert len(got) == 4
+
+
+def test_state_store_offline_introspection(spark, tmp_path):
+    """The committed checkpoint is a queryable artifact: after draining a
+    watermarked windowed count (NO flush sentinel, so the tail windows stay
+    in state), the State Data Source must expose exactly the windows the
+    watermark has not yet closed, and the metadata source must list the
+    aggregation operator."""
+    import uuid
+
+    from insight_de_smart_grid_spark.sources.tables import (
+        load_table,
+        normalize_event_ts,
+    )
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.state_inspect import (
+        read_state,
+        state_metadata,
+        state_skew_report,
+    )
+
+    def plan(stream):
+        return (normalize_event_ts(stream)
+                .withWatermark("ts", "1 minute")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    ck = str(tmp_path / "ckpt")
+    emitted = replay_parquet_stream(
+        spark, f"{SF_SMOKE}/events.parquet", plan,
+        query_name=f"ssi_{uuid.uuid4().hex[:8]}", checkpoint_dir=ck)
+    emitted_starts = {r.w.start for r in emitted.collect()}
+
+    batch = (normalize_event_ts(load_table(spark, SF_SMOKE, "events"))
+             .groupBy(F.window("ts", "1 hour").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    all_starts = {r.w.start for r in batch.collect()}
+    held_back = all_starts - emitted_starts
+    assert held_back, "no-sentinel replay must hold back the tail windows"
+
+    meta = state_metadata(spark, ck).collect()
+    assert any(r.operatorId == 0 for r in meta)
+
+    st = read_state(spark, ck)
+    # the state key keeps the operator's internal field name ("window"),
+    # not the query alias
+    state_starts = {r.key[0].start for r in st.collect()}
+    assert state_starts == held_back
+
+    skew = state_skew_report(spark, ck).collect()
+    assert sum(r.n_keys for r in skew) == len(held_back)
+    assert abs(sum(r.share for r in skew) - 1.0) < 1e-6
