@@ -1155,3 +1155,64 @@ def jaccard_pairs_prefix_filtered(docs: DataFrame, n: int = 3,
                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= F.lit(threshold))
             .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop reachability over the near-dup graph (recursive CTE surface)
+# ---------------------------------------------------------------------------
+
+def near_dup_blast_radius(spark, docs: DataFrame, n: int = 3,
+                          threshold: float = 0.1, max_hops: int = 3,
+                          view: str = "__blast_pairs") -> DataFrame:
+    """Contamination blast radius: every document within ``max_hops``
+    near-dup edges of a seed (the smallest doc id that appears in any
+    pair), with its minimum hop count — "if this doc is tainted, what else
+    do I have to re-audit".
+
+    Exercises Spark 4's recursive CTE (``WITH RECURSIVE``): bounded-depth
+    BFS as UNION ALL recursion with a depth guard, minimum hop via the
+    final GROUP BY. Spark does not yet support the distinct-UNION recursion
+    an unbounded cyclic closure needs, and on a clique-shaped near-dup
+    graph path enumeration grows as degree^hops anyway — so the bounded
+    form IS the scale-sane SQL shape; unbounded clustering stays with the
+    iterative min-label ``dup_clusters`` operator.
+    """
+    pairs = ngram_jaccard_pairs(docs, n, threshold)
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(f"""
+WITH RECURSIVE hops(doc_id, h) AS (
+  SELECT CAST((SELECT min(doc_a) FROM {view}) AS BIGINT) AS doc_id, 0 AS h
+  UNION ALL
+  SELECT e.dst, h.h + 1
+  FROM hops h
+  JOIN (SELECT doc_a AS src, doc_b AS dst FROM {view}
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM {view}) e
+    ON e.src = h.doc_id
+  WHERE h.h < {max_hops}
+)
+SELECT doc_id, CAST(min(h) AS INT) AS min_hops
+FROM hops
+GROUP BY doc_id
+""")
+
+
+def blast_radius_oracle_sql(n: int = 3, threshold: float = 0.1,
+                            max_hops: int = 3) -> str:
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(n, threshold)},
+hops(doc_id, h) AS (
+  SELECT CAST((SELECT min(doc_a) FROM jpairs) AS BIGINT) AS doc_id, 0 AS h
+  UNION ALL
+  SELECT e.dst, h.h + 1
+  FROM hops h
+  JOIN (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs) e
+    ON e.src = h.doc_id
+  WHERE h.h < {max_hops}
+)
+SELECT doc_id, CAST(min(h) AS INT) AS min_hops
+FROM hops
+GROUP BY doc_id
+"""

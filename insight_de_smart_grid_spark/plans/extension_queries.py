@@ -329,3 +329,12 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     over portable md5 uniforms): one TakeOrderedAndProject, no shuffle —
     `operators/pipeline.py::weighted_sample`."""
     return pl.weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_blast_radius", dd.blast_radius_oracle_sql())
+def q_dedup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the near-dup graph via Spark 4 recursive CTE
+    (minimum hop count per reachable doc from the smallest paired id) —
+    `operators/dedup.py::near_dup_blast_radius`."""
+    return dd.near_dup_blast_radius(spark,
+                                    load_table(spark, sf_dir, "documents"))

@@ -506,3 +506,23 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     s3 = pl.weighted_sample(docs, k=100, seed="ws1")
     assert {r.doc_id for r in s3.collect()} != {r.doc_id
                                                 for r in s1.collect()}
+
+
+def test_blast_radius_matches_oracle(spark, duck):
+    check_registered(spark, duck, "dedup_blast_radius")
+
+
+def test_blast_radius_walks_a_planted_chain(spark):
+    """Transitive reach with hop counts: 1~2 and 2~3 are near-dups but 1 and
+    3 share nothing, so the seed (doc 1) must reach 3 only THROUGH 2, at
+    min_hops 2."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),
+         (2, "e f g h i j k l m n"),
+         (3, "k l m n o p q r s t"),
+         (9, "completely unrelated text nothing shared here at all ok")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.min_hops
+           for r in dd.near_dup_blast_radius(
+               spark, docs, view="__blast_test").collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
