@@ -46,3 +46,27 @@ def extract_json_double(df: DataFrame, json_col: str, path: str,
     return df.withColumn(
         out, F.coalesce(F.get_json_object(F.col(json_col), path)
                         .try_cast("double"), F.lit(default)))
+
+
+def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
+              lo: float = 0.01, hi: float = 0.99,
+              out: str | None = None) -> DataFrame:
+    """Per-group percentile capping (winsorization) — the robust-stats
+    cleaning step before a value column feeds model features: values below
+    the group's ``lo`` quantile clamp up to it, above ``hi`` clamp down.
+
+    The caps table is one row per group (exact linear-interpolation
+    percentiles, the cross-engine-proven aggregate) and BROADCASTS back —
+    the fact table shuffles once for the caps aggregation and never again;
+    at cluster scale the caps join is a map-side hash probe."""
+    out = out or f"{value_col}_w"
+    caps = (df.groupBy(*group_cols)
+            .agg(F.percentile(value_col,
+                              F.array(F.lit(lo), F.lit(hi))).alias("q"))
+            .select(*group_cols, F.col("q")[0].alias("__lo"),
+                    F.col("q")[1].alias("__hi")))
+    return (df.join(F.broadcast(caps), group_cols)
+            .withColumn(out, F.least(F.greatest(F.col(value_col),
+                                                F.col("__lo")),
+                                     F.col("__hi")))
+            .drop("__lo", "__hi"))

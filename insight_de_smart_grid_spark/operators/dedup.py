@@ -1216,3 +1216,31 @@ SELECT doc_id, CAST(min(h) AS INT) AS min_hops
 FROM hops
 GROUP BY doc_id
 """
+
+
+def jaccard_threshold_sweep(docs: DataFrame, n: int = 3,
+                            min_jaccard: float = 0.02, buckets: int = 20,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Pair-count histogram over Jaccard buckets in ONE inversion pass —
+    the threshold-tuning view: before committing a dedup threshold to a
+    100 TB run, see how many pairs each candidate threshold would sweep
+    in. Bucket = floor(jaccard * buckets) / buckets; Jaccard is a ratio of
+    identical integers in both engines, so bucket edges cannot drift."""
+    pairs = ngram_jaccard_pairs(docs, n, min_jaccard, text_col, id_col)
+    bucket = F.round(F.floor(F.col("jaccard") * buckets)
+                     / F.lit(float(buckets)), 6)
+    return (pairs.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def threshold_sweep_oracle_sql(n: int = 3, min_jaccard: float = 0.02,
+                               buckets: int = 20) -> str:
+    return f"""
+WITH {_jaccard_pairs_ctes(n, min_jaccard)}
+SELECT round(floor(jaccard * {buckets}) / {buckets}.0, 6) AS bucket,
+       count(*) AS n_pairs
+FROM jpairs
+GROUP BY 1
+"""

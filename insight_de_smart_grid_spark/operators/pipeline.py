@@ -756,3 +756,71 @@ FROM documents
 ORDER BY race_key ASC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split and group-aware k-fold assignment
+# ---------------------------------------------------------------------------
+
+def time_split_summary(events: DataFrame, frac_train: float = 0.8,
+                       ts_col: str = "ts") -> DataFrame:
+    """Time-based train/test split at the ``frac_train`` quantile of event
+    time — the leakage-safe split for forecasting-style models (random
+    splits leak the future into training). Returns one summary row per
+    split: (split, n, min/max epoch seconds) — max(train) <= cutoff <=
+    min(test) by construction, asserted in tests.
+
+    The cutoff is a one-row broadcast (same shape as the scalar-subquery
+    filter); the summary is a two-group aggregation. Epoch seconds (not
+    timestamps) keep the comparison and the output engine-portable."""
+    ep = F.col(ts_col).cast("double")
+    cutoff = events.agg(F.percentile(ep, F.lit(frac_train)).alias("c"))
+    return (events.select(ep.alias("ep"))
+            .join(F.broadcast(cutoff))
+            .select(F.when(F.col("ep") < F.col("c"), "train")
+                    .otherwise("test").alias("split"), "ep")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("ep"), 6).alias("min_ep"),
+                 F.round(F.max("ep"), 6).alias("max_ep")))
+
+
+def time_split_oracle_sql(frac_train: float = 0.8) -> str:
+    return f"""
+WITH c AS (SELECT quantile_cont(epoch(ts), {frac_train}) AS c FROM events)
+SELECT CASE WHEN epoch(ts) < c.c THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n,
+       round(min(epoch(ts)), 6) AS min_ep,
+       round(max(epoch(ts)), 6) AS max_ep
+FROM events, c
+GROUP BY 1
+"""
+
+
+def group_kfold(events: DataFrame, k: int = 5, group_col: str = "user_id",
+                seed: str = "gkf0") -> DataFrame:
+    """Group-aware k-fold assignment: the fold is a function of the GROUP
+    key (portable md5 bucket), so every row of a group lands in the same
+    fold — the split that prevents a user's history from leaking across
+    train/validation folds. Returns per-fold row and group counts.
+
+    No shuffle beyond the count aggregation: the fold is a projection of
+    the group key, computable at scan time on every executor."""
+    fold = _hash_bucket(F.concat(F.lit(seed), F.lit(":"),
+                                 F.col(group_col).cast("string")), k)
+    return (events.select(fold.alias("fold"), group_col)
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct(group_col).alias("n_groups"))
+            .withColumn("fold", F.col("fold").cast("int")))
+
+
+def group_kfold_oracle_sql(k: int = 5, seed: str = "gkf0") -> str:
+    b = _hash_bucket_sql(f"concat('{seed}', ':', CAST(user_id AS VARCHAR))",
+                         k)
+    return f"""
+SELECT CAST({b} AS INT) AS fold, count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_groups
+FROM events
+GROUP BY 1
+"""

@@ -338,3 +338,47 @@ def q_dedup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/dedup.py::near_dup_blast_radius`."""
     return dd.near_dup_blast_radius(spark,
                                     load_table(spark, sf_dir, "documents"))
+
+
+@register("events_winsorize", """
+WITH caps AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       round(value, 6) AS value,
+       round(least(greatest(value, lo), hi), 6) AS value_w
+FROM events e JOIN caps USING (event_type)
+""")
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type percentile capping (1%/99% winsorization) via a
+    broadcast caps table — `operators/cleanse.py::winsorize`."""
+    from insight_de_smart_grid_spark.operators.cleanse import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    return (winsorize(ev, "value", ["event_type"])
+            .select("event_id", "event_type",
+                    F.round("value", 6).alias("value"),
+                    F.round("value_w", 6).alias("value_w")))
+
+
+@register("pipeline_time_split", pl.time_split_oracle_sql())
+def q_pipeline_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/test split summary at the 0.8 time
+    quantile — `operators/pipeline.py::time_split_summary`."""
+    return pl.time_split_summary(load_table(spark, sf_dir, "events"))
+
+
+@register("pipeline_group_kfold", pl.group_kfold_oracle_sql())
+def q_pipeline_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (fold is a function of user_id, so no
+    user straddles folds) — `operators/pipeline.py::group_kfold`."""
+    return pl.group_kfold(load_table(spark, sf_dir, "events"))
+
+
+@register("dedup_threshold_sweep", dd.threshold_sweep_oracle_sql())
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-bucket pair histogram in one inversion pass (threshold
+    tuning) — `operators/dedup.py::jaccard_threshold_sweep`."""
+    return dd.jaccard_threshold_sweep(load_table(spark, sf_dir, "documents"))

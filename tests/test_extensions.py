@@ -52,6 +52,10 @@ ORACLE_CHECKED = [
     "sim_hard_negatives",
     "dedup_jaccard_prefix",
     "pipeline_weighted_sample",
+    "events_winsorize",
+    "pipeline_time_split",
+    "pipeline_group_kfold",
+    "dedup_threshold_sweep",
 ]
 
 
@@ -526,3 +530,54 @@ def test_blast_radius_walks_a_planted_chain(spark):
            for r in dd.near_dup_blast_radius(
                spark, docs, view="__blast_test").collect()}
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_winsorize_clamps_to_group_caps(spark):
+    """Winsorized values never exceed their own group's caps, interior
+    values pass through unchanged, and something actually clamps at the
+    1%/99% cuts."""
+    from insight_de_smart_grid_spark.operators.cleanse import winsorize
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = winsorize(ev, "value", ["event_type"])
+    caps = (ev.groupBy("event_type")
+            .agg(F.percentile("value", F.lit(0.01)).alias("lo"),
+                 F.percentile("value", F.lit(0.99)).alias("hi")))
+    joined = out.join(caps, "event_type")
+    assert joined.filter((F.col("value_w") < F.col("lo"))
+                         | (F.col("value_w") > F.col("hi"))).count() == 0
+    assert joined.filter(F.col("value_w") != F.col("value")).count() > 0
+    n_interior = joined.filter((F.col("value") >= F.col("lo"))
+                               & (F.col("value") <= F.col("hi"))
+                               & (F.col("value_w") == F.col("value"))).count()
+    assert n_interior == joined.filter((F.col("value") >= F.col("lo"))
+                                       & (F.col("value")
+                                          <= F.col("hi"))).count()
+
+
+def test_time_split_has_no_leakage(spark):
+    """max(train time) must precede min(test time): the whole point of the
+    temporal split."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+
+    rows = {r.split: r for r in pl.time_split_summary(
+        load_table(spark, SF_ORACLE, "events")).collect()}
+    assert set(rows) == {"train", "test"}
+    assert rows["train"].max_ep < rows["test"].min_ep
+    total = rows["train"].n + rows["test"].n
+    assert 0.7 <= rows["train"].n / total <= 0.9
+
+
+def test_group_kfold_never_splits_a_group(spark):
+    """Every user lands in exactly one fold: per-fold distinct-user counts
+    must sum to the corpus distinct-user count (straddling would double
+    count), and folds are reasonably balanced."""
+    from insight_de_smart_grid_spark.operators import pipeline as pl
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    folds = pl.group_kfold(ev, k=5).collect()
+    assert sum(r.n_groups for r in folds) == \
+        ev.select("user_id").distinct().count()
+    assert sum(r.n_rows for r in folds) == ev.count()
+    sizes = [r.n_groups for r in folds]
+    assert max(sizes) <= 2 * min(sizes)
