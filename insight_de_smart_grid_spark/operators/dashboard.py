@@ -133,3 +133,64 @@ WHERE ts > a - INTERVAL {minutes} MINUTE
   AND house_id IN ({inlist})
 GROUP BY 1, 2
 """
+
+
+def m4_downsample(readings: DataFrame, bucket: str = "1 minute",
+                  keys: tuple[str, str] = ("house_id", "appliance_id"),
+                  ts_col: str = "ts", value_col: str = "power") -> DataFrame:
+    """M4 time-series decimation (Jugel et al. VLDB'14): per (series,
+    bucket), keep only the rows realizing min/max VALUE and first/last
+    TIME — the 4 points that make a line rendering pixel-identical to the
+    full series at the bucket's horizontal resolution. The standard
+    dashboard-serving downsample; unlike LTTB it has no sequential
+    dependency between buckets, so it parallelizes per bucket — the
+    100 TB-first choice.
+
+    All four rankings share the (series, bucket) partitioning = ONE
+    shuffle, four window functions over the same sort buffer. Ties order
+    by (value, ts) / (ts, value), so every selected row's content is
+    deterministic cross-engine even when row identity is not. A row can
+    hold several roles (flags, not duplicate rows).
+    """
+    from pyspark.sql import Window
+
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket_start")
+    base = readings.select(*keys, b, F.col(ts_col), F.col(value_col))
+    part = Window.partitionBy(*keys, "bucket_start")
+    rn = {
+        "is_min": part.orderBy(F.asc(value_col), F.asc(ts_col)),
+        "is_max": part.orderBy(F.desc(value_col), F.asc(ts_col)),
+        "is_first": part.orderBy(F.asc(ts_col), F.asc(value_col)),
+        "is_last": part.orderBy(F.desc(ts_col), F.asc(value_col)),
+    }
+    for flag, w in rn.items():
+        base = base.withColumn(flag, F.row_number().over(w) == 1)
+    return (base.filter("is_min OR is_max OR is_first OR is_last")
+            .select(*keys, "bucket_start", ts_col, value_col,
+                    "is_min", "is_max", "is_first", "is_last"))
+
+
+def m4_downsample_oracle_sql(readings_cte: str,
+                             bucket_seconds: int = 60) -> str:
+    tb = (f"to_timestamp(floor(epoch(ts) / {bucket_seconds}) "
+          f"* {bucket_seconds})")
+    return f"""
+WITH readings AS ({readings_cte}),
+ranked AS (
+  SELECT house_id, appliance_id, {tb} AS bucket_start, ts, power,
+         row_number() OVER (PARTITION BY house_id, appliance_id, {tb}
+                            ORDER BY power ASC, ts ASC) AS r_min,
+         row_number() OVER (PARTITION BY house_id, appliance_id, {tb}
+                            ORDER BY power DESC, ts ASC) AS r_max,
+         row_number() OVER (PARTITION BY house_id, appliance_id, {tb}
+                            ORDER BY ts ASC, power ASC) AS r_first,
+         row_number() OVER (PARTITION BY house_id, appliance_id, {tb}
+                            ORDER BY ts DESC, power ASC) AS r_last
+  FROM readings
+)
+SELECT house_id, appliance_id, bucket_start, ts, power,
+       r_min = 1 AS is_min, r_max = 1 AS is_max,
+       r_first = 1 AS is_first, r_last = 1 AS is_last
+FROM ranked
+WHERE r_min = 1 OR r_max = 1 OR r_first = 1 OR r_last = 1
+"""

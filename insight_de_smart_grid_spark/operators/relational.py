@@ -238,3 +238,75 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
     return (cands.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") == 1)
             .select(dirty_col, clean_col, "distance"))
+
+
+def integrity_report(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, events: DataFrame) -> DataFrame:
+    """Data-contract audit in one pass: referential integrity (orphan
+    facts), primary-key uniqueness, null keys, range and date-order sanity
+    — one (check, n_violations) row per rule, the dbt-test shape as a
+    single engine query.
+
+    Every check is an anti-join or aggregate on its natural key; the
+    orphan checks broadcast nothing blindly — Catalyst/AQE picks the
+    strategy per side, and a violation-free table costs one scan per rule
+    it appears in (the union evaluates subplans independently, so rules
+    parallelize across the cluster)."""
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")) \
+                 .select(F.lit(name).alias("check"), "n_violations")
+
+    dup_orders = (orders.groupBy("o_orderkey")
+                  .agg(F.count(F.lit(1)).alias("c")).filter("c > 1"))
+    dup_lineitem = (lineitem.groupBy("l_orderkey", "l_linenumber")
+                    .agg(F.count(F.lit(1)).alias("c")).filter("c > 1"))
+    checks = [
+        ("lineitem_orphan_orderkey",
+         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                       "left_anti")),
+        ("orders_orphan_custkey",
+         orders.join(customer, orders.o_custkey == customer.c_custkey,
+                     "left_anti")),
+        ("orders_duplicate_pk", dup_orders),
+        ("lineitem_duplicate_pk", dup_lineitem),
+        ("orders_null_key", orders.filter(F.col("o_orderkey").isNull())),
+        ("lineitem_nonpositive_qty",
+         lineitem.filter(F.col("l_quantity") <= 0)),
+        ("lineitem_shipped_before_order",
+         lineitem.join(orders,
+                       lineitem.l_orderkey == orders.o_orderkey)
+         .filter(F.col("l_shipdate") < F.col("o_orderdate"))),
+        ("events_null_ts", events.filter(F.col("ts").isNull())),
+    ]
+    out = count_row(*checks[0])
+    for name, df in checks[1:]:
+        out = out.unionByName(count_row(name, df))
+    return out
+
+
+INTEGRITY_ORACLE_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check, count(*) AS n_violations
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_orphan_custkey', count(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'orders_duplicate_pk', count(*)
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_duplicate_pk', count(*)
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY 1, 2 HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders_null_key', count(*) FROM orders WHERE o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem_nonpositive_qty', count(*)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_shipped_before_order', count(*)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate < o_orderdate
+UNION ALL
+SELECT 'events_null_ts', count(*) FROM events WHERE ts IS NULL
+"""

@@ -261,3 +261,13 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cube.filter(F.col("house_id") != "-1")
             .select("window_start", "house_id", "appliance_id",
                     "appliance_name", "cnt", "sum_power"))
+
+
+@register("dash_m4_downsample",
+          dash.m4_downsample_oracle_sql(READINGS_SQL_VIEW, 60))
+def q_dash_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 per-bucket min/max/first/last decimation of the per-appliance
+    power series — pixel-exact line rendering at 1-minute resolution with
+    a bounded 4-rows-per-bucket output
+    (`operators/dashboard.py::m4_downsample`)."""
+    return dash.m4_downsample(readings_view(spark, sf_dir), "1 minute")

@@ -1107,7 +1107,9 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from insight_de_smart_grid_spark.operators.relational import (  # noqa: E402
+    INTEGRITY_ORACLE_SQL,
     fuzzy_match,
+    integrity_report,
     passjoin_fuzzy_match,
 )
 
@@ -1536,3 +1538,14 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(F.lit(0))).alias("chars_saved"),
                  F.min(F.when(F.col("keep") == 1, F.col("doc_id")))
                  .alias("keeper_doc")))
+
+
+@register("audit_integrity", INTEGRITY_ORACLE_SQL)
+def q_audit_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit: referential integrity, PK uniqueness, null
+    keys, ranges, date ordering — one (check, n_violations) row per rule
+    (`operators/relational.py::integrity_report`)."""
+    return integrity_report(load_table(spark, sf_dir, "lineitem"),
+                            load_table(spark, sf_dir, "orders"),
+                            load_table(spark, sf_dir, "customer"),
+                            load_table(spark, sf_dir, "events"))

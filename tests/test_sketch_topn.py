@@ -683,3 +683,74 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_audit_integrity_matches_oracle(spark, duck):
+    check_registered(spark, duck, "audit_integrity")
+
+
+def test_audit_integrity_counts_planted_violations(spark):
+    """Each rule fires on exactly the violations planted for it (and the
+    clean rows never count)."""
+    from insight_de_smart_grid_spark.operators.relational import (
+        integrity_report,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 10, "2024-01-01"), (2, 11, "2024-01-02"),
+         (2, 11, "2024-01-02"),          # duplicate pk (x2 -> 1 dup group)
+         (None, 12, "2024-01-03")],      # null pk
+        "o_orderkey long, o_custkey long, o_orderdate string")
+    customer = spark.createDataFrame([(10,), (11,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 1, 5.0, "2024-01-05"),
+         (1, 1, 5.0, "2023-12-31"),      # dup pk AND shipped before order
+         (99, 1, 5.0, "2024-01-05"),     # orphan orderkey
+         (2, 1, -3.0, "2024-01-05")],    # nonpositive qty
+        "l_orderkey long, l_linenumber int, l_quantity double,"
+        " l_shipdate string")
+    events = spark.createDataFrame([(None,), ("2024-01-01 00:00:00",)],
+                                   "ts string") \
+        .select(F.to_timestamp("ts").alias("ts"))
+    got = {r.check: r.n_violations
+           for r in integrity_report(lineitem, orders, customer,
+                                     events).collect()}
+    assert got == {
+        "lineitem_orphan_orderkey": 1,
+        "orders_orphan_custkey": 1,          # the null-key order's cust 12
+        "orders_duplicate_pk": 1,
+        "lineitem_duplicate_pk": 1,
+        "orders_null_key": 1,
+        "lineitem_nonpositive_qty": 1,
+        "lineitem_shipped_before_order": 1,
+        "events_null_ts": 1,
+    }
+
+
+def test_m4_matches_oracle(spark, duck):
+    check_registered(spark, duck, "dash_m4_downsample")
+
+
+def test_m4_preserves_bucket_extremes_with_bounded_rows(spark):
+    """Per (series, bucket): at most 4 rows survive, and the surviving rows
+    contain the bucket's true min/max value and first/last timestamp — the
+    pixel-exactness contract of M4 decimation."""
+    from insight_de_smart_grid_spark.operators.dashboard import m4_downsample
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+
+    r = readings_view(spark, SF_ORACLE)
+    out = m4_downsample(r, "1 minute")
+    per = (out.groupBy("house_id", "appliance_id", "bucket_start")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("power").alias("minp"), F.max("power").alias("maxp"),
+                F.min("ts").alias("mints"), F.max("ts").alias("maxts")))
+    assert per.filter("n > 4").count() == 0
+    truth = (r.withColumn("bucket_start",
+                          F.window("ts", "1 minute")["start"])
+             .groupBy("house_id", "appliance_id", "bucket_start")
+             .agg(F.min("power").alias("tminp"), F.max("power").alias("tmaxp"),
+                  F.min("ts").alias("tmints"), F.max("ts").alias("tmaxts")))
+    joined = per.join(truth, ["house_id", "appliance_id", "bucket_start"])
+    assert joined.count() == truth.count()
+    assert joined.filter("minp != tminp OR maxp != tmaxp OR "
+                         "mints != tmints OR maxts != tmaxts").count() == 0

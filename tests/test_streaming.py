@@ -493,3 +493,81 @@ def test_state_store_offline_introspection(spark, tmp_path):
     skew = state_skew_report(spark, ck).collect()
     assert sum(r.n_keys for r in skew) == len(held_back)
     assert abs(sum(r.share for r in skew) - 1.0) < 1e-6
+
+
+def test_exactly_once_after_midstream_crash(spark, tmp_path):
+    """Crash INSIDE the dangerous window (after the sink published a new
+    snapshot version, before the checkpoint recorded the batch): the
+    restarted query replays that batch, and because the foreachBatch merge
+    is idempotent (latest-wins compaction over snapshot UNION batch) the
+    final snapshot equals the batch-computed truth — no loss, no double
+    counting. This is the failure-injection proof behind the
+    'effectively exactly-once' claim of the upsert sink."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as FF
+
+    from insight_de_smart_grid_spark.operators.pipeline import (
+        latest_compaction,
+    )
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    cols = ["user_id", "event_type", "ts", "value"]
+    ev = load_table(spark, SF_SMOKE, "events").select(*cols)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):  # three files -> three micro-batches
+        staged = tempfile.mkdtemp()
+        (ev.filter(FF.crc32(FF.concat_ws(":", "user_id", "ts")) % 3 == i)
+         .coalesce(1).write.mode("overwrite").parquet(staged))
+        part = next(Path(staged).glob("part-*.parquet"))
+        part.rename(src / f"f{i}.parquet")
+
+    root = tmp_path / "snap"
+    root.mkdir()
+    pointer = root / "CURRENT"
+    crashed = tmp_path / "crashed_once"
+
+    def upsert(batch_df, batch_id: int) -> None:
+        current = pointer.read_text().strip() if pointer.exists() else None
+        if current and (root / current).exists():
+            merged = latest_compaction(
+                spark.read.parquet(str(root / current)).unionByName(
+                    batch_df.select(*cols)))
+        else:
+            merged = latest_compaction(batch_df.select(*cols))
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(str(root / version))
+        fd, tmp = tempfile.mkstemp(dir=root, prefix=".ptr_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, pointer)
+        if current and current != version:
+            shutil.rmtree(root / current, ignore_errors=True)
+        if batch_id == 1 and not crashed.exists():
+            crashed.write_text("yes")
+            raise RuntimeError("injected crash after sink publish")
+
+    def run() -> None:
+        q = (spark.readStream.schema(ev.schema)
+             .option("maxFilesPerTrigger", 1).parquet(str(src))
+             .writeStream.foreachBatch(upsert)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    import pytest as pt
+    with pt.raises(Exception, match="injected crash"):
+        run()
+    assert crashed.exists()
+    run()  # restart: replays batch 1, drains batch 2
+
+    got = {tuple(r) for r in
+           spark.read.parquet(
+               str(root / pointer.read_text().strip())).collect()}
+    want = {tuple(r) for r in latest_compaction(ev).collect()}
+    assert got == want and len(want) > 0
