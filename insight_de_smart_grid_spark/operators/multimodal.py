@@ -125,7 +125,11 @@ def sample_frames(binary_df: DataFrame, frame_size: int = 256,
                     doc.append(doc_id)
                     idx.append(j)
                     fb.append(frames[j])
-                    sha.append(hashlib.sha256(frames[j]).hexdigest())
+                    # content hash over the lowercase-hex encoding: byte
+                    # slices may not be valid UTF-8, and the DuckDB oracle
+                    # can only sha256 VARCHAR — hex is the shared exact form
+                    sha.append(hashlib.sha256(
+                        frames[j].hex().encode()).hexdigest())
             yield pd.DataFrame({"doc_id": doc, "frame_idx": idx,
                                 "frame_bytes": fb, "frame_sha": sha})
 
@@ -250,10 +254,12 @@ def extract_features_exploded(binary_df: DataFrame, dim: int = 16,
 
 
 # ---------------------------------------------------------------------------
-# DuckDB oracle twins for the deterministic fakes. The payload is the utf-8
-# encoding of `text` (attach_binary_payload) and the driver corpus is pure
-# ASCII, so varchar substr/sha256/length coincide with the byte semantics the
-# Python side uses. Digest bytes come from the sha256 hex string.
+# DuckDB oracle twins for the deterministic fakes, BYTE-exact on any corpus
+# (unicode included): lengths use strlen (bytes, not chars), and hashes of
+# byte SLICES go through the lowercase-hex encoding on both engines because
+# DuckDB's sha256 only accepts VARCHAR (a raw byte slice may not be valid
+# UTF-8). Whole-payload sha256(text) already hashes the UTF-8 bytes. Digest
+# bytes come from the sha256 hex string.
 # ---------------------------------------------------------------------------
 
 def _hexbyte_sql(i) -> str:
@@ -266,7 +272,7 @@ def _hexbyte_sql(i) -> str:
 DECODE_FAKE_SQL = f"""
 WITH d AS (SELECT doc_id, text, sha256(text) AS h FROM documents)
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
        h AS sha256,
        CAST(64 + {_hexbyte_sql(0)} % 192 AS INT) AS width,
        CAST(64 + {_hexbyte_sql(1)} % 192 AS INT) AS height,
@@ -277,38 +283,40 @@ FROM d
 """
 
 RESIZE_FAKE_SQL = f"""
-WITH d AS (SELECT doc_id, text, sha256(text) AS h FROM documents),
+WITH d AS (SELECT doc_id, text, sha256(text) AS h,
+                  lower(hex(encode(text))) AS hx FROM documents),
 wh AS (
-  SELECT doc_id, text,
+  SELECT doc_id, hx,
          64 + {_hexbyte_sql(0)} % 192 AS w,
          64 + {_hexbyte_sql(1)} % 192 AS hh
   FROM d
 ),
 k AS (
-  SELECT doc_id, text,
-         CAST(greatest(1, trunc((length(text) * 4096) / (w * hh))) AS INT)
+  SELECT doc_id, hx,
+         CAST(greatest(1, trunc((strlen(hx) / 2 * 4096) / (w * hh))) AS INT)
            AS keep
   FROM wh
 )
 SELECT doc_id,
        CAST(64 AS INT) AS width,
        CAST(64 AS INT) AS height,
-       CAST(keep AS BIGINT) AS n_bytes,
-       sha256(substr(text, 1, keep)) AS payload_sha
+       CAST(least(keep, strlen(hx) / 2) AS BIGINT) AS n_bytes,
+       sha256(substring(hx, 1, keep * 2)) AS payload_sha
 FROM k
 """
 
 FRAME_SAMPLE_SQL = """
-WITH d AS (
-  SELECT doc_id, text,
-         unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
-  FROM documents
+WITH d0 AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+d AS (
+  SELECT doc_id, hx,
+         unnest(range(0, CAST(ceil(strlen(hx) / 512.0) AS BIGINT))) AS i
+  FROM d0
 )
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
-       CAST(length(substr(text, CAST(i AS INT)*256 + 1, 256)) AS INT)
+       CAST(strlen(substring(hx, CAST(i AS INT)*512 + 1, 512)) / 2 AS INT)
          AS frame_len,
-       sha256(substr(text, CAST(i AS INT)*256 + 1, 256)) AS frame_sha
+       sha256(substring(hx, CAST(i AS INT)*512 + 1, 512)) AS frame_sha
 FROM d
 WHERE i % 4 = 0
 """

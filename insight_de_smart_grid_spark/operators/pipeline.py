@@ -601,7 +601,9 @@ def scd2_intervals(events: DataFrame, key_col: str = "user_id",
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # (ts, state) ordering: equal-timestamp events process in a
+    # deterministic order in every engine AND in the streaming twin
+    w = Window.partitionBy(key_col).orderBy(ts_col, state_col)
     changed = F.when(
         F.lag(state_col).over(w).isNull()
         | (F.lag(state_col).over(w) != F.col(state_col)), 1).otherwise(0)
@@ -614,7 +616,8 @@ def scd2_intervals(events: DataFrame, key_col: str = "user_id",
                  .agg(F.min(ts_col).alias("valid_from"),
                       F.first(state_col).alias("state"),
                       F.count(F.lit(1)).alias("n_events")))
-    w_run = Window.partitionBy(key_col).orderBy("valid_from")
+    w_run = Window.partitionBy(key_col).orderBy("valid_from",
+                                               "state")
     return (intervals
             .withColumn("valid_to", F.lead("valid_from").over(w_run))
             .withColumn("is_current", F.col("valid_to").isNull())
@@ -626,11 +629,12 @@ def scd2_intervals_oracle_sql() -> str:
 WITH runs AS (
   SELECT user_id, ts, event_type,
          sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts
+             OVER (PARTITION BY user_id ORDER BY ts, event_type
                    ROWS UNBOUNDED PRECEDING) AS run_id
   FROM (
     SELECT user_id, ts, event_type,
-           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_type) AS prev
     FROM events)
 ), intervals AS (
   SELECT user_id, run_id,
@@ -640,9 +644,10 @@ WITH runs AS (
   FROM runs GROUP BY 1, 2
 )
 SELECT user_id, valid_from, state, n_events,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-           AS valid_to,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, state) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, state)
            IS NULL AS is_current
 FROM intervals
 """

@@ -466,8 +466,12 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     """
     from pyspark.sql import Window
 
-    emb = embeddings.select(
+    # zero-norm vectors have no cosine direction — their score is 0/0,
+    # which engines disagree on (NULL vs NaN vs -1); exclude them outright
+    # (mirrored in the oracle)
+    emb = (embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(_norm(F.col("v")) > 0))
     cents = (emb.filter(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("c_id"), F.col("v").alias("cv")))
     scored = (emb.join(F.broadcast(cents))
@@ -505,8 +509,13 @@ def ivf_portable_topk_oracle_sql(query_vec_id: int, k: int = 10,
                                  n_centroids: int = 16,
                                  nprobe: int = 4) -> str:
     return f"""
-WITH cents AS (
-  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+WITH nz AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum')) > 0
+),
+cents AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM nz
   WHERE vec_id < {n_centroids}
 ),
 assigned AS (
@@ -517,10 +526,10 @@ assigned AS (
              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
                                                    c.cv), 6) DESC,
                       c.c_id ASC) AS rn
-    FROM embeddings e, cents c)
+    FROM nz e, cents c)
   WHERE rn = 1
 ),
-qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM nz
        WHERE vec_id = {query_vec_id}),
 probes AS (
   SELECT c.c_id AS cluster
@@ -533,7 +542,7 @@ SELECT e.vec_id,
        AS cos_sim
 FROM assigned a
 JOIN probes p ON a.cluster = p.cluster
-JOIN embeddings e ON e.vec_id = a.vec_id
+JOIN nz e ON e.vec_id = a.vec_id
 CROSS JOIN qv
 WHERE e.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, e.vec_id ASC

@@ -120,16 +120,26 @@ def q_star_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    # the approx-median contract is a RANK bound (accuracy parameter), not a
+    # value distance — a value tolerance lies on tiny groups where the
+    # interpolated exact median sits between elements. Check the honest
+    # claim: the sketch's answer lies between the exact DISCRETE percentiles
+    # at 0.5 +- eps (true at every data scale).
     medians = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        F.expr("percentile_disc(0.49) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)").alias("lo_med"),
+        F.expr("percentile_disc(0.51) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)").alias("hi_med"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"))
     agg = counts.join(medians, "l_returnflag")
     return agg.select(
         "l_returnflag", "exact_parts",
         (F.abs(F.col("approx_parts") - F.col("exact_parts"))
-         <= 0.05 * F.col("exact_parts")).alias("approx_parts_ok"),
-        (F.abs(F.col("approx_median") - F.col("exact_median"))
-         <= 0.05 * F.abs(F.col("exact_median"))).alias("approx_median_ok"))
+         <= F.greatest(0.05 * F.col("exact_parts"), F.lit(1.0)))
+        .alias("approx_parts_ok"),
+        ((F.col("approx_median") >= F.col("lo_med"))
+         & (F.col("approx_median") <= F.col("hi_med")))
+        .alias("approx_median_ok"))
 
 
 # ---------------------------------------------------------------------------

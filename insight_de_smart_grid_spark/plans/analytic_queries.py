@@ -340,18 +340,22 @@ def q_text_char_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_props_variant", """
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
-       CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val
+       CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                 THEN json_extract(props, '$.k') END AS BIGINT) AS k_long,
+       CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                 THEN json_extract(props, '$.missing') END
+            AS BIGINT) AS missing_val
 FROM events
 """)
 def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``parse_json`` -> VariantType once, then typed ``try_variant_get``
-    per field. At scale this wins twice: the JSON text is decoded exactly
-    once however many fields are read, and Parquet variant shredding lets
-    the scan skip to requested paths. Missing paths yield NULL (the
-    try_ form), matching SQL json_extract semantics."""
+    """``try_parse_json`` -> VariantType once, then typed
+    ``try_variant_get`` per field. At scale this wins twice: the JSON text
+    is decoded exactly once however many fields are read, and Parquet
+    variant shredding lets the scan skip to requested paths. Missing paths
+    AND malformed/null documents yield NULL (the try_ forms) — a crawl
+    pipeline never dies on one bad payload."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.try_variant_get(v, "$.k", "bigint").alias("k_long"),

@@ -137,9 +137,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-facing shape hashes the resized payload instead of carrying it."""
     docs = load_table(spark, sf_dir, "documents")
     resized = mm.resize_media(mm.attach_binary_payload(docs), fake=True)
+    # hash the lowercase-hex encoding of the sliced payload: the oracle's
+    # sha256 only takes VARCHAR and a byte slice may not be valid UTF-8
     return resized.select(
         "doc_id", "width", "height", "n_bytes",
-        F.sha2("payload", 256).alias("payload_sha"))
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_sha"))
 
 
 @register("multimodal_feature_extract", mm.FEATURE_EXTRACT_SQL)

@@ -150,7 +150,9 @@ def q_duty_cycle_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_json_extract", f"""
 SELECT event_id,
-       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+       COALESCE(TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
+                         AS DOUBLE), 0.0)
          AS k_val
 FROM events
 """)

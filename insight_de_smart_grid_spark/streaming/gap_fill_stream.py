@@ -178,8 +178,10 @@ def scd2_stream(events_stream: DataFrame) -> DataFrame:
     valid_to = the new interval's start — and the new one opens. The open
     interval itself is never emitted (its count can still grow), so the
     streamed output equals the batch SCD2 history minus each key's current
-    row: the oracle states exactly that. Events at or before the carried
-    last timestamp drop (expired)."""
+    row: the oracle states exactly that. Events strictly BEFORE the carried
+    last timestamp drop (late data); equal-timestamp events process in
+    (ts, state) order — the same deterministic tie order the batch
+    operator and oracle use — so same-instant bursts count identically."""
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -187,7 +189,7 @@ def scd2_stream(events_stream: DataFrame) -> DataFrame:
         if not rows:
             return
         pdf = (pd.concat(rows, ignore_index=True)
-               .sort_values("ts").reset_index(drop=True))
+               .sort_values(["ts", "event_type"]).reset_index(drop=True))
         uid = key[0]
         if state.exists:
             cur, vf_us, n, last_us, has = state.get
@@ -197,7 +199,7 @@ def scd2_stream(events_stream: DataFrame) -> DataFrame:
         out: list[tuple] = []
         for ts, st in zip(pdf["ts"], pdf["event_type"]):
             us = ts.value // 1000
-            if has and us <= last_us:
+            if has and us < last_us:
                 continue
             if not has:
                 cur, vf_us, n, has = st, us, 1, True

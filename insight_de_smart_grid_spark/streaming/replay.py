@@ -122,6 +122,7 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
                           out_dir: str | None = None,
                           state_partitions: int | None = 8,
                           flush_sentinel: bool = False,
+                          sentinel_margin_s: int = 3600,
                           sentinel_count: int = 1,
                           max_files_per_trigger: int | None = None,
                           sentinel_all_types: bool = False
@@ -141,6 +142,7 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     plan = plan_fn(parquet_stream_source(
         spark, parquet_path, flush_sentinel=flush_sentinel,
+        sentinel_margin_s=sentinel_margin_s,
         sentinel_count=sentinel_count,
         max_files_per_trigger=max_files_per_trigger,
         sentinel_all_types=sentinel_all_types))

@@ -48,11 +48,15 @@ def kmv_daily_stream(events_stream: DataFrame, k: int = 64,
         if state.hasTimedOut:
             (kmv,) = state.get
             kmv = sorted(kmv)
+            state.remove()
+            if not kmv:
+                # a day whose only rows were flush sentinels: it existed to
+                # advance the watermark, not to be a result
+                return
             if len(kmv) < k:
                 est = float(len(kmv))
             else:
                 est = float(k - 1) * _SCALE / float(kmv[k - 1])
-            state.remove()
             yield pd.DataFrame(
                 [(day, est, len(kmv))],
                 columns=["day", "est_distinct", "retained"])
@@ -64,6 +68,8 @@ def kmv_daily_stream(events_stream: DataFrame, k: int = 64,
             if p.empty:
                 continue
             for uid in p["user_id"]:
+                if int(uid) < 0:   # flush sentinel: advances the
+                    continue       # watermark, never joins a sketch
                 h = _h60(int(uid))
                 if h in have:
                     continue
