@@ -1491,15 +1491,14 @@ def q_streaming_kmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="kmvd_")
     # margin must exceed a DAY (the window granularity) for the final
     # day's event-time timeout to fire — the default 1h margin crosses the
-    # last midnight only by data luck; the second sentinel provides the
-    # batch that runs AFTER the watermark advance (timeouts fire then)
+    # last midnight only by data luck; availableNow's final commit batch
+    # then fires the timeouts under the sentinel-advanced watermark
     return replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet",
         lambda stream: kmv_daily_stream(normalize_event_ts(stream)),
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink", flush_sentinel=True,
-        sentinel_margin_s=3 * 86400, sentinel_count=2,
-        max_files_per_trigger=1).where(F.col("day") < "2100-01-01")
+        sentinel_margin_s=3 * 86400).where(F.col("day") < "2100-01-01")
 
 
 # ---------------------------------------------------------------------------
