@@ -39,3 +39,21 @@ def test_every_query_has_matching_oracle_or_documented_gap(spark):
     assert set(o) <= set(q)
     # the single intentional rows-only query (trained IVF quantizer)
     assert set(q) - set(o) == {"sim_ivf_topk"}
+
+
+def test_example_pipeline_script_runs():
+    """The end-to-end walkthrough (examples/duty_cycle_pipeline.py) must run
+    clean against the smoke tables — the 'a reference user can switch'
+    artifact stays executable."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "examples" / "duty_cycle_pipeline.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "total_power" in proc.stdout
+    assert "duty_cycle" in proc.stdout
