@@ -1177,7 +1177,11 @@ def near_dup_blast_radius(spark, docs: DataFrame, n: int = 3,
     form IS the scale-sane SQL shape; unbounded clustering stays with the
     iterative min-label ``dup_clusters`` operator.
     """
-    pairs = ngram_jaccard_pairs(docs, n, threshold)
+    # materialize the pair graph ONCE: each recursion step re-evaluates
+    # every relation it references, and the shingle-inversion pipeline is
+    # the expensive part — localCheckpoint truncates it to a cached table
+    # (same technique as dup_clusters' iteration)
+    pairs = ngram_jaccard_pairs(docs, n, threshold).localCheckpoint()
     pairs.createOrReplaceTempView(view)
     return spark.sql(f"""
 WITH RECURSIVE hops(doc_id, h) AS (
