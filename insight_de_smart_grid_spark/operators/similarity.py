@@ -692,3 +692,70 @@ FROM cand
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def knn_graph(embeddings: DataFrame, k: int = 3,
+              n_tables: int = 16, n_planes: int = 8, dim: int = 64,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
+    most-cosine-similar LSH-bucket candidates — the substrate for graph
+    clustering, label propagation, and near-dup verification at corpus
+    scale. Identical machinery to ``lsh_hard_negatives`` minus the label
+    filter: narrow (id, table, bucket) candidate join, exact cosine verify
+    on the bounded candidate set, one row_number window per anchor
+    (rounded score desc, id asc — deterministic cross-engine).
+
+    At 100 TB the signature table is the persisted index
+    (`test_persisted_ann_index_probes_without_index_shuffle` proves that
+    layout) and the window shuffles on the uniform anchor id."""
+    from pyspark.sql import Window
+
+    sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
+                                vec_col=vec_col, id_col=id_col)
+    slim = sig.select(F.col(id_col), "table", "bucket")
+    cands = (slim.alias("sa")
+             .join(slim.alias("sb"), ["table", "bucket"])
+             .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
+             .select(F.col(f"sa.{id_col}").alias("anchor_id"),
+                     F.col(f"sb.{id_col}").alias("nbr_id"))
+             .dropDuplicates(["anchor_id", "nbr_id"]))
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    ea = emb.select(F.col(id_col).alias("anchor_id"), F.col("v").alias("va"))
+    eb = emb.select(F.col(id_col).alias("nbr_id"), F.col("v").alias("vb"))
+    scored = (cands.join(ea, "anchor_id").join(eb, "nbr_id")
+              .select("anchor_id", "nbr_id",
+                      F.round(_dot(F.col("va"), F.col("vb"))
+                              / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                              6).alias("cos_sim")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"),
+                                                F.asc("nbr_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .select("anchor_id", "nbr_id", "cos_sim", "rnk"))
+
+
+def knn_graph_oracle_sql(k: int = 3, n_tables: int = 16,
+                         n_planes: int = 8, dim: int = 64) -> str:
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS nbr_id
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT anchor_id, nbr_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON cand.anchor_id = ea.vec_id
+  JOIN embeddings eb ON cand.nbr_id = eb.vec_id
+)
+SELECT anchor_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, nbr_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""

@@ -384,3 +384,10 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-bucket pair histogram in one inversion pass (threshold
     tuning) — `operators/dedup.py::jaccard_threshold_sweep`."""
     return dd.jaccard_threshold_sweep(load_table(spark, sf_dir, "documents"))
+
+
+@register("sim_knn_graph", sim.knn_graph_oracle_sql())
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over LSH-bucket candidates (top-3 neighbors
+    per vector, exact-verified) — `operators/similarity.py::knn_graph`."""
+    return sim.knn_graph(load_table(spark, sf_dir, "embeddings"))

@@ -56,6 +56,7 @@ ORACLE_CHECKED = [
     "pipeline_time_split",
     "pipeline_group_kfold",
     "dedup_threshold_sweep",
+    "sim_knn_graph",
 ]
 
 
@@ -581,3 +582,25 @@ def test_group_kfold_never_splits_a_group(spark):
     assert sum(r.n_rows for r in folds) == ev.count()
     sizes = [r.n_groups for r in folds]
     assert max(sizes) <= 2 * min(sizes)
+
+
+def test_knn_graph_recall_and_shape(spark):
+    """Every anchor gets <= k dense-ranked neighbors starting at rank 1,
+    and a probe anchor's graph neighbors overlap its exact brute-force
+    top-10 (8-plane/16-table buckets on a near-orthogonal corpus recall
+    the close neighborhood, not necessarily the single nearest)."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    g = knn_graph(emb, k=3)
+    per = g.groupBy("anchor_id").count()
+    assert per.filter("count > 3").count() == 0
+    ranks = {(r.anchor_id, r.rnk) for r in g.collect()}
+    anchors = {a for a, _ in ranks}
+    assert all((a, 1) in ranks for a in anchors)
+    exact10 = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
+    graph3 = {r.nbr_id for r in g.filter("anchor_id = 7").collect()}
+    assert graph3 & exact10
