@@ -829,3 +829,55 @@ SELECT CAST({b} AS INT) AS fold, count(*) AS n_rows,
 FROM events
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget report (what's actually in the training mix)
+# ---------------------------------------------------------------------------
+
+def token_budget_report(docs: DataFrame,
+                        source_col: str = "source") -> DataFrame:
+    """Per-source token accounting: document count, whitespace-token total,
+    share of the corpus, and the cumulative share in descending-token order
+    — the table every data-mixture decision starts from.
+
+    One shuffle to the per-source aggregate; the share/cumulative windows
+    run over the AGGREGATED rows (|sources| of them — bounded at any corpus
+    size), so the unpartitioned window is a few rows on one reducer, not a
+    scale hazard."""
+    from pyspark.sql import Window
+
+    from insight_de_smart_grid_spark.operators.text import token_count
+
+    per = (docs.groupBy(source_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(token_count("text")).alias("tokens")))
+    w_all = Window.partitionBy()
+    w_cum = (Window.partitionBy()
+             .orderBy(F.desc("tokens"), F.asc(source_col))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (per
+            .withColumn("share",
+                        F.round(F.col("tokens") / F.sum("tokens").over(w_all),
+                                6))
+            .withColumn("cum_share",
+                        F.round(F.sum("tokens").over(w_cum)
+                                / F.sum("tokens").over(w_all), 6)))
+
+
+def token_budget_oracle_sql() -> str:
+    return r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+           AS tokens
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, tokens,
+       round(tokens / sum(tokens) OVER (), 6) AS share,
+       round(sum(tokens) OVER (ORDER BY tokens DESC, source ASC
+                               ROWS UNBOUNDED PRECEDING)
+             / sum(tokens) OVER (), 6) AS cum_share
+FROM per
+"""

@@ -391,3 +391,10 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph over LSH-bucket candidates (top-3 neighbors
     per vector, exact-verified) — `operators/similarity.py::knn_graph`."""
     return sim.knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("pipeline_token_budget", pl.token_budget_oracle_sql())
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting with corpus share and cumulative share
+    — `operators/pipeline.py::token_budget_report`."""
+    return pl.token_budget_report(load_table(spark, sf_dir, "documents"))
