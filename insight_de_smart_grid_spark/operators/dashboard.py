@@ -172,8 +172,10 @@ def m4_downsample(readings: DataFrame, bucket: str = "1 minute",
 
 def m4_downsample_oracle_sql(readings_cte: str,
                              bucket_seconds: int = 60) -> str:
-    tb = (f"to_timestamp(floor(epoch(ts) / {bucket_seconds}) "
-          f"* {bucket_seconds})")
+    # time_bucket returns plain TIMESTAMP in DuckDB, matching Spark's
+    # window().start; to_timestamp returns TIMESTAMPTZ and trips the
+    # driver's schema comparison (round-2 verdict item 1).
+    tb = f"time_bucket(INTERVAL '{bucket_seconds} seconds', ts)"
     return f"""
 WITH readings AS ({readings_cte}),
 ranked AS (

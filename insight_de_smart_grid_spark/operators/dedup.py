@@ -1169,36 +1169,46 @@ def near_dup_blast_radius(spark, docs: DataFrame, n: int = 3,
     pair), with its minimum hop count — "if this doc is tainted, what else
     do I have to re-audit".
 
-    Exercises Spark 4's recursive CTE (``WITH RECURSIVE``): bounded-depth
-    BFS as UNION ALL recursion with a depth guard, minimum hop via the
-    final GROUP BY. Spark does not yet support the distinct-UNION recursion
-    an unbounded cyclic closure needs, and on a clique-shaped near-dup
-    graph path enumeration grows as degree^hops anyway — so the bounded
-    form IS the scale-sane SQL shape; unbounded clustering stays with the
-    iterative min-label ``dup_clusters`` operator.
+    Iterative level-synchronous BFS with a per-hop DEDUPLICATED frontier
+    (the ``dup_clusters`` iteration pattern): each hop joins the frontier
+    with the symmetric edge list, dedups the reached vertices, and
+    anti-joins away everything already visited — so every vertex is
+    expanded at most once regardless of how many paths reach it. A
+    UNION ALL recursive CTE enumerates PATHS instead and grows as
+    degree^hops on clique-shaped near-dup graphs; the oracle keeps the
+    recursive-CTE form (exact at oracle scale), the engine keeps the
+    shape that survives 100 TB.
     """
-    # materialize the pair graph ONCE: each recursion step re-evaluates
-    # every relation it references, and the shingle-inversion pipeline is
-    # the expensive part — localCheckpoint truncates it to a cached table
-    # (same technique as dup_clusters' iteration)
-    pairs = ngram_jaccard_pairs(docs, n, threshold).localCheckpoint()
-    pairs.createOrReplaceTempView(view)
-    return spark.sql(f"""
-WITH RECURSIVE hops(doc_id, h) AS (
-  SELECT CAST((SELECT min(doc_a) FROM {view}) AS BIGINT) AS doc_id, 0 AS h
-  UNION ALL
-  SELECT e.dst, h.h + 1
-  FROM hops h
-  JOIN (SELECT doc_a AS src, doc_b AS dst FROM {view}
-        UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM {view}) e
-    ON e.src = h.doc_id
-  WHERE h.h < {max_hops}
-)
-SELECT doc_id, CAST(min(h) AS INT) AS min_hops
-FROM hops
-GROUP BY doc_id
-""")
+    # materialize the pair graph ONCE: the shingle-inversion pipeline is
+    # the expensive part, and every hop re-joins the edge list —
+    # localCheckpoint truncates it to a cached table (same technique as
+    # dup_clusters' iteration)
+    pairs = ngram_jaccard_pairs(docs, n, threshold).localCheckpoint(eager=True)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    # seed = smallest doc id in any pair; stays distributed (1-row agg),
+    # NULL row on an empty graph to match the CTE oracle's seed select
+    visited = (pairs.agg(F.min("doc_a").cast("long").alias("doc_id"))
+               .withColumn("min_hops", F.lit(0).cast("int"))
+               .localCheckpoint(eager=True))
+    frontier = visited.select("doc_id")
+    for h in range(1, max_hops + 1):
+        reached = (edges.join(frontier, edges.src == frontier.doc_id)
+                   .select(F.col("dst").cast("long").alias("doc_id"))
+                   .distinct()
+                   .join(visited, "doc_id", "left_anti")
+                   .localCheckpoint(eager=True))
+        if reached.isEmpty():
+            break
+        visited = (visited.unionByName(
+            reached.withColumn("min_hops", F.lit(h).cast("int")))
+            .localCheckpoint(eager=True))
+        frontier = reached
+    return visited.select("doc_id", "min_hops")
 
 
 def blast_radius_oracle_sql(n: int = 3, threshold: float = 0.1,

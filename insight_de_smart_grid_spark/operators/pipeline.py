@@ -849,9 +849,13 @@ def token_budget_report(docs: DataFrame,
 
     from insight_de_smart_grid_spark.operators.text import token_count
 
+    # Empty/whitespace-only docs count 0 tokens (split('') yields [''],
+    # so the raw size() would be 1) — mirrors the oracle's CASE guard.
+    guarded = (F.when(F.trim(F.col("text")) == "", F.lit(0))
+               .otherwise(token_count("text")))
     per = (docs.groupBy(source_col)
            .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.sum(token_count("text")).alias("tokens")))
+                F.sum(guarded).alias("tokens")))
     w_all = Window.partitionBy()
     w_cum = (Window.partitionBy()
              .orderBy(F.desc("tokens"), F.asc(source_col))

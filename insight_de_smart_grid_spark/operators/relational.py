@@ -229,8 +229,22 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
     for p in probe_parts[1:]:
         probes = probes.unionByName(p)
 
-    cands = (probes.join(idx, ["l", "seg_i", "seg"])
-             .select(dirty_col, clean_col).distinct()
+    cand_pairs = (probes.join(idx, ["l", "seg_i", "seg"])
+                  .select(dirty_col, clean_col))
+
+    # Short-string fallback: for clean strings of length <= d, some of the
+    # d+1 segments are empty and the pigeonhole's untouched segment can be
+    # an empty one (e.g. 'ab' vs 'xy' at d=2), so segment inversion may
+    # miss the pair. Edit distance <= d forces |l - m| <= d, so such clean
+    # strings only pair with dirty strings of length <= 2d — both slices
+    # are alphabet-bounded tiny sets, so a broadcast cross is scale-safe.
+    short_clean = cl.filter(F.col("l") <= d).select(clean_col)
+    short_dirty = (dirty.select(dirty_col).distinct()
+                   .filter(F.length(dirty_col) <= 2 * d))
+    short_pairs = short_dirty.crossJoin(F.broadcast(short_clean))
+    cand_pairs = cand_pairs.unionByName(short_pairs)
+
+    cands = (cand_pairs.distinct()
              .select(dirty_col, clean_col,
                      F.levenshtein(dirty_col, clean_col, d).alias("distance"))
              .where(F.col("distance") >= 0))
@@ -287,10 +301,12 @@ def integrity_report(lineitem: DataFrame, orders: DataFrame,
 
 INTEGRITY_ORACLE_SQL = """
 SELECT 'lineitem_orphan_orderkey' AS check, count(*) AS n_violations
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 UNION ALL
 SELECT 'orders_orphan_custkey', count(*)
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 UNION ALL
 SELECT 'orders_duplicate_pk', count(*)
 FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)

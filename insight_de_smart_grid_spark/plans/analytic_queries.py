@@ -244,18 +244,23 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_click_left_stream_plan,
     )
 
-    # Same sentinel scheme as streaming_full_join: per-type sentinels in
-    # their own micro-batches. The left join passed with a single 'view'
-    # sentinel only by luck of the data — per-side event-time stats
-    # collect after the type filters, so the effective watermark stalls at
-    # min(max purchase, max click) and any unmatched purchase newer than
-    # that would be held. -1 guard drops the sentinels' own outer rows.
+    # ONE all-types sentinel, all files in one micro-batch. Per-type
+    # sentinel rows are still required (per-side event-time stats collect
+    # after the type filters, so a single-type sentinel would stall the
+    # other side's watermark at its real maximum), but the second
+    # sentinel/batch is not: availableNow runs a final no-data micro-batch
+    # (noDataMicroBatches, on by default) where the advanced watermark
+    # evicts state and emits the tail outer rows — regression-tested in
+    # tests/test_sketch_topn.py::test_left_join_flushes_tail_unmatched_purchase.
+    # max_files_per_trigger=1 (the round-2 staging) put every REAL data
+    # file in its own stateful micro-batch too — a 2x slowdown for no
+    # correctness gain. -1 guard drops the sentinels' own outer rows.
     from pyspark.sql import functions as _F
 
     out = replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet", purchase_click_left_stream_plan,
         query_name=f"slj_{uuid.uuid4().hex[:8]}", flush_sentinel=True,
-        sentinel_count=2, max_files_per_trigger=1, sentinel_all_types=True)
+        sentinel_all_types=True)
     return out.where(_F.col("user_id") != -1)
 
 

@@ -732,10 +732,24 @@ def q_star_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.lit([0.50, 0.90, 0.99]), F.lit(10000))
     # rank-bound check (the sketch's actual accuracy contract — a value
     # tolerance lies on tiny groups): each approx quantile must land
-    # between the exact DISCRETE percentiles at p +- 0.01
+    # between the exact DISCRETE percentiles at p +- 0.01. All six bounds
+    # come from ONE window-sorted pass (percentile_disc(p) = min value
+    # whose cume_dist = rn/n >= p): six separate percentile_disc
+    # aggregates each buffer+sort the group independently — measured ~3x
+    # slower. The groupBy reuses the window's hash partitioning, so the
+    # whole query is one shuffle + one sort + the percentile buffers.
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = (o.select("o_orderpriority", "o_totalprice")
+              .withColumn("rn", F.row_number().over(
+                  wp.orderBy("o_totalprice")))
+              .withColumn("n", F.count(F.lit(1)).over(wp)))
+
     def disc(p: float) -> F.Column:
-        return F.expr(f"percentile_disc({p}) WITHIN GROUP "
-                      "(ORDER BY o_totalprice)")
+        qualifies = F.col("rn").cast("double") / F.col("n") >= F.lit(p)
+        return F.min(F.when(qualifies, F.col("o_totalprice")))
+
     bounds = [disc(p).alias(n) for p, n in
               ((0.49, "lo50"), (0.51, "hi50"), (0.89, "lo90"),
                (0.91, "hi90"), (0.98, "lo99"), (1.00, "hi99"))]
@@ -746,7 +760,7 @@ def q_star_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("ap")[2] >= F.col("lo99"))
               & (F.col("ap")[2] <= F.col("hi99")))
     return (
-        o.groupBy("o_orderpriority")
+        ranked.groupBy("o_orderpriority")
         .agg(exact.alias("ex"), approx.alias("ap"), *bounds)
         .select("o_orderpriority",
                 F.col("ex")[0].alias("p50"),
@@ -1291,21 +1305,23 @@ def q_streaming_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = tempfile.mkdtemp(prefix="fulljoin_")
-    # Two PER-TYPE sentinels, one micro-batch per file: (a) the join sides
+    # ONE PER-TYPE sentinel, all files in one micro-batch: the join sides
     # collect event-time stats AFTER their type filters, so the sentinel
     # must exist as a click AND a purchase or one side's watermark stalls
-    # at its real maximum; (b) a watermark update only takes effect in the
-    # NEXT batch, and an unmatched click's outer row needs the watermark
-    # past click_ts + lookback — for the stream's tail that watermark only
-    # exists in a batch processed after sentinel #1. Sentinel rows carry
-    # user_id = -1 and are dropped after the join (their own outer rows
-    # flush once the second sentinel's watermark passes them).
+    # at its real maximum. The watermark advance then takes effect in the
+    # final no-data micro-batch availableNow always runs
+    # (noDataMicroBatches, on by default), which evicts state and emits
+    # both sides' tail outer rows — regression-tested in
+    # tests/test_sketch_topn.py. The earlier two-sentinel
+    # max_files_per_trigger=1 staging also forced every REAL data file
+    # into its own stateful micro-batch — a 2x slowdown for no
+    # correctness gain. Sentinel rows carry user_id = -1 and are dropped
+    # after the join.
     out = replay_parquet_stream(
         spark, f"{sf_dir}/events.parquet",
         purchase_click_full_stream_plan,
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink", flush_sentinel=True,
-        sentinel_count=2, max_files_per_trigger=1,
         sentinel_all_types=True)
     return out.where(F.col("user_id") != -1)
 

@@ -39,15 +39,16 @@ def parquet_stream_source(spark: SparkSession, parquet_path: str,
     (the next real event plays the same role).
 
     ``sentinel_count`` > 1 (with ``max_files_per_trigger=1`` so each
-    sentinel lands in its OWN micro-batch) is for operators whose
-    watermark-gated output needs a batch to run AFTER the watermark
-    advance: a watermark update only takes effect in the NEXT batch, and
-    availableNow stops after the last data batch. Outer stream-stream
-    joins are the case in point — an unmatched click emits when the
-    watermark passes click_ts + lookback, which for the stream's tail
-    only happens in a batch processed after sentinel #1; sentinel #2
-    provides that batch. Single-sentinel semantics (windowed aggs, left
-    joins keyed on the row's own timestamp) are unchanged."""
+    sentinel lands in its OWN micro-batch) forces an extra DATA batch
+    after the watermark advance. It is normally unnecessary: a watermark
+    update takes effect in the NEXT batch, and availableNow finishes with
+    a no-data micro-batch (``noDataMicroBatches``, on by default) where
+    the advanced watermark evicts state and emits watermark-gated output
+    (outer-join rows, closed windows) — regression-tested for both outer
+    joins in tests/test_sketch_topn.py. Keep the knob for engines/configs
+    without no-data batches, but note ``max_files_per_trigger=1`` also
+    puts every REAL file in its own stateful micro-batch — measured 2x
+    slower on the outer joins at sf0.1."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     p = Path(parquet_path)
     if p.is_file() or flush_sentinel:

@@ -24,8 +24,15 @@ def _canon_value(v):
             return 0.0
         return float(f"{v:.9g}")
     if isinstance(v, datetime):
+        # Deliberately DO NOT normalize tz-aware to naive: the driver's
+        # comparison treats TIMESTAMP vs TIMESTAMPTZ as a schema mismatch
+        # (round-2 dash_m4_downsample failed there while local was green
+        # because this canonicalizer silently converted). Keep the tzinfo
+        # in the canonical form so a tz-aware oracle column can never
+        # match a naive Spark column.
         if v.tzinfo is not None:
-            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+            v = v.astimezone(timezone.utc)
+            return "tz:" + v.isoformat(sep=" ", timespec="microseconds")
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, bytes):
         return v.hex()

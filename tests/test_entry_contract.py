@@ -37,8 +37,9 @@ def test_every_query_has_matching_oracle_or_documented_gap(spark):
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # the single intentional rows-only query (trained IVF quantizer)
-    assert set(q) - set(o) == {"sim_ivf_topk"}
+    # every registered query carries a value-level oracle (the trained-IVF
+    # variant is pytest-only; sim_ivf_portable_topk is the oracled IVF)
+    assert set(q) - set(o) == set()
 
 
 def test_example_pipeline_script_runs():

@@ -11,7 +11,7 @@ from insight_de_smart_grid_spark.operators.timeseries import interpolate_gaps
 from insight_de_smart_grid_spark.plans.registry import QUERIES
 from insight_de_smart_grid_spark.sources.tables import load_table
 from tests.conftest import SF_ORACLE
-from tests.oracle import check_registered
+from tests.oracle import check_registered, compare
 
 ORACLE_CHECKED = [
     "dash_topn_sketch",
@@ -547,7 +547,12 @@ def test_streaming_full_join_emits_both_outer_sides(spark):
 def test_left_join_flushes_tail_unmatched_purchase(spark, tmp_path):
     """Regression for the per-side watermark stall: an unmatched purchase
     AFTER the last click (inside the stall window that a single-type
-    sentinel cannot clear) must still emit a null-extended row."""
+    sentinel cannot clear) must still emit a null-extended row.
+
+    Uses the PRODUCTION replay config (one all-types sentinel, no
+    max_files_per_trigger): the all-types sentinel advances both post-
+    filter watermarks, and the final no-data micro-batch availableNow
+    runs evicts state and emits the tail outer row."""
     from insight_de_smart_grid_spark.streaming.replay import (
         replay_parquet_stream,
     )
@@ -570,8 +575,7 @@ def test_left_join_flushes_tail_unmatched_purchase(spark, tmp_path):
     out = replay_parquet_stream(
         spark, str(src), purchase_click_left_stream_plan,
         query_name="stall_regression", checkpoint_dir=str(tmp_path / "ck"),
-        flush_sentinel=True, sentinel_count=2, max_files_per_trigger=1,
-        sentinel_all_types=True)
+        flush_sentinel=True, sentinel_all_types=True)
     got = {(r.purchase_id, r.click_id)
            for r in out.where(F.col("user_id") != -1).collect()}
     assert (2, 1) in got, got          # the matched pair
@@ -754,3 +758,85 @@ def test_m4_preserves_bucket_extremes_with_bounded_rows(spark):
     assert joined.count() == truth.count()
     assert joined.filter("minp != tminp OR maxp != tmaxp OR "
                          "mints != tmints OR maxts != tmaxts").count() == 0
+
+
+def test_compare_rejects_tzaware_vs_naive_timestamps(spark, duck):
+    """Regression for the round-2 dash_m4_downsample driver failure: the
+    local canonicalizer used to silently convert tz-aware datetimes to
+    naive UTC, so a TIMESTAMPTZ-returning oracle (DuckDB to_timestamp)
+    matched a plain-TIMESTAMP Spark column locally while the driver's
+    schema check failed. tz-aware vs naive must now mismatch locally too."""
+    import pytest as _pytest
+
+    sdf = spark.sql("SELECT timestamp'1970-01-01 00:00:00' AS ts")
+    with _pytest.raises(AssertionError):
+        compare(sdf, duck, "SELECT to_timestamp(0) AS ts")
+    # the sanctioned bucket form (plain TIMESTAMP) still matches
+    compare(sdf, duck, "SELECT TIMESTAMP '1970-01-01 00:00:00' AS ts")
+
+
+def test_integrity_oracle_null_key_parity(spark):
+    """NOT IN vs anti-join NULL semantics: with NULL key columns present
+    (exactly what orders_null_key audits for), the oracle must count the
+    same orphans as the left_anti engine path — guarded by the NOT EXISTS
+    rewrite (a NOT IN oracle yields UNKNOWN and counts 0)."""
+    import duckdb as _duckdb
+
+    from insight_de_smart_grid_spark.operators.relational import (
+        INTEGRITY_ORACLE_SQL,
+        integrity_report,
+    )
+
+    lineitem = spark.createDataFrame(
+        [(None, 1, 1, 1, 5.0, "2024-01-05"),   # NULL fk -> orphan
+         (1, 1, 1, 1, 5.0, "2024-01-05"),
+         (99, 1, 1, 1, 5.0, "2024-01-05")],    # dangling fk -> orphan
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_shipdate string") \
+        .withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    orders = spark.createDataFrame(
+        [(1, 10, "2024-01-01"), (None, 11, "2024-01-02")],
+        "o_orderkey long, o_custkey long, o_orderdate string") \
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    events = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "ts string") \
+        .select(F.to_timestamp("ts").alias("ts"))
+
+    con = _duckdb.connect()
+    for name, df in [("lineitem", lineitem), ("orders", orders),
+                     ("customer", customer), ("events", events)]:
+        con.register(f"{name}_pd", df.toPandas())
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {name}_pd")
+    compare(integrity_report(lineitem, orders, customer, events),
+            con, INTEGRITY_ORACLE_SQL)
+    got = {r.check: r.n_violations
+           for r in integrity_report(lineitem, orders, customer,
+                                     events).collect()}
+    # NULL l_orderkey matches no order under either engine's semantics
+    assert got["lineitem_orphan_orderkey"] == 2
+    assert got["orders_orphan_custkey"] == 1
+    con.close()
+
+
+def test_passjoin_catches_short_string_pairs(spark):
+    """Pigeonhole blind spot: for clean strings of length <= max_dist the
+    untouched segment can be empty, so pure segment inversion misses pairs
+    like ('xy' -> 'ab', d=2). The short-string fallback must catch them
+    while long strings still resolve through the segment index."""
+    from insight_de_smart_grid_spark.operators.relational import (
+        passjoin_fuzzy_match,
+    )
+
+    clean = spark.createDataFrame(
+        [("ab",), ("Acme Widgets",)], "clean_name string")
+    dirty = spark.createDataFrame(
+        [("xy",),                 # dist 2 to 'ab': no shared nonempty segment
+         ("a",),                  # dist 1 to 'ab'
+         ("Acme Widgetts",)],     # dist 1, long-string path
+        "dirty_name string")
+    got = {(r.dirty_name, r.clean_name, r.distance)
+           for r in passjoin_fuzzy_match(dirty, clean).collect()}
+    assert ("xy", "ab", 2) in got, got
+    assert ("a", "ab", 1) in got, got
+    assert ("Acme Widgetts", "Acme Widgets", 1) in got, got
