@@ -196,12 +196,24 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
         idx_parts.append(cl.select(
             F.col(clean_col), "l", F.lit(i).alias("seg_i"),
             F.substring(F.col(clean_col), s + 1, ln).alias("seg")))
+    # Short-string fallback rows: for clean strings of length <= d some of
+    # the d+1 segments are empty, and the pigeonhole's untouched segment
+    # can be an empty one (e.g. 'ab' vs 'xy' at d=2) — pure segment
+    # inversion would miss the pair. Edit distance <= d forces
+    # |l - m| <= d, so such clean strings only pair with dirty strings of
+    # length <= 2d; both slices are alphabet-bounded tiny sets, so routing
+    # them through ONE dedicated block key ((-1,-1,'')) in the SAME
+    # equi-join is a bounded bucket, not a blow-up — and costs no extra
+    # join/broadcast stage.
+    idx_parts.append(cl.filter(F.col("l") <= d).select(
+        F.col(clean_col), F.lit(-1).alias("l"),
+        F.lit(-1).alias("seg_i"), F.lit("").alias("seg")))
     idx = idx_parts[0]
     for p in idx_parts[1:]:
         idx = idx.unionByName(p)
 
-    dr = (dirty.select(dirty_col).distinct()
-          .withColumn("m", F.length(dirty_col).cast("int")))
+    base_dirty = dirty.select(dirty_col).distinct()
+    dr = base_dirty.withColumn("m", F.length(dirty_col).cast("int"))
     # candidate clean lengths l in [m-d, m+d]
     dr = dr.select(dirty_col, "m",
                    F.explode(F.sequence(F.col("m") - d, F.col("m") + d))
@@ -225,26 +237,17 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
                         F.substring(F.col(dirty_col), F.col("st") + 1,
                                     F.col("ln")).alias("seg")))
         probe_parts.append(part)
+    # probe twin of the short-string fallback key
+    probe_parts.append(base_dirty.filter(F.length(dirty_col) <= 2 * d)
+                       .select(F.col(dirty_col), F.lit(-1).alias("l"),
+                               F.lit(-1).alias("seg_i"),
+                               F.lit("").alias("seg")))
     probes = probe_parts[0]
     for p in probe_parts[1:]:
         probes = probes.unionByName(p)
 
-    cand_pairs = (probes.join(idx, ["l", "seg_i", "seg"])
-                  .select(dirty_col, clean_col))
-
-    # Short-string fallback: for clean strings of length <= d, some of the
-    # d+1 segments are empty and the pigeonhole's untouched segment can be
-    # an empty one (e.g. 'ab' vs 'xy' at d=2), so segment inversion may
-    # miss the pair. Edit distance <= d forces |l - m| <= d, so such clean
-    # strings only pair with dirty strings of length <= 2d — both slices
-    # are alphabet-bounded tiny sets, so a broadcast cross is scale-safe.
-    short_clean = cl.filter(F.col("l") <= d).select(clean_col)
-    short_dirty = (dirty.select(dirty_col).distinct()
-                   .filter(F.length(dirty_col) <= 2 * d))
-    short_pairs = short_dirty.crossJoin(F.broadcast(short_clean))
-    cand_pairs = cand_pairs.unionByName(short_pairs)
-
-    cands = (cand_pairs.distinct()
+    cands = (probes.join(idx, ["l", "seg_i", "seg"])
+             .select(dirty_col, clean_col).distinct()
              .select(dirty_col, clean_col,
                      F.levenshtein(dirty_col, clean_col, d).alias("distance"))
              .where(F.col("distance") >= 0))

@@ -453,7 +453,7 @@ def q_streaming_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(processingTime="200 milliseconds").start())
         deadline = time.time() + 180
         while time.time() < deadline:
-            time.sleep(0.5)
+            time.sleep(0.15)
             seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
             last = q.lastProgress
             if (last is not None and seen > 0
