@@ -17,6 +17,7 @@ ordinary DataFrame code.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 import math
 from typing import Iterator
 
@@ -24,6 +25,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Real image decode/resize are env-gated on pillow: when PIL is importable
+# the fake=False paths run actual decoders; otherwise they raise the same
+# NotImplementedError as before (this container ships no media libs).
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 # Typed metadata carried beside the payload (parquet-friendly struct).
 MEDIA_META_SCHEMA = T.StructType([
@@ -70,21 +76,38 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_intensity
 
 
+def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Pillow decode: (width, height, channels, mean_intensity in [0,1]).
+    Only reachable when HAS_PIL; imports stay inside so the module loads
+    without pillow."""
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    channels = len(img.getbands())
+    mean = ImageStat.Stat(img.convert("L")).mean[0]
+    return img.width, img.height, channels, round(mean / 255.0, 6)
+
+
 def decode_media(binary_df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched ``mapInPandas`` over the
-    payload column. ``fake=False`` raises NotImplementedError (no media libs
-    in this container); ``fake=True`` runs the deterministic stub through the
-    exact same plumbing."""
+    payload column. ``fake=True`` runs the deterministic stub;
+    ``fake=False`` decodes real images via pillow when it is installed
+    (env-gated — raises NotImplementedError in containers without media
+    libs). Both paths share the exact same plumbing and output schema."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
-            if not fake:
+            if not fake and not HAS_PIL:
                 raise NotImplementedError(
                     "real media decode needs PIL/ffmpeg; not in this container")
             rows = []
             for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
                 raw = bytes(payload)
-                w, h, c, mi = _fake_decode(raw)
+                w, h, c, mi = (_fake_decode(raw) if fake
+                               else _real_decode(raw))
                 rows.append((doc_id, len(raw),
                              hashlib.sha256(raw).hexdigest(), w, h, c, mi))
             yield pd.DataFrame(rows, columns=[
@@ -165,21 +188,31 @@ def resize_media(binary_df: DataFrame, target_w: int = 64,
     """Resize stage: binary in, binary out (the memory-bound transform
     shape — peak memory is decoded-pixels, not payload bytes, so partition
     count must track decode size). ``fake=True`` emits a deterministic
-    proportional byte-slice with the target dims; ``fake=False`` raises
-    (a real build would use PIL)."""
+    proportional byte-slice with the target dims; ``fake=False`` resizes
+    real images via pillow when installed (PNG re-encode), else raises."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
-            if not fake:
+            if not fake and not HAS_PIL:
                 raise NotImplementedError(
                     "real resize needs PIL; not in this container")
             rows = []
             for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
                 raw = bytes(payload)
-                w, h, _, _ = _fake_decode(raw)
-                keep = max(1, int(len(raw) * (target_w * target_h)
-                                  / (w * h)))
-                out = raw[:keep]
+                if fake:
+                    w, h, _, _ = _fake_decode(raw)
+                    keep = max(1, int(len(raw) * (target_w * target_h)
+                                      / (w * h)))
+                    out = raw[:keep]
+                else:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(raw))
+                    buf = io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format="PNG")
+                    out = buf.getvalue()
                 rows.append((doc_id, target_w, target_h, out, len(out)))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "width", "height", "payload", "n_bytes"])

@@ -152,10 +152,39 @@ def test_multimodal_decode_stub_is_deterministic(spark):
 
 
 def test_multimodal_decode_real_path_raises(spark):
+    if mm.HAS_PIL:
+        pytest.skip("pillow installed: the real decode path is active")
     docs = load_table(spark, SF_ORACLE, "documents").limit(1)
     binary = mm.attach_binary_payload(docs)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         mm.decode_media(binary, fake=False).collect()
+
+
+def test_multimodal_real_decode_and_resize_with_pillow(spark):
+    """Env-gated real path: decode and resize actual PNGs through the same
+    mapInPandas plumbing the fakes use. Skipped where pillow is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(10, 4, (255, 255, 255))),
+            (2, png_bytes(3, 7, (0, 0, 0)))]
+    binary = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_media(binary, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (10, 4, 3)
+    assert (got[2].width, got[2].height) == (3, 7)
+    assert got[1].mean_intensity == 1.0 and got[2].mean_intensity == 0.0
+    rs = {r.doc_id: r for r in
+          mm.resize_media(binary, 5, 6, fake=False).collect()}
+    for r in rs.values():
+        out = Image.open(io.BytesIO(bytes(r.payload)))
+        assert (out.width, out.height) == (5, 6)
 
 
 def test_frame_sample_fanout_counts(spark):
