@@ -147,6 +147,77 @@ WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
 """
 
 
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   n_tables: int = 16, n_planes: int = 10,
+                   dim: int = 64) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): collapse documents whose EMBEDDINGS are near-identical even
+    when their text is not. Composition of two scale-safe stages:
+    LSH-blocked cosine pairs (``cosine_pairs_blocked`` — equi-join on
+    hyperplane buckets, never all-pairs) -> connected components
+    (``dedup.dup_clusters`` iterative min-label propagation). Output is the
+    keep/drop decision table: every vector with its semantic cluster id
+    (its own id when unpaired) and ``keep`` = is-the-min-id-keeper.
+
+    At 100 TB nothing leaves the executors: bucket keys are narrow
+    (id, table, bucket) rows, the verify join carries only candidate
+    vectors, and clustering is diameter-bounded iterations of an equi-join
+    on uniformly distributed ids."""
+    from insight_de_smart_grid_spark.operators.dedup import dup_clusters
+
+    pairs = cosine_pairs_blocked(embeddings, threshold, n_tables,
+                                 n_planes, dim)
+    labels = dup_clusters(pairs.select(F.col("vec_a").alias("doc_a"),
+                                       F.col("vec_b").alias("doc_b")))
+    ids = embeddings.select("vec_id")
+    return (ids.join(labels.select(F.col("doc_id").alias("vec_id"),
+                                   "cluster_id"), "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+            .withColumn("keep", F.col("vec_id") == F.col("cluster_id")))
+
+
+def semantic_dedup_oracle_sql(threshold: float = 0.95, n_tables: int = 16,
+                              n_planes: int = 10, dim: int = 64) -> str:
+    """DuckDB twin: the cosine_pairs_oracle_sql candidacy + threshold, then
+    components via transitive closure (exact at oracle scale) and the same
+    min-id keeper policy with singletons self-clustered."""
+    return f"""
+WITH RECURSIVE {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+jp AS (
+  SELECT vec_a, vec_b
+  FROM cand
+  JOIN embeddings ea ON cand.vec_a = ea.vec_id
+  JOIN embeddings eb ON cand.vec_b = eb.vec_id
+  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                               eb.embedding::DOUBLE[]) >= {threshold}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM jp
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM jp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT e.vec_id,
+       coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp c USING (vec_id)
+"""
+
+
 def _portable_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
     """(n_tables*n_planes, dim) hyperplane matrix with every component an
     md5-derived double in [-1, 1): first 12 hex chars of md5("hp|t|p|d") as

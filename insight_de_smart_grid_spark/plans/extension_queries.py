@@ -77,6 +77,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.95)
 
 
+@register("dedup_semantic", sim.semantic_dedup_oracle_sql(0.95))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop over semantic (embedding-space) duplicates:
+    LSH-blocked cosine pairs -> connected components -> min-id keeper,
+    singletons kept (`operators/similarity.py::semantic_dedup`)."""
+    return sim.semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                              threshold=0.95)
+
+
 # --- similarity search -----------------------------------------------------
 
 @register("sim_cosine_topk", sim.cosine_topk_oracle_sql(0, 10))

@@ -633,3 +633,32 @@ def test_knn_graph_recall_and_shape(spark):
     exact10 = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
     graph3 = {r.nbr_id for r in g.filter("anchor_id = 7").collect()}
     assert graph3 & exact10
+
+
+def test_semantic_dedup_matches_oracle(spark, duck):
+    check_registered(spark, duck, "dedup_semantic")
+
+
+def test_semantic_dedup_transitive_keeper(spark):
+    """A~B and B~C (without A~C necessarily candidate-paired) must land in
+    ONE cluster with the min id as keeper; the far-away singleton keeps
+    itself. Vectors are near-parallel so every LSH table buckets them
+    together (cos ~ 1 >> 0.95)."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    tilt = [1.0, 1e-4] + [0.0] * (dim - 2)
+    tilt2 = [1.0, 2e-4] + [0.0] * (dim - 2)
+    faraway = [0.0] * (dim - 1) + [1.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, tilt), (3, tilt2), (9, faraway)],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.cluster_id, r.keep)
+           for r in semantic_dedup(emb, threshold=0.95).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[9] == (9, True)
