@@ -1444,9 +1444,10 @@ def q_pipeline_cdc_net_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("audit_table_checksum", """
 WITH h AS (
   SELECT CAST(concat('0x', substring(md5(
-             CAST(l_orderkey AS VARCHAR) || '|' ||
-             CAST(l_linenumber AS VARCHAR) || '|' ||
-             CAST(l_quantity AS VARCHAR) || '|' || l_returnflag),
+             coalesce(CAST(l_orderkey AS VARCHAR), '<null>') || '|' ||
+             coalesce(CAST(l_linenumber AS VARCHAR), '<null>') || '|' ||
+             coalesce(CAST(l_quantity AS VARCHAR), '<null>') || '|' ||
+             coalesce(l_returnflag, '<null>')),
              1, 15)) AS BIGINT) AS rh
   FROM lineitem
 )
@@ -1465,13 +1466,17 @@ def q_audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_quantity is integral-valued DOUBLE: Spark casts 17.0 -> '17.0',
     # DuckDB -> '17.0' as well; both engines agree on this rendering only
     # for integral values, which the fixture guarantees — the general rule
-    # is to checksum NUMERIC columns via a scaled-integer cast
+    # is to checksum NUMERIC columns via a scaled-integer cast.
+    # NULLs are coalesced to an explicit marker BEFORE hashing: concat_ws
+    # silently skips nulls (making NULL|x and x collide) and DuckDB's ||
+    # nulls the whole row hash — a checksum must distinguish NULL cells.
+    def cell(c) -> F.Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+
     rh = (F.conv(F.substring(F.md5(F.concat_ws(
-        "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_quantity").cast("string"),
-        F.col("l_returnflag"))), 1, 15), 16, 10).cast("long"))
+        "|", cell("l_orderkey"), cell("l_linenumber"),
+        cell("l_quantity"), cell("l_returnflag"))), 1, 15), 16, 10)
+        .cast("long"))
     return (li.select(rh.alias("rh"))
             .agg(F.bit_xor("rh").alias("checksum"),
                  F.count(F.lit(1)).alias("n_rows")))

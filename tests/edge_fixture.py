@@ -14,8 +14,12 @@ Planted hazards:
 - events: duplicate timestamps with different values (window tie-break),
   exact duplicate rows (dedup), null/garbage props JSON, a single-event
   user, zero/negative/huge values, a counter that resets.
-- star schema: a valid mini-TPC-H with one orphan lineitem and one
-  childless customer so semi/anti/audit queries exercise both branches.
+- star schema: a valid mini-TPC-H with one orphan lineitem, one childless
+  customer, AND NULL-key rows in orders/lineitem (pk-null audit, NOT-IN vs
+  anti-join orphan semantics, null-safe checksums) so semi/anti/audit
+  queries exercise both branches; the NULL-key rows carry otherwise-unique
+  attributes so no ORDER-BY tie-break ever reaches a NULL key (Spark and
+  DuckDB disagree on default NULL sort order).
 
 Usage: build_edge_sf(dir_path) writes <table>.parquet FILES (not dirs) so
 DuckDB's read_parquet sees them exactly like the driver's testdata.
@@ -89,13 +93,19 @@ def build_edge_sf(out_dir: str) -> str:
                      ("o_totalprice", pa.float64()),
                      ("o_orderdate", pa.timestamp("us")),
                      ("o_orderpriority", pa.string())]),
-          {"o_orderkey": [10, 11, 12],
-           "o_custkey": [1, 1, 2],
-           "o_orderstatus": ["F", "O", "F"],
-           "o_totalprice": [100.0, 100.0, 0.01],  # tie on price
+          # the 4th row's keys are NULL (pk audit + NOT-IN-vs-anti-join
+          # orphan semantics); its other attributes are UNIQUE so no
+          # ORDER-BY tie ever reaches the NULL key (Spark sorts NULLS
+          # FIRST, DuckDB NULLS LAST — the queries use keys only as
+          # tie-breakers, so uniqueness keeps both engines deterministic)
+          {"o_orderkey": [10, 11, 12, None],
+           "o_custkey": [1, 1, 2, None],
+           "o_orderstatus": ["F", "O", "F", "P"],
+           "o_totalprice": [100.0, 100.0, 0.01, 55.5],  # tie on price
            "o_orderdate": [_ts(-60 * 24 * 40), _ts(-60 * 24 * 10),
-                           _ts(-60 * 24 * 10)],
-           "o_orderpriority": ["1-URGENT", "5-LOW", "1-URGENT"]})
+                           _ts(-60 * 24 * 10), _ts(-60 * 24 * 25)],
+           "o_orderpriority": ["1-URGENT", "5-LOW", "1-URGENT",
+                               "3-MEDIUM"]})
     write("lineitem",
           pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
                      ("l_suppkey", pa.int64()),
@@ -106,18 +116,23 @@ def build_edge_sf(out_dir: str) -> str:
                      ("l_returnflag", pa.string()),
                      ("l_linestatus", pa.string()),
                      ("l_shipdate", pa.timestamp("us"))]),
-          {"l_orderkey": [10, 10, 11, 999],   # 999 = orphan
-           "l_partkey": [1, 2, 1, 2],
-           "l_suppkey": [1, 2, 3, 1],
-           "l_linenumber": [1, 2, 1, 1],
-           "l_quantity": [1.0, 50.0, 0.0, 5.0],  # zero quantity
-           "l_extendedprice": [10.0, 5000.0, 0.0, 50.0],
-           "l_discount": [0.0, 0.05, 1.0, 0.07],  # 100% discount
-           "l_tax": [0.0, 0.08, 0.0, 0.02],
-           "l_returnflag": ["N", "R", "A", "N"],
-           "l_linestatus": ["O", "F", "F", "O"],
+          # 999 = dangling orphan; the NULL l_orderkey row is an orphan
+          # under anti-join semantics but invisible to a NOT IN oracle —
+          # the divergence the integrity audit's NOT EXISTS rewrite guards.
+          # Its non-key attributes are unique (see orders note).
+          {"l_orderkey": [10, 10, 11, 999, None],
+           "l_partkey": [1, 2, 1, 2, 1],
+           "l_suppkey": [1, 2, 3, 1, 2],
+           "l_linenumber": [1, 2, 1, 1, 9],
+           "l_quantity": [1.0, 50.0, 0.0, 5.0, 2.0],  # zero quantity
+           "l_extendedprice": [10.0, 5000.0, 0.0, 50.0, 77.0],
+           "l_discount": [0.0, 0.05, 1.0, 0.07, 0.01],  # 100% discount
+           "l_tax": [0.0, 0.08, 0.0, 0.02, 0.0],
+           "l_returnflag": ["N", "R", "A", "N", "N"],
+           "l_linestatus": ["O", "F", "F", "O", "O"],
            "l_shipdate": [_ts(-60 * 24 * 39), _ts(-60 * 24 * 35),
-                          _ts(-60 * 24 * 5), _ts(-60 * 24 * 2)]})
+                          _ts(-60 * 24 * 5), _ts(-60 * 24 * 2),
+                          _ts(-60 * 24 * 21)]})
     ev_rows = [
         # (minutes, user, type, value, props)
         (0.0, 1, "click", 1.0, '{"power": 7.5, "room": "kitchen"}'),
