@@ -58,3 +58,22 @@ def test_example_pipeline_script_runs():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "total_power" in proc.stdout
     assert "duty_cycle" in proc.stdout
+
+
+def test_training_data_example_script_runs():
+    """The LLM-pipeline walkthrough (examples/training_data_pipeline.py)
+    must run clean against the smoke tables: profile -> curate -> lexical +
+    semantic dedup -> decontaminate -> pack."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable,
+         str(repo / "examples" / "training_data_pipeline.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "pipeline complete." in proc.stdout
+    assert "cum_share" in proc.stdout or "tokens" in proc.stdout
