@@ -354,6 +354,112 @@ FROM d
 WHERE i % 4 = 0
 """
 
+# ---------------------------------------------------------------------------
+# Real audio path (no external libs): the stdlib ``wave`` module is a real
+# RIFF/WAVE encoder+decoder, so unlike the image/video stubs this family
+# round-trips genuine media bytes. The generator synthesizes a mono PCM16
+# square wave whose amplitude / length / rate derive from doc_id in closed
+# form, which makes the *decoded* acoustics (peak, RMS, duration) exactly
+# computable by the DuckDB oracle without it ever parsing WAV.
+# ---------------------------------------------------------------------------
+
+AUDIO_PAYLOAD_SCHEMA = "doc_id long, payload binary"
+AUDIO_DECODED_SCHEMA = ("doc_id long, n_bytes long, n_channels int, "
+                        "sample_rate int, n_samples long, peak int, "
+                        "rms double")
+
+
+def _square_wave_wav(doc_id: int) -> bytes:
+    """Real WAV bytes: mono PCM16 square wave, parameters from doc_id."""
+    import io
+    import wave
+
+    import numpy as np
+
+    amp = 100 + (doc_id % 251) * 99          # <= 24_850, int16-safe
+    n_pairs = 400 + doc_id % 400             # n_samples = 2*n_pairs (even)
+    rate = 8000 + 1000 * (doc_id % 5)
+    samples = np.empty(2 * n_pairs, dtype="<i2")
+    samples[0::2] = amp
+    samples[1::2] = -amp
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def attach_audio_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real WAV payload (Arrow-batched; bytes built executor-side,
+    never on the driver)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            yield pd.DataFrame({
+                "doc_id": pb["doc_id"],
+                "payload": [_square_wave_wav(int(d)) for d in pb["doc_id"]],
+            })
+
+    return docs.select("doc_id").mapInPandas(gen, AUDIO_PAYLOAD_SCHEMA)
+
+
+def decode_audio(binary_df: DataFrame) -> DataFrame:
+    """REAL audio decode via the stdlib ``wave`` parser: header fields
+    (channels, rate, frame count) plus PCM acoustics (peak, RMS) computed
+    from the decoded int16 samples. Same Arrow ``mapInPandas`` plumbing as
+    the image path; no external media libraries required."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                raw = bytes(payload)
+                with wave.open(io.BytesIO(raw), "rb") as w:
+                    nch = w.getnchannels()
+                    rate = w.getframerate()
+                    nframes = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(nframes), dtype="<i2")
+                x = pcm.astype(np.float64)
+                rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                peak = int(np.max(np.abs(pcm))) if len(pcm) else 0
+                rows.append((doc_id, len(raw), nch, rate, nframes, peak,
+                             round(rms, 6)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_bytes", "n_channels", "sample_rate",
+                "n_samples", "peak", "rms"])
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(decode, AUDIO_DECODED_SCHEMA))
+
+
+# Closed-form oracle: the synthesized square wave's decoded header and
+# acoustics are pure arithmetic over doc_id (44-byte canonical PCM header;
+# alternating +/-amp, so RMS == peak == amp exactly — no float drift).
+AUDIO_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         100 + (doc_id % 251) * 99 AS amp,
+         2 * (400 + doc_id % 400) AS n_samples,
+         8000 + 1000 * (doc_id % 5) AS rate
+  FROM documents
+)
+SELECT doc_id,
+       CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+       CAST(1 AS INT) AS n_channels,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(amp AS INT) AS peak,
+       CAST(amp AS DOUBLE) AS rms
+FROM p
+"""
+
+
 FEATURE_EXTRACT_SQL = f"""
 WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
 b AS (

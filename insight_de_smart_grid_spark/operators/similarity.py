@@ -830,3 +830,135 @@ FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
       FROM scored)
 WHERE rnk <= {k}
 """
+
+
+def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
+                      seed_mod: int = 5,
+                      n_tables: int = 16, n_planes: int = 8, dim: int = 64,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      label_col: str = "label") -> DataFrame:
+    """Semi-supervised label spreading over the approximate kNN graph:
+    vectors with ``vec_id % seed_mod == 0`` keep their label (clamped
+    seeds); every other vector takes the majority label of its kNN
+    neighbors, iterated ``iters`` rounds — the standard recipe for
+    expanding a small labeled set across a large embedding corpus before
+    training (Zhu & Ghahramani label propagation, majority-vote variant).
+
+    Determinism: votes are integer counts; ties break by smallest label,
+    so both engines agree without float comparisons. The graph comes from
+    ``knn_graph`` (already exactly reproduced by the oracle's CTEs).
+
+    Scale: each round is one shuffle keyed on the uniform vec_id (vote
+    groupBy) plus co-partitioned joins back to the vertex set; the edge
+    list is the persisted kNN index. For many rounds, checkpoint the label
+    frame per iteration to truncate lineage (the ``dup_clusters``
+    pattern, dedup.py)."""
+    from pyspark.sql import Window
+
+    edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
+                      vec_col=vec_col, id_col=id_col) \
+        .select("anchor_id", "nbr_id")
+    verts = embeddings.select(F.col(id_col).alias("vec_id"))
+    lab0 = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(F.col(id_col) % seed_mod == 0, F.col(label_col))
+         .cast("int").alias("label"))
+    seeds = (lab0.filter(F.col("label").isNotNull())
+             .withColumnRenamed("label", "seed_label"))
+    lab = lab0
+    for _ in range(iters):
+        votes = (edges
+                 .join(lab.select(F.col("vec_id").alias("nbr_id"),
+                                  F.col("label").alias("nl")), "nbr_id")
+                 .filter(F.col("nl").isNotNull())
+                 .groupBy(F.col("anchor_id").alias("vec_id"),
+                          F.col("nl").alias("maj_label"))
+                 .agg(F.count("*").alias("cnt")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cnt"),
+                                                 F.asc("maj_label"))
+        maj = (votes.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("vec_id", "maj_label"))
+        lab = (verts
+               .join(seeds, "vec_id", "left")
+               .join(maj, "vec_id", "left")
+               .select("vec_id",
+                       F.coalesce(F.col("seed_label"), F.col("maj_label"))
+                        .cast("int").alias("label")))
+    return (lab
+            .join(seeds, "vec_id", "left")
+            .select("vec_id", "label",
+                    F.when(F.col("seed_label").isNotNull(), F.lit("seed"))
+                     .when(F.col("label").isNotNull(), F.lit("prop"))
+                     .otherwise(F.lit("none")).alias("origin")))
+
+
+def label_propagation_oracle_sql(k: int = 3, iters: int = 2,
+                                 seed_mod: int = 5, n_tables: int = 16,
+                                 n_planes: int = 8, dim: int = 64) -> str:
+    """Chained-CTE twin: lab0 = clamped seeds, then per round a vote CTE
+    (neighbor label counts over the kNN edges) and a majority CTE
+    (row_number over cnt desc, label asc)."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+vote{t} AS (
+  SELECT e.anchor_id AS vec_id, l.label AS maj_label, count(*) AS cnt
+  FROM edges e JOIN lab{t - 1} l ON e.nbr_id = l.vec_id
+  WHERE l.label IS NOT NULL
+  GROUP BY 1, 2
+),
+maj{t} AS (
+  SELECT vec_id, maj_label
+  FROM (SELECT vec_id, maj_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cnt DESC, maj_label ASC) AS rn
+        FROM vote{t})
+  WHERE rn = 1
+),
+lab{t} AS (
+  SELECT v.vec_id,
+         CAST(coalesce(s.seed_label, m.maj_label) AS INT) AS label
+  FROM verts v
+  LEFT JOIN seeds s ON v.vec_id = s.vec_id
+  LEFT JOIN maj{t} m ON v.vec_id = m.vec_id
+)""")
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS nbr_id
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT anchor_id, nbr_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON cand.anchor_id = ea.vec_id
+  JOIN embeddings eb ON cand.nbr_id = eb.vec_id
+),
+edges AS (
+  SELECT anchor_id, nbr_id
+  FROM (SELECT anchor_id, nbr_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos_sim DESC, nbr_id ASC) AS rnk
+        FROM scored)
+  WHERE rnk <= {k}
+),
+verts AS (SELECT vec_id FROM embeddings),
+lab0 AS (
+  SELECT vec_id,
+         CAST(CASE WHEN vec_id % {seed_mod} = 0 THEN label END AS INT)
+           AS label
+  FROM embeddings
+),
+seeds AS (SELECT vec_id, label AS seed_label FROM lab0
+          WHERE label IS NOT NULL),{','.join(rounds)}
+SELECT l.vec_id, l.label,
+       CASE WHEN s.seed_label IS NOT NULL THEN 'seed'
+            WHEN l.label IS NOT NULL THEN 'prop'
+            ELSE 'none' END AS origin
+FROM lab{iters} l LEFT JOIN seeds s ON l.vec_id = s.vec_id
+"""

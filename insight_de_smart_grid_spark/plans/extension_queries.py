@@ -103,6 +103,14 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             query_vec_id=0, k=10, n_planes=8)
 
 
+@register("sim_label_propagation", sim.label_propagation_oracle_sql())
+def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading over the approximate kNN graph:
+    20% clamped seeds (vec_id % 5 == 0), two majority-vote rounds.
+    Integer votes + smallest-label tie-break keep both engines exact."""
+    return sim.label_propagation(load_table(spark, sf_dir, "embeddings"))
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 @register("multimodal_binary_meta", mm.BINARY_METADATA_SQL)
@@ -129,6 +137,17 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx",
         F.octet_length("frame_bytes").alias("frame_len"),
         "frame_sha")
+
+
+@register("multimodal_audio_decode", mm.AUDIO_DECODE_SQL)
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path (stdlib ``wave``, no external libs): synthesize a
+    PCM16 WAV per doc executor-side, then decode it back — header fields
+    and PCM acoustics — through the same Arrow mapInPandas plumbing as the
+    image decoders. The square wave's closed form makes the decoded values
+    exactly oracle-checkable without DuckDB parsing RIFF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.attach_audio_payload(docs))
 
 
 @register("curate_corpus", tx.CURATE_SQL)

@@ -57,6 +57,8 @@ ORACLE_CHECKED = [
     "pipeline_group_kfold",
     "dedup_threshold_sweep",
     "sim_knn_graph",
+    "sim_label_propagation",
+    "multimodal_audio_decode",
 ]
 
 
