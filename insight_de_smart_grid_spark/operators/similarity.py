@@ -962,3 +962,111 @@ SELECT l.vec_id, l.label,
             ELSE 'none' END AS origin
 FROM lab{iters} l LEFT JOIN seeds s ON l.vec_id = s.vec_id
 """
+
+
+def pagerank_knn(embeddings: DataFrame, k: int = 3, iters: int = 3,
+                 n_tables: int = 16, n_planes: int = 8, dim: int = 64,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """PageRank centrality over the approximate kNN graph — "which
+    documents sit at the center of their similarity neighborhood" (the
+    representativeness signal curation pipelines use to pick canonical
+    docs and down-weight isolated outliers).
+
+    EXACT cross-engine determinism via integer micro-units: ranks live as
+    BIGINT millionths, every per-edge contribution is an integer division
+    (``rank DIV outdeg``), and the damping step is ``(85 * s) DIV 100`` —
+    no float sums anywhere, so partial-aggregation order cannot flip a
+    bit. Dangling vertices (no out-edges) simply leak their mass, the
+    standard simplification; isolated vertices hold the teleport floor.
+
+    Scale: each round is one shuffle keyed on the destination vertex (the
+    contribution groupBy) plus a co-partitioned join back to the vertex
+    set; the edge list is the persisted kNN index, reused every round.
+    For deep iteration counts, checkpoint per round to truncate lineage
+    (``dup_clusters`` pattern, dedup.py)."""
+    edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
+                      vec_col=vec_col, id_col=id_col) \
+        .select(F.col("anchor_id").alias("src"),
+                F.col("nbr_id").alias("dst"))
+    verts = embeddings.select(F.col(id_col).alias("vec_id"))
+    return pagerank_iterations(verts, edges, iters)
+
+
+def pagerank_iterations(verts: DataFrame, edges: DataFrame,
+                        iters: int) -> DataFrame:
+    """The iteration core of ``pagerank_knn`` over an explicit
+    (src, dst) edge list — also the unit-testable surface for
+    known-answer graphs."""
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    rank = verts.select("vec_id", F.lit(1_000_000).cast("long")
+                        .alias("rank_micro"))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(outdeg, "src")
+                   .join(rank.select(F.col("vec_id").alias("src"),
+                                     "rank_micro"), "src")
+                   .groupBy(F.col("dst").alias("vec_id"))
+                   .agg(F.sum(F.expr("rank_micro DIV outdeg"))
+                        .alias("s")))
+        rank = (verts.join(contrib, "vec_id", "left")
+                .select("vec_id",
+                        (F.lit(150_000)
+                         + F.expr("85 * coalesce(s, 0) DIV 100"))
+                        .cast("long").alias("rank_micro")))
+    return rank.select(
+        "vec_id", "rank_micro",
+        F.round(F.col("rank_micro") / F.lit(1e6), 6).alias("rank"))
+
+
+def pagerank_knn_oracle_sql(k: int = 3, iters: int = 3, n_tables: int = 16,
+                            n_planes: int = 8, dim: int = 64) -> str:
+    """Chained-CTE twin: same integer micro-unit arithmetic (DuckDB's
+    ``//`` floors like Spark's ``DIV`` truncates — identical on the
+    non-negative ranks involved)."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+contrib{t} AS (
+  SELECT e.dst AS vec_id, sum(r.rank_micro // o.outdeg) AS s
+  FROM edges e
+  JOIN outdeg o ON e.src = o.src
+  JOIN rank{t - 1} r ON e.src = r.vec_id
+  GROUP BY e.dst
+),
+rank{t} AS (
+  SELECT v.vec_id,
+         CAST(150000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT)
+           AS rank_micro
+  FROM verts v LEFT JOIN contrib{t} c ON v.vec_id = c.vec_id
+)""")
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS nbr_id
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT anchor_id, nbr_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON cand.anchor_id = ea.vec_id
+  JOIN embeddings eb ON cand.nbr_id = eb.vec_id
+),
+edges AS (
+  SELECT anchor_id AS src, nbr_id AS dst
+  FROM (SELECT anchor_id, nbr_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos_sim DESC, nbr_id ASC) AS rnk
+        FROM scored)
+  WHERE rnk <= {k}
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+verts AS (SELECT vec_id FROM embeddings),
+rank0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_micro
+          FROM verts),{','.join(rounds)}
+SELECT vec_id, rank_micro, round(rank_micro / 1000000.0, 6) AS rank
+FROM rank{iters}
+"""

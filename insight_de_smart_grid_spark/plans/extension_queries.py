@@ -103,6 +103,14 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             query_vec_id=0, k=10, n_planes=8)
 
 
+@register("sim_pagerank", sim.pagerank_knn_oracle_sql())
+def q_sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate kNN graph (three rounds,
+    damping 0.85). Integer micro-unit arithmetic end to end, so both
+    engines agree bit-for-bit with no float summation order in play."""
+    return sim.pagerank_knn(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("sim_label_propagation", sim.label_propagation_oracle_sql())
 def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spreading over the approximate kNN graph:

@@ -58,6 +58,7 @@ ORACLE_CHECKED = [
     "dedup_threshold_sweep",
     "sim_knn_graph",
     "sim_label_propagation",
+    "sim_pagerank",
     "multimodal_audio_decode",
 ]
 
@@ -664,3 +665,26 @@ def test_semantic_dedup_transitive_keeper(spark):
     assert got[2] == (1, False)
     assert got[3] == (1, False)
     assert got[9] == (9, True)
+
+
+def test_pagerank_integer_model_and_hub_dominance(spark):
+    """Known-answer star graph: the iteration core must reproduce an
+    independent integer model of the micro-unit recurrence exactly, and
+    the hub must outrank every leaf."""
+    hub, leaves = 1, [2, 3, 4, 5]
+    edge_rows = [(lf, hub) for lf in leaves] + [(hub, lf) for lf in leaves]
+    verts = spark.createDataFrame([(v,) for v in [hub] + leaves],
+                                  "vec_id long")
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    got = {r["vec_id"]: r["rank_micro"]
+           for r in sim.pagerank_iterations(verts, edges, 3).collect()}
+
+    outdeg = {hub: len(leaves), **{lf: 1 for lf in leaves}}
+    rank = {v: 1_000_000 for v in [hub] + leaves}
+    for _ in range(3):
+        s = {v: 0 for v in rank}
+        for src, dst in edge_rows:
+            s[dst] += rank[src] // outdeg[src]
+        rank = {v: 150_000 + 85 * s[v] // 100 for v in rank}
+    assert got == rank
+    assert all(got[hub] > got[lf] for lf in leaves)
