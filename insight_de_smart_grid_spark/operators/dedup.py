@@ -1118,8 +1118,16 @@ def jaccard_pairs_prefix_filtered(docs: DataFrame, n: int = 3,
     """
     from pyspark.sql import Window
 
+    # Materialize the hashed shingle table ONCE: five downstream consumers
+    # (df counts, the size/rank join, and both sides of the verify join)
+    # would otherwise each re-scan and re-tokenize the corpus (measured: 6
+    # parquet scans, 0 reused exchanges). At cluster scale this is the
+    # "write the shingle table, then join against it" step every AllPairs
+    # implementation stages; locally localCheckpoint keeps it in block
+    # storage without lineage.
     sh = (word_ngrams(docs, n, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g")))
+          .select(F.col(id_col), F.xxhash64("g").alias("g"))
+          .localCheckpoint(eager=False))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     sized = sh.join(dfreq, "g")
     w = Window.partitionBy(id_col).orderBy("df", "g")

@@ -100,7 +100,12 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
     # candidate generation runs over NARROW rows (id, table, bucket) — the
     # per-bucket pair explosion must never carry the vectors (16 bytes/row
     # vs ~1 KB/row; at sf0.1 that is 200 MB vs 12 GB through the join)
-    slim = sig.select(F.col(id_col), "table", "bucket")
+    # materialize the narrow signature table once: both sides of the
+    # bucket self-join (and nothing else) read it, and recomputing it
+    # means running the Arrow matmul + corpus scan twice (at scale this
+    # is the persisted index; locally localCheckpoint stands in for it)
+    slim = (sig.select(F.col(id_col), "table", "bucket")
+            .localCheckpoint(eager=False))
     cands = (slim.alias("sa")
              .join(slim.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
@@ -453,7 +458,12 @@ def lsh_hard_negatives(embeddings: DataFrame, k: int = 3,
 
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
                                 vec_col=vec_col, id_col=id_col)
-    slim = sig.select(F.col(id_col), "table", "bucket")
+    # materialize the narrow signature table once: both sides of the
+    # bucket self-join (and nothing else) read it, and recomputing it
+    # means running the Arrow matmul + corpus scan twice (at scale this
+    # is the persisted index; locally localCheckpoint stands in for it)
+    slim = (sig.select(F.col(id_col), "table", "bucket")
+            .localCheckpoint(eager=False))
     cands = (slim.alias("sa")
              .join(slim.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
@@ -784,7 +794,12 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
 
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
                                 vec_col=vec_col, id_col=id_col)
-    slim = sig.select(F.col(id_col), "table", "bucket")
+    # materialize the narrow signature table once: both sides of the
+    # bucket self-join (and nothing else) read it, and recomputing it
+    # means running the Arrow matmul + corpus scan twice (at scale this
+    # is the persisted index; locally localCheckpoint stands in for it)
+    slim = (sig.select(F.col(id_col), "table", "bucket")
+            .localCheckpoint(eager=False))
     cands = (slim.alias("sa")
              .join(slim.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
@@ -856,9 +871,11 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
     pattern, dedup.py)."""
     from pyspark.sql import Window
 
+    # the edge list is read every round — materialize it once (at scale:
+    # the persisted kNN index table)
     edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
                       vec_col=vec_col, id_col=id_col) \
-        .select("anchor_id", "nbr_id")
+        .select("anchor_id", "nbr_id").localCheckpoint(eager=False)
     verts = embeddings.select(F.col(id_col).alias("vec_id"))
     lab0 = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -985,10 +1002,12 @@ def pagerank_knn(embeddings: DataFrame, k: int = 3, iters: int = 3,
     set; the edge list is the persisted kNN index, reused every round.
     For deep iteration counts, checkpoint per round to truncate lineage
     (``dup_clusters`` pattern, dedup.py)."""
+    # the edge list is read every round — materialize it once (at scale:
+    # the persisted kNN index table)
     edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
                       vec_col=vec_col, id_col=id_col) \
         .select(F.col("anchor_id").alias("src"),
-                F.col("nbr_id").alias("dst"))
+                F.col("nbr_id").alias("dst")).localCheckpoint(eager=False)
     verts = embeddings.select(F.col(id_col).alias("vec_id"))
     return pagerank_iterations(verts, edges, iters)
 
