@@ -188,8 +188,12 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
                   .otherwise(0)).cast("int")
         return start, length
 
+    # both unions below re-read these distinct-projected sides once per
+    # segment — materialize each once (at scale: the persisted segment
+    # index build input)
     cl = (clean.select(clean_col).distinct()
-          .withColumn("l", F.length(clean_col).cast("int")))
+          .withColumn("l", F.length(clean_col).cast("int"))
+          .localCheckpoint(eager=False))
     idx_parts = []
     for i in range(n_seg):
         s, ln = seg_bounds(F.col("l"), i)
@@ -212,7 +216,8 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
     for p in idx_parts[1:]:
         idx = idx.unionByName(p)
 
-    base_dirty = dirty.select(dirty_col).distinct()
+    base_dirty = dirty.select(dirty_col).distinct() \
+        .localCheckpoint(eager=False)
     dr = base_dirty.withColumn("m", F.length(dirty_col).cast("int"))
     # candidate clean lengths l in [m-d, m+d]
     dr = dr.select(dirty_col, "m",
