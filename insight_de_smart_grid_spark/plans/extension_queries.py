@@ -158,6 +158,27 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_audio(mm.attach_audio_payload(docs))
 
 
+@register("streaming_media_decode", mm.AUDIO_DECODE_SQL)
+def q_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion as a STREAM: the same stdlib-wave encode+decode
+    stages run inside a Structured Streaming plan (stateless Arrow
+    mapInPandas per micro-batch, append mode, availableNow) — the shape a
+    media lake uses to decode/feature new arrivals incrementally. Stateless,
+    so the streamed result equals the batch decode exactly and shares its
+    closed-form oracle."""
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet",
+        lambda s: mm.decode_audio(mm.attach_audio_payload(s)),
+        query_name=f"smd_{uuid.uuid4().hex[:8]}",
+        state_partitions=None)
+
+
 @register("curate_corpus", tx.CURATE_SQL)
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: lang filter -> quality gate -> fingerprint
