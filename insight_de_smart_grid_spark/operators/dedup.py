@@ -92,8 +92,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
     """
     # join on a 64-bit shingle hash, not the string: halves shuffle width and
     # makes the equi-join key fixed-size (collision odds ~(n_shingles^2)/2^64)
+    # three consumers (both join sides + the size table) — tokenize once
+    # (at scale: the staged shingle table; see SCALE.md)
     sh = (word_ngrams(docs, n, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g")))
+          .select(F.col(id_col), F.xxhash64("g").alias("g"))
+          .localCheckpoint(eager=False))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -883,8 +886,11 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
     shingle-inversion join as ``ngram_jaccard_pairs`` (64-bit hashed keys,
     only docs sharing a shingle ever pair); the ratio of integers is
     bit-stable cross-engine."""
+    # three consumers (both join sides + the size table) — tokenize once
+    # (at scale: the staged shingle table; see SCALE.md)
     sh = (word_ngrams(docs, n, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g")))
+          .select(F.col(id_col), F.xxhash64("g").alias("g"))
+          .localCheckpoint(eager=False))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -954,7 +960,7 @@ def source_overlap(docs: DataFrame, n: int = 3, text_col: str = "text",
     src = docs.select(F.col(id_col), F.col(source_col).alias("src"))
     sg = (sh.join(src, id_col)
           .select("src", F.xxhash64("g").alias("h"))
-          .distinct())
+          .distinct().localCheckpoint(eager=False))
     sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sg.alias("a"), sg.alias("b")
     inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
