@@ -1089,3 +1089,88 @@ rank0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank_micro
 SELECT vec_id, rank_micro, round(rank_micro / 1000000.0, 6) AS rank
 FROM rank{iters}
 """
+
+
+def semantic_keep_best(docs: DataFrame, embeddings: DataFrame,
+                       threshold: float = 0.95, n_tables: int = 16,
+                       n_planes: int = 10, dim: int = 64) -> DataFrame:
+    """Joint text+vector curation: semantic clusters from the embedding
+    side (``semantic_dedup``), keeper from the TEXT side — per cluster the
+    highest-``quality_score`` document survives (doc-id tie-break), not
+    merely the min id. Documents without an embedding pass through as
+    singletons. This is the cross-modal composition a curation run wants:
+    SemDeDup decides *what is the same*, the quality heuristic decides
+    *which copy to keep*.
+
+    Scale shape: inherits the LSH-blocked pair generation and iterative
+    components from ``semantic_dedup``; the quality score is a pure
+    projection at scan speed; the keeper pick is one window shuffle on the
+    cluster id. NULL quality (empty docs) sorts last identically in both
+    engines (explicit NULLS LAST)."""
+    from pyspark.sql import Window
+
+    from insight_de_smart_grid_spark.operators.text import quality_score
+
+    clusters = semantic_dedup(embeddings, threshold, n_tables, n_planes,
+                              dim).select(F.col("vec_id").alias("doc_id"),
+                                          "cluster_id")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    joined = (scored.join(clusters, "doc_id", "left")
+              .withColumn("cluster_id",
+                          F.coalesce(F.col("cluster_id"), F.col("doc_id"))))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("quality"), F.asc("doc_id"))
+    return (joined
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "cluster_id", "quality", "keep"))
+
+
+def semantic_keep_best_oracle_sql(threshold: float = 0.95,
+                                  n_tables: int = 16, n_planes: int = 10,
+                                  dim: int = 64) -> str:
+    from insight_de_smart_grid_spark.operators.text import QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE {_sigs_ctes(n_tables, n_planes, dim)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+jp AS (
+  SELECT vec_a, vec_b
+  FROM cand
+  JOIN embeddings ea ON cand.vec_a = ea.vec_id
+  JOIN embeddings eb ON cand.vec_b = eb.vec_id
+  WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                               eb.embedding::DOUBLE[]) >= {threshold}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM jp
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM jp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+q AS ({QUALITY_SQL}),
+joined AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         q.quality
+  FROM documents d
+  JOIN q USING (doc_id)
+  LEFT JOIN comp c ON d.doc_id = c.vec_id
+)
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1
+         AS keep
+FROM joined
+"""

@@ -103,6 +103,15 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             query_vec_id=0, k=10, n_planes=8)
 
 
+@register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
+def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation: semantic clusters from the embedding side,
+    quality-ranked keeper from the text side; docs without embeddings pass
+    through as singletons."""
+    return sim.semantic_keep_best(load_table(spark, sf_dir, "documents"),
+                                  load_table(spark, sf_dir, "embeddings"))
+
+
 @register("sim_pagerank", sim.pagerank_knn_oracle_sql())
 def q_sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the approximate kNN graph (three rounds,

@@ -60,6 +60,7 @@ ORACLE_CHECKED = [
     "sim_label_propagation",
     "sim_pagerank",
     "multimodal_audio_decode",
+    "dedup_semantic_keep_best",
 ]
 
 
