@@ -883,6 +883,10 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
          .cast("int").alias("label"))
     seeds = (lab0.filter(F.col("label").isNotNull())
              .withColumnRenamed("label", "seed_label"))
+    # the seed-clamped vertex frame is loop-invariant — build it once
+    # instead of re-joining verts with seeds inside every round
+    clamped = verts.join(seeds, "vec_id", "left") \
+        .localCheckpoint(eager=False)
     lab = lab0
     for _ in range(iters):
         votes = (edges
@@ -897,8 +901,7 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
         maj = (votes.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") == 1)
                .select("vec_id", "maj_label"))
-        lab = (verts
-               .join(seeds, "vec_id", "left")
+        lab = (clamped
                .join(maj, "vec_id", "left")
                .select("vec_id",
                        F.coalesce(F.col("seed_label"), F.col("maj_label"))
@@ -1017,12 +1020,14 @@ def pagerank_iterations(verts: DataFrame, edges: DataFrame,
     """The iteration core of ``pagerank_knn`` over an explicit
     (src, dst) edge list — also the unit-testable surface for
     known-answer graphs."""
+    # outdegree is per-edge loop-invariant — attach it to the edge list
+    # once instead of re-joining inside every round
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
     rank = verts.select("vec_id", F.lit(1_000_000).cast("long")
                         .alias("rank_micro"))
     for _ in range(iters):
-        contrib = (edges
-                   .join(outdeg, "src")
+        contrib = (edges_deg
                    .join(rank.select(F.col("vec_id").alias("src"),
                                      "rank_micro"), "src")
                    .groupBy(F.col("dst").alias("vec_id"))
