@@ -826,3 +826,75 @@ def strip_markup_sql(expr: str) -> str:
     for pat in MARKUP_PATTERNS.values():
         c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
     return rf"trim(regexp_replace({c}, '[ \t\r\n]+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (the fastText-classifier stage of pipelines
+# like CCNet/DCLM, reduced to its Spark-native essentials): a LINEAR model
+# over engineered text features, scored at scan speed with broadcast-free
+# literal weights. The sigmoid is the ALGEBRAIC form 0.5 + 0.5*s/(1+|s|)
+# (only +,*,/,abs — each IEEE-correctly-rounded, so Spark and DuckDB agree
+# bit-for-bit; exp() carries no such guarantee), and both engines evaluate
+# the dot product in the same literal association order.
+# ---------------------------------------------------------------------------
+
+MODEL_W = (1.2, 3.0, -2.5, 0.4)   # length, stopword, punct, word-len weights
+MODEL_B = -0.8
+
+
+def model_quality_score(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Score every doc with the linear quality model: features are the
+    length saturation, stopword ratio, punctuation ratio, and mean word
+    length (chars/token / 10); output is (doc_id, score, prob, keep).
+
+    At 100 TB this is a pure projection — no shuffle, no Python, weights
+    folded as literals into codegen. Swapping in real trained weights is a
+    constant change; the plan is identical."""
+    c = F.col(text_col)
+    x1 = F.least(token_count(c).cast("double") / F.lit(100.0), F.lit(1.0))
+    x2 = stopword_ratio(c)
+    x3 = punct_ratio(c)
+    x4 = (F.length(c).cast("double") / token_count(c)) / F.lit(10.0)
+    w1, w2, w3, w4 = MODEL_W
+    s = (((F.lit(float(MODEL_B)) + F.lit(w1) * x1) + F.lit(w2) * x2)
+         + F.lit(w3) * x3) + F.lit(w4) * x4
+    prob = F.lit(0.5) + F.lit(0.5) * (s / (F.lit(1.0) + F.abs(s)))
+    return docs.select(
+        F.col(id_col),
+        F.round(s, 6).alias("score"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= F.lit(0.5)).alias("keep"))
+
+
+MODEL_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n,
+         length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+           AS n_nopunct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(""" + _SW_SQL + r""", x))) AS DOUBLE)
+           AS n_stop
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x1,
+         n_stop / len(toks) AS x2,
+         CAST(n - n_nopunct AS DOUBLE) / n AS x3,
+         (CAST(n AS DOUBLE) / len(toks)) / 10.0 AS x4
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         (((-0.8 + 1.2 * x1) + 3.0 * x2) + -2.5 * x3) + 0.4 * x4 AS s
+  FROM f
+)
+SELECT doc_id,
+       round(s, 6) AS score,
+       round(0.5 + 0.5 * (s / (1.0 + abs(s))), 6) AS prob,
+       0.5 + 0.5 * (s / (1.0 + abs(s))) >= 0.5 AS keep
+FROM s
+"""

@@ -188,6 +188,15 @@ def q_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=None)
 
 
+@register("pipeline_model_score", tx.MODEL_QUALITY_SQL)
+def q_pipeline_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet/DCLM-style pipelines): a linear model over engineered text
+    features with an algebraic sigmoid — only IEEE-exact ops, so both
+    engines agree bit-for-bit. Pure projection: no shuffle, scan speed."""
+    return tx.model_quality_score(load_table(spark, sf_dir, "documents"))
+
+
 @register("curate_corpus", tx.CURATE_SQL)
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: lang filter -> quality gate -> fingerprint

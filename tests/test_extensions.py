@@ -61,6 +61,7 @@ ORACLE_CHECKED = [
     "sim_pagerank",
     "multimodal_audio_decode",
     "dedup_semantic_keep_best",
+    "pipeline_model_score",
 ]
 
 
