@@ -435,3 +435,21 @@ def test_literal_lookback_anchor_pushes_to_scan(spark):
     # match the opening only and require a ts range predicate inside
     m = re.search(r"PushedFilters: \[(.{0,120})", p)
     assert m and "ts" in m.group(1), p
+
+
+def test_scan_speed_ops_have_zero_shuffle(spark):
+    """The scan-speed families must stay pure projections: the model-based
+    quality scorer and the audio encode+decode pipeline carry no Exchange
+    at any scale (a shuffle creeping in would be a 100 TB regression)."""
+    for name in ("pipeline_model_score", "multimodal_audio_decode"):
+        p = plan_of(spark, name)
+        assert n_exchanges(p) == 0, f"{name} gained a shuffle:\n{p}"
+
+
+def test_graph_rounds_reuse_the_materialized_edge_list(spark):
+    """PageRank's 3 rounds must read the checkpointed kNN edge list, not
+    re-derive it: at most one signature-stage subtree (the Arrow matmul
+    batch eval) may appear in the executed plan."""
+    df = QUERIES["sim_pagerank"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1, plan
