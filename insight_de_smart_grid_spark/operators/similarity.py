@@ -1179,3 +1179,116 @@ SELECT doc_id, cluster_id, quality,
          AS keep
 FROM joined
 """
+
+
+def kmeans_portable(embeddings: DataFrame, k: int = 4, iters: int = 2,
+                    dim: int = 64, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Fully DISTRIBUTED Lloyd k-means — no driver-side training sample
+    (contrast ``ivf_assignments``, which fits on a bounded driver sample).
+    Deterministic and bit-exact cross-engine by construction:
+
+    - vectors quantize to BIGINT micro-units (round(x*1e6)) once;
+    - distances use the integer dot-product identity
+      ||x-c||^2 = x.x - 2 x.c + c.c, whose terms stay far below 2^53 so
+      even a double-accumulating engine computes them exactly;
+    - assignment ties break on the smaller centroid id;
+    - centroid updates are per-dimension integer means (SUM DIV COUNT);
+    - init = the k vectors with the smallest ids (deterministic seeding).
+
+    Scale shape per round: one broadcast of k micro-vectors for the
+    assignment projection, one explode + groupBy (cluster, dim) shuffle for
+    the update — the canonical Spark k-means dataflow, with zero float
+    summation anywhere."""
+    micro = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * F.lit(1e6), 0).cast("long"))
+        .alias("v"))
+    # deterministic centroid ids: rank of the seed vector's vec_id
+    from pyspark.sql import Window
+
+    cent = (micro.orderBy("vec_id").limit(k)
+            .select("vec_id", F.col("v").alias("c")))
+    cent = (cent.withColumn(
+        "centroid_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        .select("centroid_id", "c"))
+
+    def dist(vcol, ccol):
+        dot = lambda a, b: F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return dot(vcol, vcol) - F.lit(2) * dot(vcol, ccol) + dot(ccol, ccol)
+
+    assigned = None
+    for _ in range(iters):
+        scored = (micro.join(F.broadcast(cent))
+                  .select("vec_id", "v", "centroid_id",
+                          dist(F.col("v"), F.col("c")).alias("d2")))
+        w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("vec_id", "v",
+                            F.col("centroid_id").alias("cluster")))
+        upd = (assigned
+               .select("cluster", F.posexplode("v").alias("dim_i", "x"))
+               .groupBy("cluster", "dim_i")
+               .agg(F.expr("sum(x) DIV count(1)").alias("m")))
+        cent = (upd.groupBy("cluster")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim_i", "m"))),
+                    lambda s: s.getField("m")).alias("c"))
+                .select(F.col("cluster").alias("centroid_id"), "c"))
+    return assigned.select("vec_id", "cluster")
+
+
+def kmeans_portable_oracle_sql(k: int = 4, iters: int = 2,
+                               dim: int = 64) -> str:
+    """Chained-CTE Lloyd rounds over the same BIGINT micro-units; distances
+    via the dot-product identity with terms < 2^53 (exact in DuckDB's
+    double list_dot_product)."""
+    rounds = []
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+scored{t} AS (
+  SELECT m.vec_id, m.v, c.centroid_id,
+         list_dot_product(m.v::DOUBLE[], m.v::DOUBLE[])
+         - 2 * list_dot_product(m.v::DOUBLE[], c.c::DOUBLE[])
+         + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS d2
+  FROM micro m, {prev} c
+),
+assigned{t} AS (
+  SELECT vec_id, v, centroid_id AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, centroid_id) AS rn
+        FROM scored{t})
+  WHERE rn = 1
+),
+upd{t} AS (
+  SELECT cluster, g.i AS dim_i,
+         sum(v[g.i + 1]) // count(*) AS m
+  FROM assigned{t}, generate_series(0, {dim} - 1) g(i)
+  GROUP BY cluster, g.i
+),
+cent{t} AS (
+  SELECT cluster AS centroid_id,
+         list(m ORDER BY dim_i) AS c
+  FROM upd{t} GROUP BY cluster
+)""")
+        prev = f"cent{t}"
+    return f"""
+WITH micro AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1e6) AS BIGINT)) AS v
+  FROM embeddings
+),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           AS centroid_id, v AS c
+  FROM (SELECT vec_id, v FROM micro ORDER BY vec_id LIMIT {k})
+),{','.join(rounds)}
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM assigned{iters}
+"""

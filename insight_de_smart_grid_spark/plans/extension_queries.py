@@ -112,6 +112,14 @@ def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   load_table(spark, sf_dir, "embeddings"))
 
 
+@register("sim_kmeans_portable", sim.kmeans_portable_oracle_sql())
+def q_sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed Lloyd k-means (no driver-side training sample):
+    BIGINT micro-unit vectors, integer dot-product distances, integer-mean
+    centroid updates, smallest-id seeding — bit-exact cross-engine."""
+    return sim.kmeans_portable(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("sim_pagerank", sim.pagerank_knn_oracle_sql())
 def q_sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the approximate kNN graph (three rounds,

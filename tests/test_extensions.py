@@ -62,6 +62,7 @@ ORACLE_CHECKED = [
     "multimodal_audio_decode",
     "dedup_semantic_keep_best",
     "pipeline_model_score",
+    "sim_kmeans_portable",
 ]
 
 
@@ -690,3 +691,22 @@ def test_pagerank_integer_model_and_hub_dominance(spark):
         rank = {v: 150_000 + 85 * s[v] // 100 for v in rank}
     assert got == rank
     assert all(got[hub] > got[lf] for lf in leaves)
+
+
+def test_kmeans_portable_recovers_separated_groups(spark):
+    """Two well-separated blobs, k=2, seeds one per blob (ids 0 and 1):
+    Lloyd must put every point with its blob."""
+    rows = []
+    for i in range(10):
+        base = [0.0] * 8
+        base[0] = 1.0 + (i % 3) * 0.01          # blob A near e0
+        rows.append((2 * i, [float(x) for x in base]))
+        base2 = [0.0] * 8
+        base2[7] = -1.0 - (i % 3) * 0.01        # blob B near -e7
+        rows.append((2 * i + 1, [float(x) for x in base2]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster
+           for r in sim.kmeans_portable(emb, k=2, dim=8).collect()}
+    a = {got[v] for v in got if v % 2 == 0}
+    b = {got[v] for v in got if v % 2 == 1}
+    assert a == {0} and b == {1}
