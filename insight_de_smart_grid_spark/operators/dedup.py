@@ -1175,9 +1175,9 @@ def jaccard_pairs_prefix_filtered(docs: DataFrame, n: int = 3,
 # Bounded-hop reachability over the near-dup graph (recursive CTE surface)
 # ---------------------------------------------------------------------------
 
-def near_dup_blast_radius(spark, docs: DataFrame, n: int = 3,
-                          threshold: float = 0.1, max_hops: int = 3,
-                          view: str = "__blast_pairs") -> DataFrame:
+def near_dup_blast_radius(docs: DataFrame, n: int = 3,
+                          threshold: float = 0.1,
+                          max_hops: int = 3) -> DataFrame:
     """Contamination blast radius: every document within ``max_hops``
     near-dup edges of a seed (the smallest doc id that appears in any
     pair), with its minimum hop count — "if this doc is tainted, what else

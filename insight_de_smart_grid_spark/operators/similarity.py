@@ -869,6 +869,8 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
     list is the persisted kNN index. For many rounds, checkpoint the label
     frame per iteration to truncate lineage (the ``dup_clusters``
     pattern, dedup.py)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     from pyspark.sql import Window
 
     # the edge list is read every round — materialize it once (at scale:
@@ -920,6 +922,8 @@ def label_propagation_oracle_sql(k: int = 3, iters: int = 2,
     """Chained-CTE twin: lab0 = clamped seeds, then per round a vote CTE
     (neighbor label counts over the kNN edges) and a majority CTE
     (row_number over cnt desc, label asc)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     rounds = []
     for t in range(1, iters + 1):
         rounds.append(f"""
@@ -1005,6 +1009,8 @@ def pagerank_knn(embeddings: DataFrame, k: int = 3, iters: int = 3,
     set; the edge list is the persisted kNN index, reused every round.
     For deep iteration counts, checkpoint per round to truncate lineage
     (``dup_clusters`` pattern, dedup.py)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     # the edge list is read every round — materialize it once (at scale:
     # the persisted kNN index table)
     edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
@@ -1048,6 +1054,8 @@ def pagerank_knn_oracle_sql(k: int = 3, iters: int = 3, n_tables: int = 16,
     """Chained-CTE twin: same integer micro-unit arithmetic (DuckDB's
     ``//`` floors like Spark's ``DIV`` truncates — identical on the
     non-negative ranks involved)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     rounds = []
     for t in range(1, iters + 1):
         rounds.append(f"""
@@ -1199,7 +1207,12 @@ def kmeans_portable(embeddings: DataFrame, k: int = 4, iters: int = 2,
     Scale shape per round: one broadcast of k micro-vectors for the
     assignment projection, one explode + groupBy (cluster, dim) shuffle for
     the update — the canonical Spark k-means dataflow, with zero float
-    summation anywhere."""
+    summation anywhere.
+
+    ``iters`` must be >= 1 (the result IS the last round's assignment).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     micro = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col).cast("array<double>"),
@@ -1248,6 +1261,8 @@ def kmeans_portable_oracle_sql(k: int = 4, iters: int = 2,
     """Chained-CTE Lloyd rounds over the same BIGINT micro-units; distances
     via the dot-product identity with terms < 2^53 (exact in DuckDB's
     double list_dot_product)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     rounds = []
     prev = "cent0"
     for t in range(1, iters + 1):

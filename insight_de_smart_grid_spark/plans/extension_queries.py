@@ -421,8 +421,7 @@ def q_dedup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop BFS over the near-dup graph via Spark 4 recursive CTE
     (minimum hop count per reachable doc from the smallest paired id) —
     `operators/dedup.py::near_dup_blast_radius`."""
-    return dd.near_dup_blast_radius(spark,
-                                    load_table(spark, sf_dir, "documents"))
+    return dd.near_dup_blast_radius(load_table(spark, sf_dir, "documents"))
 
 
 @register("events_winsorize", """

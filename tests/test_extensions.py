@@ -563,8 +563,7 @@ def test_blast_radius_walks_a_planted_chain(spark):
          (9, "completely unrelated text nothing shared here at all ok")],
         "doc_id long, text string")
     out = {r.doc_id: r.min_hops
-           for r in dd.near_dup_blast_radius(
-               spark, docs, view="__blast_test").collect()}
+           for r in dd.near_dup_blast_radius(docs).collect()}
     assert out == {1: 0, 2: 1, 3: 2}
 
 
