@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.operators.staging import stage
 from insight_de_smart_grid_spark.operators.text import fingerprint, tokens
 
 
@@ -83,7 +84,8 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        materialize: bool = True) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets, inverted on shingles so
     only docs sharing >= 1 shingle ever pair. Output: (doc_a, doc_b, jaccard).
 
@@ -93,10 +95,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.1,
     # join on a 64-bit shingle hash, not the string: halves shuffle width and
     # makes the equi-join key fixed-size (collision odds ~(n_shingles^2)/2^64)
     # three consumers (both join sides + the size table) — tokenize once
-    # (at scale: the staged shingle table; see SCALE.md)
-    sh = (word_ngrams(docs, n, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g"))
-          .localCheckpoint(eager=False))
+    # (at scale: the staged shingle table; see SCALE.md; pass
+    # materialize=False to keep pure lineage — staging.py contract)
+    sh = stage(word_ngrams(docs, n, text_col, id_col)
+               .select(F.col(id_col), F.xxhash64("g").alias("g")),
+               materialize)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -878,7 +881,8 @@ GROUP BY 1
 
 def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      materialize: bool = True) -> DataFrame:
     """Asymmetric near-dup: containment = |A ∩ B| / min(|A|, |B|) over word
     n-gram shingle sets — catches a document EMBEDDED in a larger one,
     which symmetric Jaccard dilutes toward 0 as the host grows (the
@@ -887,10 +891,11 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
     only docs sharing a shingle ever pair); the ratio of integers is
     bit-stable cross-engine."""
     # three consumers (both join sides + the size table) — tokenize once
-    # (at scale: the staged shingle table; see SCALE.md)
-    sh = (word_ngrams(docs, n, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g"))
-          .localCheckpoint(eager=False))
+    # (at scale: the staged shingle table; see SCALE.md; pass
+    # materialize=False to keep pure lineage — staging.py contract)
+    sh = stage(word_ngrams(docs, n, text_col, id_col)
+               .select(F.col(id_col), F.xxhash64("g").alias("g")),
+               materialize)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -943,7 +948,8 @@ WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
 
 def source_overlap(docs: DataFrame, n: int = 3, text_col: str = "text",
                    id_col: str = "doc_id",
-                   source_col: str = "source") -> DataFrame:
+                   source_col: str = "source",
+                   materialize: bool = True) -> DataFrame:
     """Pairwise n-gram overlap between SOURCES — the corpus-provenance
     report behind "how much of source B is already in source A"
     (mirror-site detection, licensing audits, contamination triage before
@@ -958,9 +964,9 @@ def source_overlap(docs: DataFrame, n: int = 3, text_col: str = "text",
     |A∩B| / min(|A|,|B|) is a ratio of integers: bit-stable cross-engine."""
     sh = word_ngrams(docs, n, text_col, id_col)
     src = docs.select(F.col(id_col), F.col(source_col).alias("src"))
-    sg = (sh.join(src, id_col)
-          .select("src", F.xxhash64("g").alias("h"))
-          .distinct().localCheckpoint(eager=False))
+    sg = stage(sh.join(src, id_col)
+               .select("src", F.xxhash64("g").alias("h"))
+               .distinct(), materialize)
     sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sg.alias("a"), sg.alias("b")
     inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -1098,7 +1104,8 @@ def incremental_dedup_bloom(incoming: DataFrame, corpus: DataFrame,
 def jaccard_pairs_prefix_filtered(docs: DataFrame, n: int = 3,
                                   threshold: float = 0.5,
                                   text_col: str = "text",
-                                  id_col: str = "doc_id") -> DataFrame:
+                                  id_col: str = "doc_id",
+                                  materialize: bool = True) -> DataFrame:
     """Exact Jaccard >= threshold via PREFIX FILTERING (the AllPairs/PPJoin
     recipe, Bayardo et al. WWW'07 / Xiao et al. WWW'08): invert only each
     document's prefix tokens instead of its whole shingle set.
@@ -1130,10 +1137,11 @@ def jaccard_pairs_prefix_filtered(docs: DataFrame, n: int = 3,
     # parquet scans, 0 reused exchanges). At cluster scale this is the
     # "write the shingle table, then join against it" step every AllPairs
     # implementation stages; locally localCheckpoint keeps it in block
-    # storage without lineage.
-    sh = (word_ngrams(docs, n, text_col, id_col)
-          .select(F.col(id_col), F.xxhash64("g").alias("g"))
-          .localCheckpoint(eager=False))
+    # storage without lineage (materialize=False keeps pure lineage —
+    # staging.py contract).
+    sh = stage(word_ngrams(docs, n, text_col, id_col)
+               .select(F.col(id_col), F.xxhash64("g").alias("g")),
+               materialize)
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     sized = sh.join(dfreq, "g")
     w = Window.partitionBy(id_col).orderBy("df", "g")
@@ -1249,13 +1257,15 @@ GROUP BY doc_id
 def jaccard_threshold_sweep(docs: DataFrame, n: int = 3,
                             min_jaccard: float = 0.02, buckets: int = 20,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            materialize: bool = True) -> DataFrame:
     """Pair-count histogram over Jaccard buckets in ONE inversion pass —
     the threshold-tuning view: before committing a dedup threshold to a
     100 TB run, see how many pairs each candidate threshold would sweep
     in. Bucket = floor(jaccard * buckets) / buckets; Jaccard is a ratio of
     identical integers in both engines, so bucket edges cannot drift."""
-    pairs = ngram_jaccard_pairs(docs, n, min_jaccard, text_col, id_col)
+    pairs = ngram_jaccard_pairs(docs, n, min_jaccard, text_col, id_col,
+                                materialize=materialize)
     bucket = F.round(F.floor(F.col("jaccard") * buckets)
                      / F.lit(float(buckets)), 6)
     return (pairs.select(bucket.alias("bucket"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.operators.staging import stage
+
 
 def top_k_per_group(df: DataFrame, partition_by: list[str],
                     order_by: list[Column], k: int,
@@ -154,7 +156,8 @@ def fuzzy_match(dirty: DataFrame, clean: DataFrame,
 def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
                          dirty_col: str = "dirty_name",
                          clean_col: str = "clean_name",
-                         max_dist: int = 2) -> DataFrame:
+                         max_dist: int = 2,
+                         materialize: bool = True) -> DataFrame:
     """LOSSLESS blocked fuzzy matching via PassJoin segment inversion
     (Li/Deng/Feng ICDE'11): the tier-2 scheme ``fuzzy_match`` documents.
 
@@ -191,9 +194,9 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
     # both unions below re-read these distinct-projected sides once per
     # segment — materialize each once (at scale: the persisted segment
     # index build input)
-    cl = (clean.select(clean_col).distinct()
-          .withColumn("l", F.length(clean_col).cast("int"))
-          .localCheckpoint(eager=False))
+    cl = stage(clean.select(clean_col).distinct()
+               .withColumn("l", F.length(clean_col).cast("int")),
+               materialize)
     idx_parts = []
     for i in range(n_seg):
         s, ln = seg_bounds(F.col("l"), i)
@@ -216,8 +219,7 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
     for p in idx_parts[1:]:
         idx = idx.unionByName(p)
 
-    base_dirty = dirty.select(dirty_col).distinct() \
-        .localCheckpoint(eager=False)
+    base_dirty = stage(dirty.select(dirty_col).distinct(), materialize)
     dr = base_dirty.withColumn("m", F.length(dirty_col).cast("int"))
     # candidate clean lengths l in [m-d, m+d]
     dr = dr.select(dirty_col, "m",

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.operators.staging import stage
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -78,7 +80,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
                          n_tables: int = 16, n_planes: int = 10,
                          dim: int = 64,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         materialize: bool = True) -> DataFrame:
     """All-pairs cosine >= threshold via LSH-bucket blocking — the 100 TB
     shape: nothing ever passes through the driver.
 
@@ -104,8 +107,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
     # bucket self-join (and nothing else) read it, and recomputing it
     # means running the Arrow matmul + corpus scan twice (at scale this
     # is the persisted index; locally localCheckpoint stands in for it)
-    slim = (sig.select(F.col(id_col), "table", "bucket")
-            .localCheckpoint(eager=False))
+    slim = stage(sig.select(F.col(id_col), "table", "bucket"),
+                 materialize)
     cands = (slim.alias("sa")
              .join(slim.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
@@ -441,7 +444,8 @@ LIMIT {k}
 def lsh_hard_negatives(embeddings: DataFrame, k: int = 3,
                        n_tables: int = 16, n_planes: int = 8, dim: int = 64,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       label_col: str = "label") -> DataFrame:
+                       label_col: str = "label",
+                       materialize: bool = True) -> DataFrame:
     """Per anchor: the k most-similar vectors with a DIFFERENT label —
     hard-negative mining for contrastive/metric training, restricted to
     LSH-bucket candidates so it is never an all-pairs scan.
@@ -462,8 +466,8 @@ def lsh_hard_negatives(embeddings: DataFrame, k: int = 3,
     # bucket self-join (and nothing else) read it, and recomputing it
     # means running the Arrow matmul + corpus scan twice (at scale this
     # is the persisted index; locally localCheckpoint stands in for it)
-    slim = (sig.select(F.col(id_col), "table", "bucket")
-            .localCheckpoint(eager=False))
+    slim = stage(sig.select(F.col(id_col), "table", "bucket"),
+                 materialize)
     cands = (slim.alias("sa")
              .join(slim.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
@@ -778,7 +782,8 @@ LIMIT {k}
 def knn_graph(embeddings: DataFrame, k: int = 3,
               n_tables: int = 16, n_planes: int = 8, dim: int = 64,
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              materialize: bool = True) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
     most-cosine-similar LSH-bucket candidates — the substrate for graph
     clustering, label propagation, and near-dup verification at corpus
@@ -798,8 +803,8 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
     # bucket self-join (and nothing else) read it, and recomputing it
     # means running the Arrow matmul + corpus scan twice (at scale this
     # is the persisted index; locally localCheckpoint stands in for it)
-    slim = (sig.select(F.col(id_col), "table", "bucket")
-            .localCheckpoint(eager=False))
+    slim = stage(sig.select(F.col(id_col), "table", "bucket"),
+                 materialize)
     cands = (slim.alias("sa")
              .join(slim.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
@@ -852,7 +857,8 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
                       n_tables: int = 16, n_planes: int = 8, dim: int = 64,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id",
-                      label_col: str = "label") -> DataFrame:
+                      label_col: str = "label",
+                      materialize: bool = True) -> DataFrame:
     """Semi-supervised label spreading over the approximate kNN graph:
     vectors with ``vec_id % seed_mod == 0`` keep their label (clamped
     seeds); every other vector takes the majority label of its kNN
@@ -875,9 +881,10 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
 
     # the edge list is read every round — materialize it once (at scale:
     # the persisted kNN index table)
-    edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
-                      vec_col=vec_col, id_col=id_col) \
-        .select("anchor_id", "nbr_id").localCheckpoint(eager=False)
+    edges = stage(knn_graph(embeddings, k, n_tables, n_planes, dim,
+                            vec_col=vec_col, id_col=id_col,
+                            materialize=materialize)
+                  .select("anchor_id", "nbr_id"), materialize)
     verts = embeddings.select(F.col(id_col).alias("vec_id"))
     lab0 = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -887,8 +894,7 @@ def label_propagation(embeddings: DataFrame, k: int = 3, iters: int = 2,
              .withColumnRenamed("label", "seed_label"))
     # the seed-clamped vertex frame is loop-invariant — build it once
     # instead of re-joining verts with seeds inside every round
-    clamped = verts.join(seeds, "vec_id", "left") \
-        .localCheckpoint(eager=False)
+    clamped = stage(verts.join(seeds, "vec_id", "left"), materialize)
     lab = lab0
     for _ in range(iters):
         votes = (edges
@@ -991,7 +997,8 @@ FROM lab{iters} l LEFT JOIN seeds s ON l.vec_id = s.vec_id
 def pagerank_knn(embeddings: DataFrame, k: int = 3, iters: int = 3,
                  n_tables: int = 16, n_planes: int = 8, dim: int = 64,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 materialize: bool = True) -> DataFrame:
     """PageRank centrality over the approximate kNN graph — "which
     documents sit at the center of their similarity neighborhood" (the
     representativeness signal curation pipelines use to pick canonical
@@ -1013,23 +1020,26 @@ def pagerank_knn(embeddings: DataFrame, k: int = 3, iters: int = 3,
         raise ValueError("iters must be >= 1")
     # the edge list is read every round — materialize it once (at scale:
     # the persisted kNN index table)
-    edges = knn_graph(embeddings, k, n_tables, n_planes, dim,
-                      vec_col=vec_col, id_col=id_col) \
-        .select(F.col("anchor_id").alias("src"),
-                F.col("nbr_id").alias("dst")).localCheckpoint(eager=False)
+    edges = stage(knn_graph(embeddings, k, n_tables, n_planes, dim,
+                            vec_col=vec_col, id_col=id_col,
+                            materialize=materialize)
+                  .select(F.col("anchor_id").alias("src"),
+                          F.col("nbr_id").alias("dst")), materialize)
     verts = embeddings.select(F.col(id_col).alias("vec_id"))
-    return pagerank_iterations(verts, edges, iters)
+    return pagerank_iterations(verts, edges, iters,
+                               materialize=materialize)
 
 
 def pagerank_iterations(verts: DataFrame, edges: DataFrame,
-                        iters: int) -> DataFrame:
+                        iters: int,
+                        materialize: bool = True) -> DataFrame:
     """The iteration core of ``pagerank_knn`` over an explicit
     (src, dst) edge list — also the unit-testable surface for
     known-answer graphs."""
     # outdegree is per-edge loop-invariant — attach it to the edge list
     # once instead of re-joining inside every round
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    edges_deg = stage(edges.join(outdeg, "src"), materialize)
     rank = verts.select("vec_id", F.lit(1_000_000).cast("long")
                         .alias("rank_micro"))
     for _ in range(iters):
