@@ -73,6 +73,15 @@ def q_dash_top10_house(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dash.top_k_by_measure(readings_view(spark, sf_dir), "house_id")
 
 
+@register("dash_top10_appliance_id",
+          dash.top_k_oracle_sql(READINGS_SQL_VIEW, "appliance_id"))
+def q_dash_top10_appliance_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Top 10 appliances ids' (dashboard-iGridDemo.json:105-136, T1) —
+    the third top-10 tile literal, split on appliance_id."""
+    return dash.top_k_by_measure(readings_view(spark, sf_dir),
+                                 "appliance_id")
+
+
 @register("dash_timeseries_5s",
           dash.time_series_oracle_sql(READINGS_SQL_VIEW, 5))
 def q_dash_timeseries_5s(spark: SparkSession, sf_dir: str) -> DataFrame:
