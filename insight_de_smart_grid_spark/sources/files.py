@@ -178,13 +178,19 @@ def kafka_source_options(brokers: str, topic: str,
 
 
 def kafka_sink_options(brokers: str, topic: str,
-                       checkpoint_dir: str) -> dict[str, str]:
-    """S4 sink spec as a pure dict."""
-    return {
+                       checkpoint_dir: str | None = None) -> dict[str, str]:
+    """S4/S5 sink spec as a pure dict. ``checkpoint_dir`` is the streaming
+    sink's exactly-once ledger; BATCH produce (S5, druid_batch.py:110-116)
+    has no checkpoint — pass None and the key is absent (the connector
+    rejects unknown options only in strict mode, but the spelling contract
+    here is exact either way; pinned in test_kafka_options)."""
+    opts = {
         "kafka.bootstrap.servers": brokers,
         "topic": topic,
-        "checkpointLocation": checkpoint_dir,
     }
+    if checkpoint_dir is not None:
+        opts["checkpointLocation"] = checkpoint_dir
+    return opts
 
 
 def kafka_reader(spark: SparkSession, brokers: str, topic: str,
@@ -198,18 +204,44 @@ def kafka_reader(spark: SparkSession, brokers: str, topic: str,
         brokers, topic, fail_on_data_loss=fail_on_data_loss, **spec_kwargs))
 
 
-def kafka_sink(df: DataFrame, brokers: str, topic: str,
-               checkpoint_dir: str, key_col: str | None = "house_id"):
-    """S4: streaming Kafka sink with checkpoint; key by house_id to preserve
-    the reference's per-house partition ordering (ST7,
-    producer_REDD_avro.py:173)."""
+def kafka_payload(df: DataFrame,
+                  key_col: str | None = "house_id") -> DataFrame:
+    """The wire shape both Kafka sinks write: every column JSON-serialized
+    into ``value`` (S3, duty_cycle_avro.py:84 ``to_json(struct(...))``;
+    druid_batch.py:113 ``row.to_json()``), plus a string ``key`` for
+    keyed produce (ST7) unless ``key_col`` is None (the batch reference
+    uses a constant key — pass key_col=None and attach it, or a literal
+    column)."""
     payload = F.to_json(F.struct(*df.columns)).alias("value")
     cols = [payload] if key_col is None else [
         F.col(key_col).cast("string").alias("key"), payload]
-    return (df.select(*cols)
-            .writeStream.format("kafka")
-            .options(**kafka_sink_options(brokers, topic, checkpoint_dir))
-            .outputMode("append"))
+    return df.select(*cols)
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str,
+               checkpoint_dir: str | None = None,
+               key_col: str | None = "house_id", streaming: bool = True):
+    """S4 (streaming) / S5 (batch) Kafka sink; key by house_id to preserve
+    the reference's per-house partition ordering (ST7,
+    producer_REDD_avro.py:173).
+
+    streaming=True returns the checkpointed append-mode DataStreamWriter
+    (duty_cycle_avro.py:85-89); streaming=False returns a batch
+    DataFrameWriter — the Spark-first form of druid_batch.py:110-116's
+    driver-side confluent producer loop (per-row produce from a pandas
+    export; here the produce runs distributed, one task per partition).
+    The wire shape is identical; only the checkpoint option differs.
+    ``tests/test_sources.py`` round-trips the batch path through the
+    mockkafka capture writer."""
+    shaped = kafka_payload(df, key_col)
+    if streaming:
+        return (shaped
+                .writeStream.format("kafka")
+                .options(**kafka_sink_options(brokers, topic,
+                                              checkpoint_dir))
+                .outputMode("append"))
+    return (shaped.write.format("kafka")
+            .options(**kafka_sink_options(brokers, topic)))
 
 
 def duty_cycle_kafka_pipeline(spark: SparkSession, brokers: str,

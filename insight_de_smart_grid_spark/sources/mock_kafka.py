@@ -33,8 +33,10 @@ from datetime import datetime, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -125,6 +127,53 @@ class MockKafkaReader(DataSourceReader):
             offset += 1
 
 
+class MockKafkaWriter(DataSourceWriter):
+    """Batch-produce capture: accepts the exact frame shape the real
+    connector's batch sink takes (``key`` string/binary optional, ``value``
+    string/binary required — the `kafka_payload` contract) and lands each
+    Spark partition as one parquet file of (key, value, topic, partition)
+    envelope rows under ``capture_dir``. This is the S5 counterpart of the
+    read-side mock: swap ``format("mockkafka")`` for ``format("kafka")``
+    and the same writer call hits a broker (druid_batch.py:110-116's
+    producer loop, distributed). Commit is rename-free (files are written
+    once, task retries overwrite by task id), matching Kafka's
+    at-least-once batch produce semantics."""
+
+    def __init__(self, options, schema):
+        if "value" not in schema.fieldNames():
+            raise ValueError(
+                "kafka batch produce requires a 'value' column "
+                f"(got {schema.fieldNames()})")
+        self.capture_dir = options["capture_dir"]
+        self.topic = options.get("topic", "power-raw")
+        self.has_key = "key" in schema.fieldNames()
+
+    def write(self, iterator):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        keys, vals = [], []
+        for row in iterator:
+            k = row["key"] if self.has_key else None
+            v = row["value"]
+            keys.append(k.encode() if isinstance(k, str) else k)
+            vals.append(v.encode() if isinstance(v, str) else v)
+        os.makedirs(self.capture_dir, exist_ok=True)
+        tbl = pa.table({
+            "key": pa.array(keys, pa.binary()),
+            "value": pa.array(vals, pa.binary()),
+            "topic": pa.array([self.topic] * len(vals), pa.string()),
+            "partition": pa.array([pid] * len(vals), pa.int32()),
+        })
+        pq.write_table(tbl, os.path.join(self.capture_dir,
+                                         f"produce-{pid:05d}.parquet"))
+        return WriterCommitMessage()
+
+
 class MockKafkaDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -135,6 +184,9 @@ class MockKafkaDataSource(DataSource):
 
     def reader(self, schema):
         return MockKafkaReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return MockKafkaWriter(self.options, schema)
 
     def simpleStreamReader(self, schema):
         return MockKafkaStreamReader(self.options)
