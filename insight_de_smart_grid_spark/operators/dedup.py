@@ -782,7 +782,8 @@ FROM clus c JOIN qual q ON c.doc_id = q.doc_id""")
 
 def duplicate_spans(docs: DataFrame, k: int = 20,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    skew_safe: bool = False) -> DataFrame:
     """Exact duplicate-substring statistics per document (the
     exact-substring dedup of Lee et al., "Deduplicating Training Data
     Makes Language Models Better", reduced from suffix arrays to k-gram
@@ -802,12 +803,18 @@ def duplicate_spans(docs: DataFrame, k: int = 20,
     breaks). Never suffix-array construction; every shuffle keys on a
     uniform hash or doc id.
 
-    Skew caveat: the window-by-gram shuffle has no map-side combine, so a
-    power-law corpus with mega-hot boilerplate grams should switch the df
-    step to groupBy(g).count() + join (partial aggregation collapses hot
-    keys before the wire; costs one recompute of the scan-speed explode) —
-    same winnow-style stop-gram pruning applies on top. On this corpus the
-    window form measured 2.8x faster; the choice is a two-line swap."""
+    Skew: the default window-by-gram shuffle has no map-side combine, so a
+    power-law corpus with mega-hot boilerplate grams piles every
+    occurrence of a hot gram into one window partition.
+    ``skew_safe=True`` switches the df step to groupBy(g).count() + a
+    semi-shaped join back: partial aggregation collapses hot keys
+    map-side BEFORE the wire, and the remaining pos-by-g join is a plain
+    equi-join AQE's skew-join splitting can rebalance (windows it
+    cannot). Costs one recompute of the scan-speed explode; identical
+    output (same oracle row, `dedup_duplicate_spans_skew_safe`), and
+    `tests/test_scale_stress.py` measures the crossover on a hot-gram
+    corpus. On the benign bench corpus the window form measured 2.8x
+    faster, so it stays the default."""
     from pyspark.sql import Window
 
     c = F.col(text_col)
@@ -817,10 +824,16 @@ def duplicate_spans(docs: DataFrame, k: int = 20,
     pos = (docs.filter(F.length(c) >= k)
            .select(F.col(id_col), F.posexplode(grams)
                    .alias("pos0", "g")))
-    w_g = Window.partitionBy("g")
-    dup_pos = (pos.withColumn("df", F.count(F.lit(1)).over(w_g))
-               .filter(F.col("df") > 1)
-               .select(id_col, (F.col("pos0") + 1).alias("p")))
+    if skew_safe:
+        dfreq = (pos.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") > 1).select("g"))
+        dup_pos = (pos.join(dfreq, "g")
+                   .select(id_col, (F.col("pos0") + 1).alias("p")))
+    else:
+        w_g = Window.partitionBy("g")
+        dup_pos = (pos.withColumn("df", F.count(F.lit(1)).over(w_g))
+                   .filter(F.col("df") > 1)
+                   .select(id_col, (F.col("pos0") + 1).alias("p")))
     w = Window.partitionBy(id_col).orderBy("p")
     spans = (dup_pos
              .withColumn("brk", F.when(

@@ -378,6 +378,17 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.duplicate_spans(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_duplicate_spans_skew_safe",
+          _dd.duplicate_spans_oracle_sql())
+def q_dedup_duplicate_spans_skew_safe(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The groupBy+join df form of `duplicate_spans` — map-side combine
+    collapses hot boilerplate grams before the shuffle; same semantics
+    (identical oracle), chosen when the gram distribution is power-law."""
+    return _dd.duplicate_spans(load_table(spark, sf_dir, "documents"),
+                               skew_safe=True)
+
+
 # ---------------------------------------------------------------------------
 # Overlapping document chunking (RAG / context-window prep)
 # ---------------------------------------------------------------------------
