@@ -418,8 +418,9 @@ def q_pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_blast_radius", dd.blast_radius_oracle_sql())
 def q_dedup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-hop BFS over the near-dup graph via Spark 4 recursive CTE
-    (minimum hop count per reachable doc from the smallest paired id) —
+    """Bounded-hop BFS over the near-dup graph (iterative
+    deduplicated-frontier expansion; minimum hop count per reachable doc
+    from the smallest paired id; DuckDB WITH RECURSIVE oracle twin) —
     `operators/dedup.py::near_dup_blast_radius`."""
     return dd.near_dup_blast_radius(load_table(spark, sf_dir, "documents"))
 

@@ -692,6 +692,20 @@ def test_pagerank_integer_model_and_hub_dominance(spark):
     assert all(got[hub] > got[lf] for lf in leaves)
 
 
+def test_iterative_ops_reject_zero_iters(spark):
+    """Contract pin: engine and oracle both require iters >= 1 (iters=0
+    previously returned seed labels / initial ranks engine-side while the
+    SQL twin emitted invalid SQL — the guard keeps the two in lockstep)."""
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                "vec_id long, embedding array<float>")
+    for call in (lambda: sim.label_propagation(emb, iters=0),
+                 lambda: sim.pagerank_knn(emb, iters=0),
+                 lambda: sim.label_propagation_oracle_sql(iters=0),
+                 lambda: sim.pagerank_knn_oracle_sql(iters=0)):
+        with pytest.raises(ValueError, match="iters"):
+            call()
+
+
 def test_kmeans_portable_recovers_separated_groups(spark):
     """Two well-separated blobs, k=2, seeds one per blob (ids 0 and 1):
     Lloyd must put every point with its blob."""
