@@ -37,6 +37,13 @@ def get_spark(app_name: str = "insight_de_smart_grid_spark",
         SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
+        # local mode runs driver+executors in ONE JVM: the 1g default heap
+        # divided by 32 task slots starves sort/window buffers long before
+        # the machine does (measured: UNABLE_TO_ACQUIRE_MEMORY on a 1M-row
+        # skewed window with >100 GiB of RAM free). Pre-JVM only — a no-op
+        # on an inherited session, where the harness owns sizing.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

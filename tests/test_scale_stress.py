@@ -1,0 +1,199 @@
+"""Skew/volume stress sweep: run the blocked dedup/similarity/agg/streaming
+families against the power-law corpus from `tests/stress_corpus.py` and
+assert the *planted* hazards are survived, not just that small data passes.
+
+Two sizes, same code path:
+
+- default (every pytest run): sf0.01 base x mult=10 -> 5k docs / 5k vectors
+  / 100k events.  Small enough for CI, big enough that a quadratic candidate
+  blowup or a driver materialization is a visible wall-clock cliff.
+- ``SPARK_GRAFT_STRESS=full``: sf0.1 base x mult=10 -> 50k docs / 20k
+  vectors / 1M events.  Run manually; per-query timings print as one JSON
+  line (grep ``STRESS_TIMINGS``) and are recorded in ``SCALE.md``.
+
+What the assertions buy (each maps to a SCALE.md design claim):
+
+- *planted near-dup mass*: every base doc has mult-1 near-identical copies;
+  MinHash+LSH must find a copy-pair for >=75% of base docs (recall through
+  real duplicate mass, not a toy pair).
+- *hot LSH bucket*: ~2% of embeddings are ONE identical vector -> a
+  max-occupancy bucket in every hyperplane table.  The blocked cosine join
+  must return ALL C(h,2) hot pairs exactly (candidate generation is
+  bucket-complete for identical vectors) without blowing up.
+- *mega-hot gram*: 20% of docs carry the same 220-char single-char run ->
+  one k-gram key holds every occurrence.  `duplicate_spans` window form and
+  `skew_safe` df form must agree row-for-row under that skew (the crossover
+  timing is the printed evidence).
+- *hot aggregation key*: 30% of events re-keyed to one user; totals must
+  still be exactly mult x the base corpus (values/timestamps untouched by
+  construction), proving the skewed groupBy path loses nothing.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.plans.registry import QUERIES
+from tests.conftest import SF_ORACLE
+from tests.stress_corpus import BIG, HOT_SOURCE, HOT_USER, build_stress_corpus
+
+FULL = os.environ.get("SPARK_GRAFT_STRESS", "") == "full"
+BASE = os.environ.get("SPARK_GRAFT_STRESS_BASE",
+                      "/root/testdata/sf0.1" if FULL else SF_ORACLE)
+MULT = int(os.environ.get("SPARK_GRAFT_STRESS_MULT", "10"))
+
+TIMINGS: dict[str, float] = {}
+
+
+@pytest.fixture(scope="module")
+def stress_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stress")
+    t0 = time.monotonic()
+    d = build_stress_corpus(spark, str(out), base_sf=BASE, mult=MULT)
+    TIMINGS["_build_corpus"] = round(time.monotonic() - t0, 2)
+    return d
+
+
+def _timed(name: str, fn):
+    t0 = time.monotonic()
+    out = fn()
+    TIMINGS[name] = round(time.monotonic() - t0, 2)
+    return out
+
+
+def test_corpus_invariants(spark, stress_dir):
+    """The generator planted what the docstring says it planted."""
+    base_docs = spark.read.parquet(f"{BASE}/documents.parquet").count()
+    docs = spark.read.parquet(f"{stress_dir}/documents.parquet")
+    assert docs.count() == base_docs * MULT
+
+    hot_src = docs.filter(F.col("source") == HOT_SOURCE).count() / (
+        base_docs * MULT)
+    assert 0.6 <= hot_src <= 0.8  # Zipf head: ~70% one source
+
+    ev = spark.read.parquet(f"{stress_dir}/events.parquet")
+    base_ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_base = base_ev.count()
+    assert ev.count() == n_base * MULT
+    hot_user = ev.filter(F.col("user_id") == HOT_USER).count() / (
+        n_base * MULT)
+    assert 0.25 <= hot_user <= 0.4  # ~30% re-keyed to one user
+
+    emb = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    n_emb_base = spark.read.parquet(f"{BASE}/embeddings.parquet").count()
+    assert emb.count() == n_emb_base * MULT
+
+
+def test_minhash_recall_on_planted_copies(spark, stress_dir):
+    """Every base doc has MULT-1 near-identical copies (one appended marker
+    word); the registered MinHash+LSH query must recover a copy-pair for
+    the vast majority of base docs — recall through real duplicate mass."""
+    pairs = _timed(
+        "dedup_minhash_lsh",
+        lambda: QUERIES["dedup_minhash_lsh"].fn(spark, stress_dir)
+        .filter(F.col("doc_a") % BIG == F.col("doc_b") % BIG)
+        .select((F.col("doc_a") % BIG).alias("base_id"))
+        .distinct().count())
+    base_docs = spark.read.parquet(f"{BASE}/documents.parquet").count()
+    recall = pairs / base_docs
+    TIMINGS["minhash_copy_recall"] = round(recall, 4)
+    # shortest docs (10 words -> 8 shingles) sit at copy-pair Jaccard ~0.72
+    # where the 8x4 LSH detects ~92%; the median doc is ~1.0 detection
+    assert recall >= 0.75
+
+
+def test_hot_lsh_bucket_is_complete_and_bounded(spark, stress_dir):
+    """~2% of vectors are ONE identical vector: the hottest possible LSH
+    bucket (every table, same bucket). Identical vectors can never miss —
+    the blocked pair join must emit ALL C(h,2) hot pairs, exactly."""
+    emb = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    hot_vec = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    hot_ids = {r.vec_id for r in emb.filter(
+        F.col("embedding") == F.array(*[F.lit(float(v)).cast("float")
+                                        for v in hot_vec])).collect()}
+    h = len(hot_ids)
+    assert h >= 20  # the hazard is real (~2% of rows)
+
+    pairs = _timed(
+        "dedup_embedding_cosine",
+        lambda: QUERIES["dedup_embedding_cosine"].fn(spark, stress_dir)
+        .select("vec_a", "vec_b").collect())
+    hot_pairs = {(r.vec_a, r.vec_b) for r in pairs
+                 if r.vec_a in hot_ids and r.vec_b in hot_ids}
+    assert len(hot_pairs) == h * (h - 1) // 2
+
+
+def test_duplicate_spans_skew_crossover(spark, stress_dir):
+    """The 220-char single-char run on 20% of docs makes every one of its
+    k-grams ONE mega-hot key. Window form and skew_safe df form must agree
+    row-for-row under that skew; timings print for SCALE.md."""
+    def run(name):
+        rows = QUERIES[name].fn(spark, stress_dir).collect()
+        return sorted((r.doc_id, r.n_dup_spans, r.dup_chars, r.dup_frac)
+                      for r in rows)
+
+    window_form = _timed("dedup_duplicate_spans",
+                         lambda: run("dedup_duplicate_spans"))
+    df_form = _timed("dedup_duplicate_spans_skew_safe",
+                     lambda: run("dedup_duplicate_spans_skew_safe"))
+    assert window_form == df_form
+    assert len(window_form) > 0
+
+
+def test_hot_key_totals_scale_exactly(spark, stress_dir):
+    """Totals are invariant to the planted key skew: values and timestamps
+    are copied untouched, so the global sum must be exactly MULT x the base
+    corpus even though 30% of rows pile onto one user."""
+    def total(sf):
+        return QUERIES["dash_total_power"].fn(spark, sf).collect()[0][0]
+
+    stress_total = _timed("dash_total_power", lambda: total(stress_dir))
+    base_total = total(BASE)
+    assert stress_total == pytest.approx(base_total * MULT, rel=1e-9)
+
+    top = _timed(
+        "dash_top10_house",
+        lambda: QUERIES["dash_top10_house"].fn(spark, stress_dir).collect())
+    assert top[0][0] == str(HOT_USER)  # the hot user dominates the tile
+
+
+SWEEP = [
+    # blocked near-dup / similarity paths (the SCALE.md families)
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_semantic",
+    "sim_ann_lsh_topk",
+    "sim_knn_graph",
+    "sim_kmeans_portable",
+    # text + pipeline over the skewed source column
+    "text_stats",
+    "text_lang_id",
+    "pipeline_source_cap",
+    "pipeline_global_shuffle",
+    "pipeline_pack_sequences",
+    # hot (house, window) keys through rollup and stateful streaming
+    "rollup_1s",
+    "dash_timeseries_5s",
+    "streaming_rollup",
+    "streaming_duty_cycle",
+]
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_sweep_completes(spark, stress_dir, name):
+    """Each family must complete against the stress corpus and return rows
+    — a quadratic candidate blowup or single-task skew collapse shows up
+    here as a wall-clock cliff (timings recorded for SCALE.md)."""
+    n = _timed(name, lambda: QUERIES[name].fn(spark, stress_dir).count())
+    assert n > 0
+
+
+def test_zz_report():
+    """Last in file: print one grep-able JSON line with all timings."""
+    print("\nSTRESS_TIMINGS " + json.dumps(
+        {"base": BASE, "mult": MULT, **TIMINGS}, sort_keys=True))
