@@ -467,12 +467,11 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     )
 
 
-def minhash_lsh_oracle_sql(n_hashes: int = 32, bands: int = 8,
-                           ngram: int = 3, threshold: float = 0.5) -> str:
-    """DuckDB twin of ``minhash_lsh_near_dups``: same md5-derived shingle
-    hash, same affine minhash family, band candidacy as an OR of per-band
-    equalities (fine for the oracle's row counts; Spark's exploded equi-join
-    is the scale formulation)."""
+def _minhash_pairs_ctes(n_hashes: int = 32, bands: int = 8,
+                        ngram: int = 3, threshold: float = 0.5) -> str:
+    """CTE chain ending in ``mpairs(doc_a, doc_b, jaccard)`` — the DuckDB
+    twin of ``minhash_lsh_near_dups``, shared by the pair query and the
+    LSH-tier connected-components oracle."""
     p = _MINHASH_P
     rows = n_hashes // bands
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(ngram))
@@ -483,8 +482,7 @@ def minhash_lsh_oracle_sql(n_hashes: int = 32, bands: int = 8,
         "(" + " AND ".join(f"a.mh{b * rows + r} = b.mh{b * rows + r}"
                            for r in range(rows)) + ")"
         for b in range(bands))
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ),
 sh AS (
@@ -515,14 +513,48 @@ inter AS (
   JOIN gh x ON x.doc_id = c.doc_a
   JOIN gh y ON y.doc_id = c.doc_b AND y.ghv = x.ghv
   GROUP BY 1, 2
+),
+mpairs AS (
+  SELECT doc_a, doc_b,
+         CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+)"""
+
+
+def minhash_lsh_oracle_sql(n_hashes: int = 32, bands: int = 8,
+                           ngram: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB twin of ``minhash_lsh_near_dups``: same md5-derived shingle
+    hash, same affine minhash family, band candidacy as an OR of per-band
+    equalities (fine for the oracle's row counts; Spark's exploded equi-join
+    is the scale formulation)."""
+    return ("WITH " + _minhash_pairs_ctes(n_hashes, bands, ngram, threshold)
+            + "\nSELECT doc_a, doc_b, jaccard FROM mpairs")
+
+
+def dup_clusters_lsh_oracle_sql(n_hashes: int = 32, bands: int = 8,
+                                ngram: int = 3,
+                                threshold: float = 0.5) -> str:
+    """Components over the MinHash+LSH pair graph via transitive closure
+    (recursive CTE) — the oracle twin of ``dup_clusters`` fed by
+    ``minhash_lsh_near_dups``."""
+    return ("WITH RECURSIVE "
+            + _minhash_pairs_ctes(n_hashes, bands, ngram, threshold)
+            + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM mpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT doc_a, doc_b,
-       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.doc_a = sa.doc_id
-JOIN sizes sb ON inter.doc_b = sb.doc_id
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
-"""
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src""")
 
 
 # ---------------------------------------------------------------------------

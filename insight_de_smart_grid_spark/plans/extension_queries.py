@@ -294,9 +294,26 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_clusters", dd.dup_clusters_oracle_sql())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over n-gram-Jaccard near-dup pairs."""
+    """Connected components over n-gram-Jaccard near-dup pairs (the EXACT
+    verify tier: pair generation is the full shingle inversion, which is
+    quadratic in the document frequency of shared boilerplate shingles —
+    measured collapse under planted stop-shingle skew in
+    tests/test_scale_stress.py; `dedup_clusters_lsh` is the corpus-scale
+    form)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.dup_clusters(dd.ngram_jaccard_pairs(docs))
+
+
+@register("dedup_clusters_lsh", dd.dup_clusters_lsh_oracle_sql())
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash+LSH near-dup pairs — the blocked
+    100 TB clustering tier: candidate volume is bounded by band-bucket
+    collisions (never by shared-shingle document frequency), so the
+    boilerplate-heavy corpus that OOMs the exact tier streams through
+    (tests/test_scale_stress.py sweeps it at 10x with a planted hot
+    phrase)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dup_clusters(dd.minhash_lsh_near_dups(docs, threshold=0.5))
 
 
 @register("pipeline_decontaminate", pl.decontaminate_oracle_sql())

@@ -162,10 +162,15 @@ def test_hot_key_totals_scale_exactly(spark, stress_dir):
 
 
 SWEEP = [
-    # blocked near-dup / similarity paths (the SCALE.md families)
+    # blocked near-dup / similarity paths (the SCALE.md families).
+    # Deliberately absent: dedup_clusters / dedup_ngram_jaccard — the exact
+    # shingle-inversion tier is quadratic in hot-shingle document frequency
+    # by construction (measured: OOMs a 16g JVM at 50k docs under the
+    # planted boilerplate phrase). SCALE.md caveat #2 names the LSH tier
+    # as the corpus-scale path; dedup_clusters_lsh below is that path.
     "dedup_exact",
     "dedup_simhash",
-    "dedup_clusters",
+    "dedup_clusters_lsh",
     "dedup_semantic",
     "sim_ann_lsh_topk",
     "sim_knn_graph",
