@@ -815,7 +815,8 @@ FROM clus c JOIN qual q ON c.doc_id = q.doc_id""")
 def duplicate_spans(docs: DataFrame, k: int = 20,
                     text_col: str = "text",
                     id_col: str = "doc_id",
-                    skew_safe: bool = False) -> DataFrame:
+                    skew_safe: bool = False,
+                    materialize: bool = True) -> DataFrame:
     """Exact duplicate-substring statistics per document (the
     exact-substring dedup of Lee et al., "Deduplicating Training Data
     Makes Language Models Better", reduced from suffix arrays to k-gram
@@ -842,7 +843,9 @@ def duplicate_spans(docs: DataFrame, k: int = 20,
     semi-shaped join back: partial aggregation collapses hot keys
     map-side BEFORE the wire, and the remaining pos-by-g join is a plain
     equi-join AQE's skew-join splitting can rebalance (windows it
-    cannot). Costs one recompute of the scan-speed explode; identical
+    cannot). The exploded stream feeds both the aggregate and the
+    join-back, so it is staged once (``materialize=False`` keeps pure
+    lineage and recomputes it per side); identical
     output (same oracle row, `dedup_duplicate_spans_skew_safe`), and
     `tests/test_scale_stress.py` measures the crossover on a hot-gram
     corpus. On the benign bench corpus the window form measured 2.8x
@@ -857,6 +860,10 @@ def duplicate_spans(docs: DataFrame, k: int = 20,
            .select(F.col(id_col), F.posexplode(grams)
                    .alias("pos0", "g")))
     if skew_safe:
+        # two consumers of the scan-speed explode (the df aggregate and
+        # the join-back left side) — stage it once (staging.py contract;
+        # materialize=False keeps pure lineage and recomputes per side)
+        pos = stage(pos, materialize)
         dfreq = (pos.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") > 1).select("g"))
         dup_pos = (pos.join(dfreq, "g")
