@@ -77,7 +77,7 @@ LIMIT {k}
 
 
 def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
-                         n_tables: int = 16, n_planes: int = 10,
+                         n_tables: int = 16, n_planes: "int | str" = 10,
                          dim: int = 64,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
@@ -100,6 +100,9 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
     last fraction of boundary recall."""
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
                                 vec_col=vec_col, id_col=id_col)
+    # n_planes="auto" (resolved inside hyperplane_signatures) holds bucket
+    # occupancy constant as the corpus grows — the registered query pins
+    # the depth only because its DuckDB oracle twin is static SQL
     # candidate generation runs over NARROW rows (id, table, bucket) — the
     # per-bucket pair explosion must never carry the vectors (16 bytes/row
     # vs ~1 KB/row; at sf0.1 that is 200 MB vs 12 GB through the join)
@@ -247,8 +250,37 @@ def _portable_planes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
     return w
 
 
+def auto_n_planes(n_rows: int, target_occupancy: int = 32,
+                  lo: int = 4, hi: int = 40) -> int:
+    """Plane depth that holds expected bucket occupancy constant as the
+    corpus grows: ``ceil(log2(n_rows / target_occupancy))``, clamped to
+    ``[lo, hi]``.
+
+    On a near-orthogonal corpus a table's expected occupancy is
+    n / 2^planes and the verify-join cost is sum over buckets of
+    occupancy^2 ~= n * occupancy — linear in n ONLY while occupancy stays
+    fixed. A fixed plane depth therefore degrades quadratically with
+    corpus growth (SCALE.md's measured knn-graph 7.2x-at-10x ratio is
+    exactly this term); each corpus doubling must add one plane. ``hi=40``
+    keeps the packed bucket id far inside the int64 bucket key (62-bit
+    capacity); recall lost to depth is bought back with ``n_tables``,
+    which composes multiplicatively (P = 1 - (1 - p^planes)^tables).
+    ``target_occupancy=32`` reproduces the measured sf0.1 sweet spot
+    (20k vectors -> 10 planes, the 8x candidate reduction noted in
+    ``cosine_pairs_blocked``).
+
+    Off the registered-oracle surface by design: the DuckDB twins are
+    static SQL and cannot resolve a data-dependent plane count. Engine
+    callers opt in with ``n_planes="auto"``."""
+    import math
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(
+        math.log2(max(2.0, n_rows / target_occupancy)))))
+
+
 def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
-                          n_planes: int = 4, dim: int = 64,
+                          n_planes: "int | str" = 4, dim: int = 64,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent bucket ids,
@@ -258,7 +290,14 @@ def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
 
     Recall for cosine c: p = 1 - acos(c)/pi per plane;
     P(candidate) = 1 - (1 - p^n_planes)^n_tables — multiple small tables beat
-    one deep table on near-orthogonal data."""
+    one deep table on near-orthogonal data.
+
+    ``n_planes="auto"`` resolves the depth from the corpus row count via
+    ``auto_n_planes`` — the occupancy-holding scale lever. The one narrow
+    count() it costs is noise next to the corpus scan that follows (at
+    cluster scale, catalog row stats would stand in)."""
+    if n_planes == "auto":
+        n_planes = auto_n_planes(embeddings.count())
     # (n_tables*n_planes, dim) plane matrix; one vectorized matmul per Arrow
     # batch computes every signature bit — expression-tree dot products run
     # interpreted and measured ~10x slower than this Arrow path
@@ -780,7 +819,7 @@ LIMIT {k}
 
 
 def knn_graph(embeddings: DataFrame, k: int = 3,
-              n_tables: int = 16, n_planes: int = 8, dim: int = 64,
+              n_tables: int = 16, n_planes: "int | str" = 8, dim: int = 64,
               vec_col: str = "embedding",
               id_col: str = "vec_id",
               materialize: bool = True) -> DataFrame:
@@ -794,7 +833,10 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
 
     At 100 TB the signature table is the persisted index
     (`test_persisted_ann_index_probes_without_index_shuffle` proves that
-    layout) and the window shuffles on the uniform anchor id."""
+    layout) and the window shuffles on the uniform anchor id. Pass
+    ``n_planes="auto"`` to hold bucket occupancy — and therefore the
+    candidate volume per vector — constant as the corpus grows (the
+    fixed-depth occupancy^2 term SCALE.md measures at 10x)."""
     from pyspark.sql import Window
 
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,

@@ -640,6 +640,64 @@ def test_knn_graph_recall_and_shape(spark):
     assert graph3 & exact10
 
 
+def test_auto_n_planes_holds_occupancy():
+    """The formula IS the scale contract: each corpus doubling adds one
+    plane (occupancy stays ~target), clamped to the int64-safe range."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_planes,
+    )
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(-5) == 4
+    assert auto_n_planes(10) == 4            # lo clamp on tiny corpora
+    assert auto_n_planes(32 * 2 ** 8) == 8
+    assert auto_n_planes(32 * 2 ** 8 + 1) == 9   # ceil: strictly-over bumps
+    assert auto_n_planes(32 * 2 ** 9) == 9       # doubling -> +1 plane
+    assert auto_n_planes(20_000) == 10       # the measured sf0.1 sweet spot
+    assert auto_n_planes(10 ** 12) == 35     # 100 TB-ish corpus, still < hi
+    assert auto_n_planes(10 ** 30) == 40     # hi clamp inside int64 buckets
+    ns = [auto_n_planes(n) for n in (1, 10, 10 ** 3, 10 ** 6, 10 ** 9)]
+    assert ns == sorted(ns)                  # monotone in corpus size
+
+
+def test_hyperplane_signatures_auto_resolves_to_formula(spark):
+    """n_planes="auto" must produce byte-identical signatures to passing
+    the auto_n_planes(count) integer explicitly — the lever changes the
+    depth, never the hash family."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_planes,
+        hyperplane_signatures,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    resolved = auto_n_planes(emb.count())
+    a = hyperplane_signatures(emb, n_tables=4, n_planes="auto") \
+        .select("vec_id", "table", "bucket")
+    b = hyperplane_signatures(emb, n_tables=4, n_planes=resolved) \
+        .select("vec_id", "table", "bucket")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_knn_graph_auto_planes_recall(spark):
+    """The auto-depth graph keeps the rank-shape contract and still
+    recalls the probe anchor's exact close neighborhood."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    g = knn_graph(emb, k=3, n_planes="auto")
+    per = g.groupBy("anchor_id").count()
+    assert per.filter("count > 3").count() == 0
+    ranks = {(r.anchor_id, r.rnk) for r in g.collect()}
+    anchors = {a for a, _ in ranks}
+    assert all((a, 1) in ranks for a in anchors)
+    exact10 = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
+    graph3 = {r.nbr_id for r in g.filter("anchor_id = 7").collect()}
+    assert graph3 & exact10
+
+
 def test_semantic_dedup_matches_oracle(spark, duck):
     check_registered(spark, duck, "dedup_semantic")
 

@@ -161,6 +161,50 @@ def test_hot_key_totals_scale_exactly(spark, stress_dir):
     assert top[0][0] == str(HOT_USER)  # the hot user dominates the tile
 
 
+def test_auto_planes_holds_candidate_volume(spark, stress_dir):
+    """The occupancy^2 lever, measured on the skewed corpus: candidate
+    volume (sum over buckets of occ*(occ-1), summed over tables) must drop
+    monotonically with plane depth, and the auto depth must track corpus
+    size — auto_n_planes resolves deeper on the 10x corpus than on its
+    base whenever the 10x growth crosses a doubling boundary. The planted
+    identical-vector bucket is a floor no depth can (or should) cut:
+    identical vectors share every bucket at any depth."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_planes,
+        hyperplane_signatures,
+    )
+
+    emb = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    n = emb.count()
+    auto = auto_n_planes(n)
+    base_n = spark.read.parquet(f"{BASE}/embeddings.parquet").count()
+    assert auto >= auto_n_planes(base_n)  # depth tracks corpus growth
+    TIMINGS["auto_n_planes_resolved"] = auto
+
+    def volume(planes):
+        occ = (hyperplane_signatures(emb, n_tables=16, n_planes=planes)
+               .groupBy("table", "bucket").count())
+        return occ.agg(F.sum(F.col("count") * (F.col("count") - 1))
+                       .alias("v")).first()[0]
+
+    v_fixed = _timed("cand_volume_8p", lambda: volume(8))
+    v_auto = _timed("cand_volume_auto", lambda: volume(auto))
+    v_deeper = volume(auto + 2)
+    TIMINGS["cand_volume_ratio_8p_over_auto"] = round(v_fixed / v_auto, 3)
+    assert v_deeper < v_auto <= v_fixed if auto > 8 else v_deeper < v_fixed
+
+    if FULL:
+        # the wall-clock counterpart to the fixed-depth sim_knn_graph sweep
+        # entry: same graph, auto depth — the SCALE.md lever, measured
+        from insight_de_smart_grid_spark.operators.similarity import (
+            knn_graph,
+        )
+        n_edges = _timed("knn_graph_auto",
+                         lambda: knn_graph(emb, k=3,
+                                           n_planes="auto").count())
+        assert n_edges > 0
+
+
 SWEEP = [
     # blocked near-dup / similarity paths (the SCALE.md families).
     # Deliberately absent: dedup_clusters / dedup_ngram_jaccard — the exact
