@@ -21,6 +21,38 @@ from insight_de_smart_grid_spark.session import get_spark  # noqa: E402
 from insight_de_smart_grid_spark.plans.registry import QUERIES  # noqa: E402
 
 
+def is_regression(now: float, baseline: float) -> bool:
+    """>1.5x the frozen median AND >0.3 s absolute — the absolute floor
+    absorbs run-to-run noise on sub-100 ms queries."""
+    return (baseline > 0 and now > 0
+            and now > 1.5 * baseline and now - baseline > 0.3)
+
+
+def confirmed_regressions(timings: dict, base: dict, remeasure) -> dict:
+    """Flags from the first pass, kept only if a fresh measurement minutes
+    later still crosses the line. A transient allocator/GC stall can push
+    all three medians of a sub-second query over at once; a genuine plan or
+    code regression reproduces. ``remeasure(name) -> float`` re-times one
+    query (raising keeps the flag — can't re-measure means can't clear)."""
+    confirmed = {}
+    for name, t in sorted(timings.items()):
+        b = base.get(name, 0)
+        if not is_regression(t, b):
+            continue
+        try:
+            t2 = remeasure(name)
+        except Exception:
+            confirmed[name] = {"now": t, "baseline": b}
+            continue
+        if is_regression(t2, b):
+            confirmed[name] = {"now": t2, "baseline": b}
+        else:
+            print(f"bench: flag on {name} did not reproduce "
+                  f"({t}s -> {t2}s vs baseline {b}s) — transient",
+                  file=sys.stderr)
+    return confirmed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,12 +129,19 @@ def main() -> None:
     base_path = Path(REPO) / "BENCH_BASELINE.json"
     if base_path.exists():
         base = json.loads(base_path.read_text()).get("queries", {})
-        regressions = {
-            name: {"now": t, "baseline": base[name]}
-            for name, t in timings.items()
-            if name in base and base[name] > 0 and t > 0
-            and t > 1.5 * base[name] and t - base[name] > 0.3
-        }
+
+        def remeasure(name: str) -> float:
+            # same methodology as the first pass (median of 3; streaming
+            # replays once); first-pass timings stay in `queries` untouched
+            runs = []
+            for _ in range(1 if name.startswith("streaming_") else 3):
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).write.mode(
+                    "overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            return round(sorted(runs)[len(runs) // 2], 3)
+
+        regressions = confirmed_regressions(timings, base, remeasure)
         if regressions:
             out["regressions"] = regressions
             for name, r in sorted(regressions.items()):

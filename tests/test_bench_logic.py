@@ -1,0 +1,58 @@
+"""Unit tests for bench.py's regression detection — pure logic, no Spark.
+
+The confirm pass is the part worth pinning: a first-pass flag must be
+re-measured before it is reported, a reproducing flag keeps the *fresh*
+timing, a transient one is dropped, and a re-measure failure keeps the
+original flag (can't re-measure means can't clear it).
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from bench import confirmed_regressions, is_regression  # noqa: E402
+
+
+def test_is_regression_needs_both_ratio_and_absolute():
+    assert is_regression(1.0, 0.5)           # 2x and +0.5s
+    assert not is_regression(0.45, 0.2)      # 2.25x but only +0.25s
+    assert not is_regression(5.5, 5.0)       # +0.5s but only 1.1x
+    assert not is_regression(0.9, 0.61)      # 1.48x — under the ratio
+    assert not is_regression(1.0, 0)         # no baseline entry
+    assert not is_regression(-1.0, 0.5)      # failed query never flags
+
+
+def test_confirmed_keeps_fresh_timing_on_reproduction():
+    out = confirmed_regressions(
+        {"q": 2.0}, {"q": 0.5}, lambda name: 1.8)
+    assert out == {"q": {"now": 1.8, "baseline": 0.5}}
+
+
+def test_transient_flag_is_dropped(capsys):
+    out = confirmed_regressions(
+        {"q": 2.0, "ok": 0.5}, {"q": 0.5, "ok": 0.5}, lambda name: 0.55)
+    assert out == {}
+    assert "did not reproduce" in capsys.readouterr().err
+
+
+def test_remeasure_failure_keeps_original_flag():
+    def boom(name):
+        raise RuntimeError("executor gone")
+    out = confirmed_regressions({"q": 2.0}, {"q": 0.5}, boom)
+    assert out == {"q": {"now": 2.0, "baseline": 0.5}}
+
+
+def test_unflagged_queries_never_remeasured():
+    calls = []
+
+    def spy(name):
+        calls.append(name)
+        return 9.9
+    out = confirmed_regressions(
+        {"fast": 0.1, "slow": 3.0}, {"fast": 0.1, "slow": 1.0}, spy)
+    assert calls == ["slow"]
+    assert set(out) == {"slow"}
