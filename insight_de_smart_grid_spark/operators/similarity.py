@@ -570,8 +570,30 @@ WHERE rnk <= {k}
 """
 
 
+def auto_n_centroids(n_rows: int, nprobe: int = 4,
+                     lo: int = 16, hi: int = 65536) -> int:
+    """Coarse-quantizer size that minimizes per-query IVF work at a given
+    ``nprobe``: scoring the centroid table costs C comparisons and scanning
+    the probed inverted lists costs ~nprobe * n / C, so the sum is
+    minimized at C* = sqrt(nprobe * n) — the classic IVF sqrt rule, making
+    per-query cost O(sqrt(n)) instead of O(n / const). Clamped to
+    [lo, hi]: ``hi=65536`` bounds the broadcast centroid table to ~34 MB
+    at dim 64 (beyond that the centroid scoring itself wants an index —
+    a second IVF level, out of scope here). Recall at fixed nprobe is
+    governed by the scanned fraction nprobe/C, so when C grows with the
+    corpus, raise nprobe in step to hold a recall target.
+
+    Like ``auto_n_planes``, off the registered-oracle surface: the DuckDB
+    twins are static SQL. Engine callers opt in with
+    ``n_centroids="auto"``."""
+    import math
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.sqrt(nprobe * n_rows))))
+
+
 def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
-                      n_centroids: int = 16, nprobe: int = 4,
+                      n_centroids: "int | str" = 16, nprobe: int = 4,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:
     """IVF ANN with a *deterministic* coarse quantizer so a DuckDB oracle can
@@ -587,8 +609,14 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     assigned table is written partitioned by ``cluster`` and a query scans
     nprobe/n_centroids of it — identical physical story to ``ivf_ann_topk``,
     with the trained-quantizer variant kept for recall quality.
+
+    ``n_centroids="auto"`` sizes the quantizer by the sqrt rule
+    (``auto_n_centroids``) — per-query cost O(sqrt(n)) as the corpus grows.
     """
     from pyspark.sql import Window
+
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids(embeddings.count(), nprobe)
 
     # zero-norm vectors have no cosine direction — their score is 0/0,
     # which engines disagree on (NULL vs NaN vs -1); exclude them outright

@@ -152,6 +152,47 @@ def test_portable_ivf_recall_vs_exact(spark):
     assert len(exact & approx) >= 5
 
 
+def test_auto_n_centroids_sqrt_rule():
+    """C* = ceil(sqrt(nprobe * n)) — per-query cost O(sqrt(n)) — with the
+    broadcast-bounding clamps."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_centroids,
+    )
+
+    assert auto_n_centroids(0) == 16
+    assert auto_n_centroids(50) == 16               # lo clamp
+    assert auto_n_centroids(10_000, nprobe=4) == 200
+    assert auto_n_centroids(1_000_000, nprobe=1) == 1000
+    assert auto_n_centroids(10 ** 12) == 65536      # hi clamp (broadcast)
+    ns = [auto_n_centroids(n) for n in (10, 10 ** 3, 10 ** 6, 10 ** 9)]
+    assert ns == sorted(ns)                          # monotone in n
+    # 4x the corpus -> 2x the centroids (between the clamps)
+    assert auto_n_centroids(4 * 10 ** 6) == 2 * auto_n_centroids(10 ** 6)
+
+
+def test_portable_ivf_auto_centroids_matches_explicit(spark):
+    """n_centroids="auto" must equal the explicitly-resolved integer run
+    row-for-row — the lever changes the quantizer size, nothing else — and
+    still surface a true close neighbor in its probed lists."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_centroids,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    resolved = auto_n_centroids(emb.count())
+    auto_rows = sorted(map(tuple,
+                           ivf_portable_topk(emb, 7, k=10,
+                                             n_centroids="auto").collect()))
+    explicit_rows = sorted(map(tuple,
+                               ivf_portable_topk(
+                                   emb, 7, k=10,
+                                   n_centroids=resolved).collect()))
+    assert auto_rows == explicit_rows
+    assert len(auto_rows) == 10
+    exact = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
+    assert {r[0] for r in auto_rows} & exact
+
+
 def test_portable_ivf_no_driver_collect(spark):
     """The whole plan is declarative — no toPandas/collect anywhere in the
     operator (probe selection included)."""
