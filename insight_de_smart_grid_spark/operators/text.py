@@ -898,3 +898,182 @@ SELECT doc_id,
        0.5 + 0.5 * (s / (1.0 + abs(s))) >= 0.5 AS keep
 FROM s
 """
+
+
+def _feature_micros(docs: DataFrame, text_col: str) -> DataFrame:
+    """The model_quality_score features quantized to BIGINT micro-units
+    (floor(x*1e6 + 0.5) — explicit half-up, round() half-cases differ
+    cross-engine) plus the deterministic training label ym: "reads like
+    prose" = stopword ratio >= 0.25 AND punctuation ratio <= 0.10.
+    All upstream doubles are IEEE quotients of identical integer counts,
+    so both engines quantize to the same micro-unit."""
+    c = F.col(text_col)
+    x1 = F.least(token_count(c).cast("double") / F.lit(100.0), F.lit(1.0))
+    x2 = stopword_ratio(c)
+    x3 = punct_ratio(c)
+    x4 = (F.length(c).cast("double") / token_count(c)) / F.lit(10.0)
+
+    def m(x: Column) -> Column:
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    return (docs.filter(F.length(c) > 0)
+            .select(m(x1).alias("x1m"), m(x2).alias("x2m"),
+                    m(x3).alias("x3m"), m(x4).alias("x4m"))
+            .withColumn("ym", F.when((F.col("x2m") >= 250_000)
+                                     & (F.col("x3m") <= 100_000),
+                                     F.lit(1_000_000).cast("long"))
+                        .otherwise(F.lit(0).cast("long"))))
+
+
+_SIG = "(500000 * {s}) DIV (1000000 + abs({s}))"
+
+
+def train_quality_classifier(docs: DataFrame, epochs: int = 3,
+                             lr_micro: int = 500_000,
+                             text_col: str = "text",
+                             materialize: bool = True) -> DataFrame:
+    """Distributed batch-gradient trainer for the linear quality model —
+    the stage that PRODUCES weights like ``MODEL_W`` (closing the loop
+    with ``model_quality_score``, which consumes them at scan speed).
+
+    Full-batch logistic-style descent with the algebraic sigmoid, EXACT
+    cross-engine via BIGINT micro-units (the ``pagerank_knn`` /
+    ``kmeans_portable`` recipe): features, weights, probabilities, and
+    gradients all live as integer millionths, every division is integer
+    ``DIV`` (truncating toward zero in BOTH engines — verified for
+    negative operands), so partial-aggregation order cannot flip a bit.
+
+    Scale shape per epoch: one full scan of the staged feature table
+    (narrow, 5 BIGINTs/row) feeding a single 5-column global aggregate —
+    the map-side-combined all-reduce every distributed GD does; the
+    weight row is a broadcast. No driver-side data at any point; epochs
+    chain declaratively with the 1-row weight relation staged between
+    rounds. Returns ONE row: final weights in micro-units
+    (w_bias/w_len/w_stop/w_punct/w_wordlen), n_docs, and n_correct
+    (training accuracy of the final weights at the p >= 0.5 threshold).
+
+    The label is the deterministic prose heuristic in
+    ``_feature_micros`` — at 100 TB you swap in a labeled sample (e.g.
+    curated-vs-crawl sources) without touching the epoch dataflow."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    from insight_de_smart_grid_spark.operators.staging import stage
+
+    spark = docs.sparkSession
+    feats = stage(_feature_micros(docs, text_col), materialize)
+    w = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(n)
+          for n in ("b", "w1", "w2", "w3", "w4")])
+    score = ("b + (w1*x1m + w2*x2m + w3*x3m + w4*x4m) DIV 1000000")
+    for _ in range(epochs):
+        resid = (feats.join(F.broadcast(w))
+                 .withColumn("s", F.expr(score))
+                 .withColumn("r", F.lit(500_000)
+                             + F.expr(_SIG.format(s="s")) - F.col("ym")))
+        grads = resid.agg(
+            F.expr("sum(r) DIV count(1)").alias("g0"),
+            *[F.expr(f"sum((r * x{j}m) DIV 1000000) DIV count(1)")
+              .alias(f"g{j}") for j in (1, 2, 3, 4)])
+        w = stage(
+            w.join(F.broadcast(grads)).select(
+                (F.col("b") - F.expr(f"({lr_micro} * g0) DIV 1000000"))
+                .alias("b"),
+                *[(F.col(f"w{j}")
+                   - F.expr(f"({lr_micro} * g{j}) DIV 1000000"))
+                  .alias(f"w{j}") for j in (1, 2, 3, 4)]),
+            materialize)
+    ev = (feats.join(F.broadcast(w))
+          .withColumn("s", F.expr(score))
+          .withColumn("p", F.lit(500_000) + F.expr(_SIG.format(s="s")))
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum(F.when((F.col("p") >= 500_000)
+                            == (F.col("ym") == 1_000_000), 1)
+                     .otherwise(0)).cast("long").alias("n_correct")))
+    return (w.join(F.broadcast(ev))
+            .select(F.col("b").alias("w_bias"), F.col("w1").alias("w_len"),
+                    F.col("w2").alias("w_stop"),
+                    F.col("w3").alias("w_punct"),
+                    F.col("w4").alias("w_wordlen"),
+                    "n_docs", "n_correct"))
+
+
+def train_quality_classifier_oracle_sql(epochs: int = 3,
+                                        lr_micro: int = 500_000) -> str:
+    """Epochs unrolled as chained CTEs over the same BIGINT micro-units
+    (`//` truncates toward zero like Spark's DIV, negative operands
+    included). Aggregates CAST to BIGINT: DuckDB sums integers into
+    HUGEINT, which would mismatch the driver's schema compare."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    sig = "(500000 * {s}) // (1000000 + abs({s}))"
+    rounds = []
+    prev = "w0"
+    for t in range(1, epochs + 1):
+        rounds.append(f"""
+resid{t} AS (
+  SELECT f.*,
+         500000 + {sig.format(s=f'(w.b + (w.w1*f.x1m + w.w2*f.x2m + w.w3*f.x3m + w.w4*f.x4m) // 1000000)')} - f.ym AS r
+  FROM feats f, {prev} w
+),
+grads{t} AS (
+  SELECT CAST(sum(r) // count(*) AS BIGINT) AS g0,
+         CAST(sum((r * x1m) // 1000000) // count(*) AS BIGINT) AS g1,
+         CAST(sum((r * x2m) // 1000000) // count(*) AS BIGINT) AS g2,
+         CAST(sum((r * x3m) // 1000000) // count(*) AS BIGINT) AS g3,
+         CAST(sum((r * x4m) // 1000000) // count(*) AS BIGINT) AS g4
+  FROM resid{t}
+),
+w{t} AS (
+  SELECT CAST(w.b  - ({lr_micro} * g.g0) // 1000000 AS BIGINT) AS b,
+         CAST(w.w1 - ({lr_micro} * g.g1) // 1000000 AS BIGINT) AS w1,
+         CAST(w.w2 - ({lr_micro} * g.g2) // 1000000 AS BIGINT) AS w2,
+         CAST(w.w3 - ({lr_micro} * g.g3) // 1000000 AS BIGINT) AS w3,
+         CAST(w.w4 - ({lr_micro} * g.g4) // 1000000 AS BIGINT) AS w4
+  FROM {prev} w, grads{t} g
+)""")
+        prev = f"w{t}"
+    return f"""
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n,
+         length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))
+           AS n_nopunct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+           AS n_stop
+  FROM documents WHERE length(text) > 0
+),
+fx AS (
+  SELECT least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x1,
+         n_stop / len(toks) AS x2,
+         CAST(n - n_nopunct AS DOUBLE) / n AS x3,
+         (CAST(n AS DOUBLE) / len(toks)) / 10.0 AS x4
+  FROM t
+),
+feats AS (
+  SELECT CAST(floor(x1 * 1e6 + 0.5) AS BIGINT) AS x1m,
+         CAST(floor(x2 * 1e6 + 0.5) AS BIGINT) AS x2m,
+         CAST(floor(x3 * 1e6 + 0.5) AS BIGINT) AS x3m,
+         CAST(floor(x4 * 1e6 + 0.5) AS BIGINT) AS x4m,
+         CASE WHEN CAST(floor(x2 * 1e6 + 0.5) AS BIGINT) >= 250000
+                   AND CAST(floor(x3 * 1e6 + 0.5) AS BIGINT) <= 100000
+              THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         END AS ym
+  FROM fx
+),
+w0 AS (
+  SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+         CAST(0 AS BIGINT) AS w4
+),{','.join(rounds)},
+ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN (500000 + {sig.format(s=f'(w.b + (w.w1*f.x1m + w.w2*f.x2m + w.w3*f.x3m + w.w4*f.x4m) // 1000000)')} >= 500000)
+                            = (f.ym = 1000000)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM feats f, {prev} w
+)
+SELECT w.b AS w_bias, w.w1 AS w_len, w.w2 AS w_stop, w.w3 AS w_punct,
+       w.w4 AS w_wordlen, ev.n_docs, ev.n_correct
+FROM {prev} w, ev
+"""

@@ -205,6 +205,20 @@ def q_pipeline_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.model_quality_score(load_table(spark, sf_dir, "documents"))
 
 
+@register("pipeline_train_quality_clf",
+          tx.train_quality_classifier_oracle_sql())
+def q_pipeline_train_quality_clf(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Distributed full-batch trainer for the linear quality model (the
+    stage that produces pipeline_model_score's weights): integer-micro
+    logistic-style descent, one map-side-combined 5-column aggregate per
+    epoch, weights as a staged 1-row broadcast — zero driver-side data.
+    The DuckDB twin unrolls the epochs as chained CTEs and matches
+    bit-for-bit (all-BIGINT arithmetic)."""
+    return tx.train_quality_classifier(
+        load_table(spark, sf_dir, "documents"))
+
+
 @register("curate_corpus", tx.CURATE_SQL)
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: lang filter -> quality gate -> fingerprint

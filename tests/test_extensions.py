@@ -14,6 +14,7 @@ from tests.conftest import SF_ORACLE
 from tests.oracle import check_registered
 
 ORACLE_CHECKED = [
+    "pipeline_train_quality_clf",
     "text_stats",
     "text_lang_id",
     "text_quality",
@@ -696,6 +697,29 @@ def test_knn_graph_auto_planes_recall(spark):
     exact10 = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
     graph3 = {r.nbr_id for r in g.filter("anchor_id = 7").collect()}
     assert graph3 & exact10
+
+
+def test_trainer_moves_weights_and_is_deterministic(spark):
+    """With both label classes present the gradient is non-zero, so one
+    epoch must move some weight off the zero init; more epochs keep
+    moving them; and two runs are bit-identical (the integer-micro
+    contract)."""
+    from insight_de_smart_grid_spark.operators.text import (
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    r1 = train_quality_classifier(docs, epochs=1).collect()[0]
+    r3a = train_quality_classifier(docs, epochs=3).collect()[0]
+    r3b = train_quality_classifier(docs, epochs=3).collect()[0]
+    assert r3a == r3b
+    weights1 = (r1.w_bias, r1.w_len, r1.w_stop, r1.w_punct, r1.w_wordlen)
+    assert any(w != 0 for w in weights1)
+    assert (r3a.w_bias, r3a.w_len, r3a.w_stop, r3a.w_punct,
+            r3a.w_wordlen) != weights1
+    assert 0 <= r3a.n_correct <= r3a.n_docs
+    with pytest.raises(ValueError):
+        train_quality_classifier(docs, epochs=0)
 
 
 def test_semantic_dedup_matches_oracle(spark, duck):
