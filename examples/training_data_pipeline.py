@@ -8,6 +8,8 @@ blocked dedup stage shuffles only narrow (id, hash) rows:
 
   1. profile          per-source token budget (the data-mixture table)
   2. score + gate     lang-id, quality, fingerprints at scan speed
+     2b. train + score  distributed trainer fits the quality classifier
+                      (integer-micro GD), then the model scores the corpus
   3. lexical dedup    exact drop + MinHash-LSH near-dup clusters,
                       quality-ranked keeper per cluster
   4. semantic dedup   SemDeDup-style embedding-space collapse
@@ -50,6 +52,14 @@ def main() -> None:
 
     print("== 2. curation gate: lang-id -> quality -> fingerprint dedup ==")
     tx.curate_corpus(docs).orderBy("source").show()
+
+    print("== 2b. train the quality classifier, then score the corpus ==")
+    trained = tx.train_quality_classifier(docs, epochs=3).collect()[0]
+    print(f"   weights (micro-units): bias={trained.w_bias} "
+          f"len={trained.w_len} stop={trained.w_stop} "
+          f"punct={trained.w_punct} wordlen={trained.w_wordlen}; "
+          f"train acc {trained.n_correct}/{trained.n_docs}")
+    tx.model_quality_score(docs).orderBy(F.desc("prob")).show(5)
 
     print("== 3a. exact dedup ==")
     exact_kept = dd.drop_exact_dups(docs)

@@ -225,6 +225,7 @@ SWEEP = [
     "pipeline_source_cap",
     "pipeline_global_shuffle",
     "pipeline_pack_sequences",
+    "pipeline_train_quality_clf",
     # hot (house, window) keys through rollup and stateful streaming
     "rollup_1s",
     "dash_timeseries_5s",
