@@ -10,7 +10,7 @@ from insight_de_smart_grid_spark.operators import dedup as dd
 from insight_de_smart_grid_spark.operators import multimodal as mm
 from insight_de_smart_grid_spark.operators import similarity as sim
 from insight_de_smart_grid_spark.sources.tables import load_table
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle import check_registered
 
 ORACLE_CHECKED = [
@@ -720,6 +720,45 @@ def test_trainer_moves_weights_and_is_deterministic(spark):
     assert 0 <= r3a.n_correct <= r3a.n_docs
     with pytest.raises(ValueError):
         train_quality_classifier(docs, epochs=0)
+
+
+def test_trainer_matches_pure_python_integer_replica(spark):
+    """Third engine: replay the exact integer recurrence in Python ints
+    over the same micro-features and demand identical weights. Python
+    ints are arbitrary-precision with true truncating //-toward-zero
+    emulated explicitly, so this pins the micro-unit SEMANTICS (not just
+    Spark-vs-DuckDB agreement on them)."""
+    from insight_de_smart_grid_spark.operators.text import (
+        _feature_micros,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = [(r.x1m, r.x2m, r.x3m, r.x4m, r.ym)
+            for r in _feature_micros(docs, "text").collect()]
+
+    def tdiv(a: int, b: int) -> int:  # Spark DIV / DuckDB //: trunc to 0
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    lr, epochs = 500_000, 3
+    w = [0, 0, 0, 0, 0]  # b, w1..w4
+    n = len(rows)
+    for _ in range(epochs):
+        g = [0, 0, 0, 0, 0]
+        for x1, x2, x3, x4, y in rows:
+            s = w[0] + tdiv(w[1]*x1 + w[2]*x2 + w[3]*x3 + w[4]*x4,
+                            1_000_000)
+            r = 500_000 + tdiv(500_000 * s, 1_000_000 + abs(s)) - y
+            g[0] += r
+            for j, x in ((1, x1), (2, x2), (3, x3), (4, x4)):
+                g[j] += tdiv(r * x, 1_000_000)
+        w = [w[j] - tdiv(lr * tdiv(g[j], n), 1_000_000) for j in range(5)]
+
+    got = train_quality_classifier(docs, epochs=epochs).collect()[0]
+    assert [got.w_bias, got.w_len, got.w_stop, got.w_punct,
+            got.w_wordlen] == w
+    assert got.n_docs == n
 
 
 def test_semantic_dedup_matches_oracle(spark, duck):
