@@ -480,6 +480,83 @@ LIMIT {k}
 """
 
 
+def lsh_multiprobe_topk(embeddings: DataFrame, query_vec_id: int,
+                        k: int = 10, n_tables: int = 4,
+                        n_planes: "int | str" = 8, dim: int = 64,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Multiprobe ANN (Lv et al., VLDB'07 shape): probe the query's bucket
+    AND every Hamming-1 neighbor bucket (one sign bit flipped) in each
+    table — n_tables*(n_planes+1) probes against an index only n_tables
+    deep. A bucket one bit away holds the vectors the query barely missed
+    on one hyperplane, so extra probes buy the recall extra TABLES would
+    — at 1/(n_planes+1) of the index footprint, the storage lever that
+    matters when the signature table is the persisted 100 TB index.
+
+    Candidate set at equal (tables, planes) is a strict superset of
+    ``lsh_ann_topk``'s, so exact-top-k overlap is provably monotone
+    non-decreasing (pinned by the recall test). Index side is identical:
+    the bucketed signature table; only the broadcast probe list grows —
+    still an equi-join on (table, bucket), never a range scan."""
+    if n_planes == "auto":  # resolve once; the probe flips need the depth
+        n_planes = auto_n_planes(embeddings.count())
+    sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
+                                vec_col=vec_col, id_col=id_col)
+    qb = (sig.filter(F.col(id_col) == query_vec_id)
+          .select(F.col("table").alias("qtable"),
+                  F.explode(F.array(
+                      F.col("bucket"),
+                      *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)])).alias("qbucket"),
+                  F.col("v").alias("qv")))
+    cands = (
+        sig.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(qb), (F.col("table") == F.col("qtable"))
+              & (F.col("bucket") == F.col("qbucket")))
+        .select(id_col, "v", "qv")
+        .dropDuplicates([id_col])
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(_dot(F.col("v"), F.col("qv"))
+                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_multiprobe_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                                   n_tables: int = 4, n_planes: int = 8,
+                                   dim: int = 64) -> str:
+    """DuckDB twin: the probe list is the query bucket unioned with its
+    ``n_planes`` one-bit-flip neighbors (xor with each power of two)."""
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+qsig AS (SELECT tbl, bucket FROM sigs WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT tbl, bucket FROM qsig
+  UNION
+  SELECT tbl, xor(bucket, (1::BIGINT << g.p)) AS bucket
+  FROM qsig, generate_series(0, {n_planes - 1}) g(p)
+),
+cands AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN probes q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id != {query_vec_id}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 6)
+       AS cos_sim
+FROM cands JOIN embeddings e USING (vec_id), qv
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def lsh_hard_negatives(embeddings: DataFrame, k: int = 3,
                        n_tables: int = 16, n_planes: int = 8, dim: int = 64,
                        vec_col: str = "embedding", id_col: str = "vec_id",

@@ -103,6 +103,18 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             query_vec_id=0, k=10, n_planes=8)
 
 
+@register("sim_ann_multiprobe_topk",
+          sim.lsh_multiprobe_topk_oracle_sql(0, 10))
+def q_sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe ANN: probe the query bucket plus its one-bit-flip
+    neighbors per table — the recall of many tables at a fraction of the
+    index footprint (the storage lever for a persisted 100 TB signature
+    index). Same deterministic plane family, so DuckDB replays buckets,
+    probes, and the re-ranked top-k exactly."""
+    return sim.lsh_multiprobe_topk(load_table(spark, sf_dir, "embeddings"),
+                                   query_vec_id=0, k=10)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

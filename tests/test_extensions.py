@@ -15,6 +15,7 @@ from tests.oracle import check_registered
 
 ORACLE_CHECKED = [
     "pipeline_train_quality_clf",
+    "sim_ann_multiprobe_topk",
     "text_stats",
     "text_lang_id",
     "text_quality",
@@ -697,6 +698,42 @@ def test_knn_graph_auto_planes_recall(spark):
     exact10 = {r.vec_id for r in cosine_topk(emb, 7, k=10).collect()}
     graph3 = {r.nbr_id for r in g.filter("anchor_id = 7").collect()}
     assert graph3 & exact10
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """At equal (tables, planes) the multiprobe candidate set is a strict
+    superset of single-probe's, so overlap with the exact top-10 is
+    provably monotone non-decreasing — and the extra probes must buy
+    real candidates on this corpus (candidate count strictly grows)."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_signatures,
+        lsh_ann_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    single = {r.vec_id for r in
+              lsh_ann_topk(emb, 0, k=10, n_tables=4, n_planes=8).collect()}
+    multi = {r.vec_id for r in
+             lsh_multiprobe_topk(emb, 0, k=10, n_tables=4,
+                                 n_planes=8).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert multi & exact  # 4 tables x 9 probes find the neighborhood
+
+    # candidate growth, measured at the signature level: buckets within
+    # Hamming distance 1 of the query hold more rows than the exact
+    # bucket alone
+    sig = hyperplane_signatures(emb, n_tables=4, n_planes=8)
+    qb = {(r.table, r.bucket) for r in
+          sig.filter("vec_id = 0").collect()}
+    probes = {(t, b ^ (1 << p)) for t, b in qb for p in range(8)} | qb
+    rows = [(r.table, r.bucket)
+            for r in sig.select("table", "bucket").collect()]
+    in_exact = sum(1 for tb in rows if tb in qb)
+    in_probes = sum(1 for tb in rows if tb in probes)
+    assert in_probes > in_exact
 
 
 def test_trainer_moves_weights_and_is_deterministic(spark):
