@@ -798,6 +798,48 @@ def test_trainer_matches_pure_python_integer_replica(spark):
     assert got.n_docs == n
 
 
+def test_semantic_dedup_precollapse_is_output_invariant(spark):
+    """The exact-duplicate pre-collapse must be invisible in the output:
+    same rows as the un-collapsed formulation (LSH pairs over ALL
+    vectors -> components) on a corpus with an identical-vector group, a
+    near-duplicate of it, an orthogonal singleton, and two byte-identical
+    ZERO vectors (which must stay singletons — 0/0 cosine never passes
+    the threshold, so the collapse has to bypass them)."""
+    from insight_de_smart_grid_spark.operators.dedup import dup_clusters
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        semantic_dedup,
+    )
+
+    dim = 64
+    a = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 1e-4] + [0.0] * (dim - 2)
+    orth = ([0.0, 0.0, 1.0] + [0.0] * (dim - 3))
+    zero = [0.0] * dim
+    emb = spark.createDataFrame(
+        [(0, a), (1, a), (2, a), (3, near), (4, orth), (5, zero),
+         (6, zero)],
+        "vec_id long, embedding array<float>")
+
+    got = sorted(map(tuple, semantic_dedup(emb).collect()))
+
+    pairs = cosine_pairs_blocked(emb, threshold=0.95)
+    labels = dup_clusters(pairs.select(F.col("vec_a").alias("doc_a"),
+                                       F.col("vec_b").alias("doc_b")))
+    ref = sorted(map(tuple, (
+        emb.select("vec_id")
+        .join(labels.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+              "vec_id", "left")
+        .select("vec_id",
+                F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    ).collect()))
+
+    assert got == ref
+    as_dict = {r[0]: r[1] for r in got}
+    assert as_dict == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6}
+
+
 def test_semantic_dedup_matches_oracle(spark, duck):
     check_registered(spark, duck, "dedup_semantic")
 
