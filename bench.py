@@ -19,6 +19,21 @@ if REPO not in sys.path:
 
 from insight_de_smart_grid_spark.session import get_spark  # noqa: E402
 from insight_de_smart_grid_spark.plans.registry import QUERIES  # noqa: E402
+from insight_de_smart_grid_spark.operators.staging import (  # noqa: E402
+    checkpoint_scope,
+    pinned_rdd_ids,
+)
+
+
+def run_query(spark, name: str, sf_dir: str) -> None:
+    """One fully-consumed noop execution inside a checkpoint_scope: any
+    localCheckpoint blocks a staging operator pins are released as soon as
+    the query's sink finishes, so the 202-query loop holds at most one
+    query's staged blocks at a time instead of accumulating all of them
+    for the session (operators/staging.py lifecycle contract)."""
+    with checkpoint_scope(spark):
+        QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop").save()
 
 
 def is_regression(now: float, baseline: float) -> bool:
@@ -78,14 +93,22 @@ def main() -> None:
     # full stateful replay; there is no compile-once steady state to expose).
     timings: dict[str, float] = {}
     failed: set[str] = set()
+    pins_before = pinned_rdd_ids(spark)
     for name, q in QUERIES.items():
         if name.startswith("streaming_"):
             continue
         try:
-            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            run_query(spark, name, sf_dir)
         except Exception as exc:
             failed.add(name)
             print(f"bench: {name} failed in warmup: {exc}", file=sys.stderr)
+    # lifecycle check: the scoped loop must not leak pinned blocks — a
+    # staging operator whose blocks survive its scope would accumulate
+    # across 202 queries and distort every later timing
+    leaked = pinned_rdd_ids(spark) - pins_before
+    if leaked:
+        print(f"bench: WARNING {len(leaked)} RDDs stayed pinned after the "
+              f"warmup loop: {sorted(leaked)}", file=sys.stderr)
     # Batch queries: median of 3 measured runs (GC pauses and JIT
     # recompilation make single runs noisy at these latencies). Streaming
     # replays: one run — each invocation replays full state, so repeats cost
@@ -99,8 +122,7 @@ def main() -> None:
         try:
             for _ in range(reps):
                 t0 = time.perf_counter()
-                q.fn(spark, sf_dir).write.mode("overwrite").format(
-                    "noop").save()
+                run_query(spark, name, sf_dir)
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # keep the bench line parseable on failure
@@ -136,8 +158,7 @@ def main() -> None:
             runs = []
             for _ in range(1 if name.startswith("streaming_") else 3):
                 t0 = time.perf_counter()
-                QUERIES[name].fn(spark, sf_dir).write.mode(
-                    "overwrite").format("noop").save()
+                run_query(spark, name, sf_dir)
                 runs.append(time.perf_counter() - t0)
             return round(sorted(runs)[len(runs) // 2], 3)
 

@@ -31,6 +31,7 @@ if REPO not in sys.path:
 from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators import similarity as sim
+from insight_de_smart_grid_spark.operators.staging import checkpoint_scope
 from insight_de_smart_grid_spark.session import get_spark
 from insight_de_smart_grid_spark.sources.tables import load_table
 
@@ -41,29 +42,39 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    print("== 1. kNN similarity graph (persisted index shape) ==")
-    edges = sim.knn_graph(emb, k=3)
-    edges.orderBy("anchor_id", "rnk").show(6)
+    # every stage fully consumes its result (show/count) inside a
+    # checkpoint_scope, releasing the localCheckpoint blocks the graph
+    # operators stage (signature tables, edge lists) before the next
+    # stage runs — the consume-then-release contract from
+    # operators/staging.py for long-lived driver sessions
+    with checkpoint_scope(spark):
+        print("== 1. kNN similarity graph (persisted index shape) ==")
+        edges = sim.knn_graph(emb, k=3)
+        edges.orderBy("anchor_id", "rnk").show(6)
 
-    print("== 2. PageRank centrality (integer micro-units) ==")
-    ranks = sim.pagerank_knn(emb)
-    print("most central (canonical candidates):")
-    ranks.orderBy(F.desc("rank_micro"), "vec_id").show(5)
-    print("least central (outlier candidates):")
-    ranks.orderBy("rank_micro", "vec_id").show(5)
+    with checkpoint_scope(spark):
+        print("== 2. PageRank centrality (integer micro-units) ==")
+        ranks = sim.pagerank_knn(emb)
+        print("most central (canonical candidates):")
+        ranks.orderBy(F.desc("rank_micro"), "vec_id").show(5)
+        print("least central (outlier candidates):")
+        ranks.orderBy("rank_micro", "vec_id").show(5)
 
-    print("== 3. Label propagation (20% seeds -> full corpus) ==")
-    labels = sim.label_propagation(emb)
-    labels.groupBy("origin").count().orderBy("origin").show()
+    with checkpoint_scope(spark):
+        print("== 3. Label propagation (20% seeds -> full corpus) ==")
+        labels = sim.label_propagation(emb)
+        labels.groupBy("origin").count().orderBy("origin").show()
 
-    print("== 4. Cross-modal keeper (semantic cluster + text quality) ==")
-    keepers = sim.semantic_keep_best(docs, emb)
-    keepers.groupBy("keep").agg(
-        F.count(F.lit(1)).alias("n_docs")).orderBy("keep").show()
-    kept = keepers.filter("keep").count()
-    total = keepers.count()
-    print(f"kept {kept}/{total} docs "
-          f"({total - kept} collapsed into semantic clusters)")
+    with checkpoint_scope(spark):
+        print("== 4. Cross-modal keeper (semantic cluster + text "
+              "quality) ==")
+        keepers = sim.semantic_keep_best(docs, emb)
+        keepers.groupBy("keep").agg(
+            F.count(F.lit(1)).alias("n_docs")).orderBy("keep").show()
+        kept = keepers.filter("keep").count()
+        total = keepers.count()
+        print(f"kept {kept}/{total} docs "
+              f"({total - kept} collapsed into semantic clusters)")
 
 
 if __name__ == "__main__":

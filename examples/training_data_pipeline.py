@@ -35,6 +35,7 @@ from insight_de_smart_grid_spark.operators import dedup as dd
 from insight_de_smart_grid_spark.operators import pipeline as pl
 from insight_de_smart_grid_spark.operators import text as tx
 from insight_de_smart_grid_spark.operators.similarity import semantic_dedup
+from insight_de_smart_grid_spark.operators.staging import checkpoint_scope
 from insight_de_smart_grid_spark.session import get_spark
 from insight_de_smart_grid_spark.sources.tables import load_table
 
@@ -47,51 +48,65 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    print("== 1. corpus profile: per-source token budget ==")
-    pl.token_budget_report(docs).orderBy(F.desc("tokens")).show()
+    # self-contained stages release their staged localCheckpoint blocks
+    # (operators/staging.py) as soon as their output is consumed; stages
+    # 3a->6 form one dependency chain (lex_kept/clean are re-read
+    # downstream), so they share a single scope — releasing mid-chain
+    # would drop blocks a truncated lineage can no longer recompute
+    with checkpoint_scope(spark):
+        print("== 1. corpus profile: per-source token budget ==")
+        pl.token_budget_report(docs).orderBy(F.desc("tokens")).show()
 
-    print("== 2. curation gate: lang-id -> quality -> fingerprint dedup ==")
-    tx.curate_corpus(docs).orderBy("source").show()
+    with checkpoint_scope(spark):
+        print("== 2. curation gate: lang-id -> quality -> fingerprint "
+              "dedup ==")
+        tx.curate_corpus(docs).orderBy("source").show()
 
-    print("== 2b. train the quality classifier, then score the corpus ==")
-    trained = tx.train_quality_classifier(docs, epochs=3).collect()[0]
-    print(f"   weights (micro-units): bias={trained.w_bias} "
-          f"len={trained.w_len} stop={trained.w_stop} "
-          f"punct={trained.w_punct} wordlen={trained.w_wordlen}; "
-          f"train acc {trained.n_correct}/{trained.n_docs}")
-    tx.model_quality_score(docs).orderBy(F.desc("prob")).show(5)
+    with checkpoint_scope(spark):
+        print("== 2b. train the quality classifier, then score the "
+              "corpus ==")
+        trained = tx.train_quality_classifier(docs, epochs=3).collect()[0]
+        print(f"   weights (micro-units): bias={trained.w_bias} "
+              f"len={trained.w_len} stop={trained.w_stop} "
+              f"punct={trained.w_punct} wordlen={trained.w_wordlen}; "
+              f"train acc {trained.n_correct}/{trained.n_docs}")
+        tx.model_quality_score(docs).orderBy(F.desc("prob")).show(5)
 
-    print("== 3a. exact dedup ==")
-    exact_kept = dd.drop_exact_dups(docs)
-    print(f"   {docs.count()} -> {exact_kept.count()} docs")
+    with checkpoint_scope(spark):
+        print("== 3a. exact dedup ==")
+        exact_kept = dd.drop_exact_dups(docs)
+        print(f"   {docs.count()} -> {exact_kept.count()} docs")
 
-    print("== 3b. near-dup clusters (MinHash-LSH), quality-ranked keeper ==")
-    pairs = dd.minhash_lsh_near_dups(exact_kept, threshold=0.5)
-    marked = dd.keep_best_per_cluster(exact_kept, pairs)
-    marked.orderBy("cluster_id", F.desc("keep")).show(10)
-    lex_kept = (exact_kept.join(
-        marked.filter("keep = 0").select("doc_id"), "doc_id", "left_anti"))
-    print(f"   {exact_kept.count()} -> {lex_kept.count()} docs")
+        print("== 3b. near-dup clusters (MinHash-LSH), quality-ranked "
+              "keeper ==")
+        pairs = dd.minhash_lsh_near_dups(exact_kept, threshold=0.5)
+        marked = dd.keep_best_per_cluster(exact_kept, pairs)
+        marked.orderBy("cluster_id", F.desc("keep")).show(10)
+        lex_kept = (exact_kept.join(
+            marked.filter("keep = 0").select("doc_id"), "doc_id",
+            "left_anti"))
+        print(f"   {exact_kept.count()} -> {lex_kept.count()} docs")
 
-    print("== 4. semantic dedup (SemDeDup over the embedding table) ==")
-    sem = semantic_dedup(emb, threshold=0.95)
-    sem.filter("NOT keep").show(10)
-    print(f"   semantic drops: {sem.filter('NOT keep').count()}")
+        print("== 4. semantic dedup (SemDeDup over the embedding "
+              "table) ==")
+        sem = semantic_dedup(emb, threshold=0.95)
+        sem.filter("NOT keep").show(10)
+        print(f"   semantic drops: {sem.filter('NOT keep').count()}")
 
-    print("== 5. decontamination vs the holdout slice ==")
-    contaminated = pl.decontaminate(lex_kept)
-    clean = lex_kept.join(contaminated.select("doc_id"), "doc_id",
-                          "left_anti")
-    print(f"   {lex_kept.count()} -> {clean.count()} docs "
-          f"({contaminated.count()} flagged)")
+        print("== 5. decontamination vs the holdout slice ==")
+        contaminated = pl.decontaminate(lex_kept)
+        clean = lex_kept.join(contaminated.select("doc_id"), "doc_id",
+                              "left_anti")
+        print(f"   {lex_kept.count()} -> {clean.count()} docs "
+              f"({contaminated.count()} flagged)")
 
-    print("== 6. sequence packing into size-balanced shards ==")
-    packed = pl.pack_sequences(clean, capacity=512, n_shards=8)
-    (packed.groupBy("shard")
-     .agg(F.count(F.lit(1)).alias("n_docs"),
-          F.sum("n_tokens").alias("tokens"),
-          F.max("seq_idx").alias("max_seq"))
-     .orderBy("shard").show())
+        print("== 6. sequence packing into size-balanced shards ==")
+        packed = pl.pack_sequences(clean, capacity=512, n_shards=8)
+        (packed.groupBy("shard")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tokens").alias("tokens"),
+              F.max("seq_idx").alias("max_seq"))
+         .orderBy("shard").show())
 
     print("pipeline complete.")
 

@@ -177,7 +177,7 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
 
     EXACT-DUPLICATE PRE-COLLAPSE (output-invariant, measured 3.6x at the
     30x stress corpus): byte-identical non-zero vectors are a clique at
-    any threshold <= 1 — cos(u,u) = 1 and identical sign bits bucket them
+    any threshold < 1 — cos(u,u) = 1 and identical sign bits bucket them
     together in every table — so only the min-id representative of each
     identical group enters the LSH stage, and members rejoin as
     rep->member star edges (same connected components as the clique,
@@ -195,29 +195,44 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
 
     from insight_de_smart_grid_spark.operators.dedup import dup_clusters
 
-    v = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    keyed = (v.filter(_norm(F.col("v")) > 0)
-             .select("vec_id",
-                     F.sha2(F.to_json(F.struct("v")), 256).alias("vkey")))
-    # one shuffle on the hash key resolves every member's representative
-    # (min id over the identical group); staged because both the rep
-    # filter and the star edges read it
-    members = stage(
-        keyed.select("vec_id", F.min("vec_id").over(
-            Window.partitionBy("vkey")).alias("rep_id")), True)
-    rep_vecs = embeddings.join(
-        members.filter(F.col("vec_id") == F.col("rep_id"))
-        .select("vec_id"), "vec_id")
-    pairs = cosine_pairs_blocked(rep_vecs, threshold, n_tables,
-                                 n_planes, dim)
-    edges = pairs.select(F.col("vec_a").alias("doc_a"),
-                         F.col("vec_b").alias("doc_b"))
-    if threshold <= 1.0:  # identical vectors qualify: add the star edges
+    if threshold < 1.0:
+        # Collapse is valid strictly below 1.0: identical vectors pass any
+        # such threshold with margin, so the star edges are exactly the
+        # clique the float path would emit. AT threshold = 1.0 the
+        # un-collapsed filter compares the unrounded float cosine
+        # dot(v,v)/(sqrt*sqrt), which can land 1 ulp below 1.0 — the
+        # oracle leaves those identical vectors singletons, so the
+        # boundary setting takes the plain float path below instead of
+        # byte-equality semantics.
+        v = embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        keyed = (v.filter(_norm(F.col("v")) > 0)
+                 .select("vec_id",
+                         F.sha2(F.to_json(F.struct("v")), 256)
+                         .alias("vkey")))
+        # one shuffle on the hash key resolves every member's
+        # representative (min id over the identical group); staged because
+        # both the rep filter and the star edges read it
+        members = stage(
+            keyed.select("vec_id", F.min("vec_id").over(
+                Window.partitionBy("vkey")).alias("rep_id")), True)
+        rep_vecs = embeddings.join(
+            members.filter(F.col("vec_id") == F.col("rep_id"))
+            .select("vec_id"), "vec_id")
+        pairs = cosine_pairs_blocked(rep_vecs, threshold, n_tables,
+                                     n_planes, dim)
+        edges = pairs.select(F.col("vec_a").alias("doc_a"),
+                             F.col("vec_b").alias("doc_b"))
+        # identical vectors qualify: rejoin members as rep->member stars
         edges = edges.unionByName(
             members.filter(F.col("vec_id") != F.col("rep_id"))
             .select(F.col("rep_id").alias("doc_a"),
                     F.col("vec_id").alias("doc_b")))
+    else:
+        pairs = cosine_pairs_blocked(embeddings, threshold, n_tables,
+                                     n_planes, dim)
+        edges = pairs.select(F.col("vec_a").alias("doc_a"),
+                             F.col("vec_b").alias("doc_b"))
     labels = dup_clusters(edges)
     ids = embeddings.select("vec_id")
     return (ids.join(labels.select(F.col("doc_id").alias("vec_id"),
@@ -321,7 +336,8 @@ def auto_n_planes(n_rows: int, target_occupancy: int = 32,
 def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
                           n_planes: "int | str" = 4, dim: int = 64,
                           vec_col: str = "embedding",
-                          id_col: str = "vec_id") -> DataFrame:
+                          id_col: str = "vec_id",
+                          auto_occupancy: int = 32) -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent bucket ids,
     each packing ``n_planes`` sign bits. Long format (id, v, table, bucket).
     Planes are md5-derived (``_portable_planes``) -> deterministic across
@@ -332,11 +348,13 @@ def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 16,
     one deep table on near-orthogonal data.
 
     ``n_planes="auto"`` resolves the depth from the corpus row count via
-    ``auto_n_planes`` — the occupancy-holding scale lever. The one narrow
-    count() it costs is noise next to the corpus scan that follows (at
-    cluster scale, catalog row stats would stand in)."""
+    ``auto_n_planes`` (``auto_occupancy`` = its target occupancy) — the
+    occupancy-holding scale lever. The one narrow count() it costs is
+    noise next to the corpus scan that follows (at cluster scale, catalog
+    row stats would stand in)."""
     if n_planes == "auto":
-        n_planes = auto_n_planes(embeddings.count())
+        n_planes = auto_n_planes(embeddings.count(),
+                                 target_occupancy=auto_occupancy)
     # (n_tables*n_planes, dim) plane matrix; one vectorized matmul per Arrow
     # batch computes every signature bit — expression-tree dot products run
     # interpreted and measured ~10x slower than this Arrow path
@@ -435,16 +453,22 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
 
 
 def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
-                 n_tables: int = 16, n_planes: int = 4, dim: int = 64,
+                 n_tables: int = 16, n_planes: "int | str" = 4,
+                 dim: int = 64,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 auto_occupancy: int = 32) -> DataFrame:
     """Approximate top-K: candidates share the query's bucket in >= 1 of the
     LSH tables; exact cosine re-rank over the (deduplicated) candidates.
     At scale the signature table is the precomputed index (written bucketed
     by (table, bucket)), and a query touches n_tables buckets, not the
-    corpus."""
+    corpus. ``n_planes="auto"`` resolves the occupancy-holding depth from
+    the corpus count (``auto_n_planes``); the DuckDB twin for that mode is
+    ``lsh_ann_auto_topk_oracle_sql``, which derives the same depth in a
+    scalar CTE — the scale lever itself is oracle-checked."""
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
-                                vec_col=vec_col, id_col=id_col)
+                                vec_col=vec_col, id_col=id_col,
+                                auto_occupancy=auto_occupancy)
     qb = (sig.filter(F.col(id_col) == query_vec_id)
           .select(F.col("table").alias("qtable"),
                   F.col("bucket").alias("qbucket"),
@@ -502,6 +526,64 @@ def lsh_ann_topk_oracle_sql(query_vec_id: int, k: int = 10,
     re-rank."""
     return f"""
 WITH {_sigs_ctes(n_tables, n_planes, dim)},
+qsig AS (SELECT tbl, bucket FROM sigs WHERE vec_id = {query_vec_id}),
+cands AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN qsig q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id != {query_vec_id}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 6)
+       AS cos_sim
+FROM cands JOIN embeddings e USING (vec_id), qv
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def lsh_ann_auto_topk_oracle_sql(query_vec_id: int, k: int = 10,
+                                 n_tables: int = 16,
+                                 auto_occupancy: int = 32,
+                                 lo: int = 4, hi: int = 40,
+                                 dim: int = 64) -> str:
+    """DuckDB twin of ``lsh_ann_topk(n_planes="auto")``: the plane DEPTH
+    itself is derived in a scalar CTE from the corpus row count with the
+    exact ``auto_n_planes`` rule — greatest(lo, least(hi,
+    ceil(log2(greatest(2.0, n/occupancy))))) — so the occupancy-holding
+    scale lever is value-checked cross-engine, not just unit-tested. The
+    plane CTE generates the full ``hi`` depth and keeps ``p < depth``
+    (DuckDB's generate_series bounds must be constant); every kept plane's
+    weights match ``_sigs_ctes`` exactly. Float risk is confined to
+    log2() landing within ulps of an integer, which only happens when
+    n/occupancy is an exact power of two — where log2 is exact in both
+    engines."""
+    return f"""
+WITH depth AS (
+  SELECT GREATEST({lo}, LEAST({hi},
+           CAST(ceil(log2(GREATEST(2.0, count(*) / {auto_occupancy}.0)))
+                AS INT))) AS np
+  FROM embeddings
+),
+planes AS (
+  SELECT t, p,
+         list(CAST(concat('0x', substring(md5('hp|' || t || '|' || p || '|'
+                                              || d), 1, 12)) AS BIGINT)
+              / 281474976710656.0 * 2 - 1 ORDER BY d) AS wv
+  FROM generate_series(0, {n_tables - 1}) AS gt(t),
+       generate_series(0, {hi - 1}) AS gp(p),
+       generate_series(0, {dim - 1}) AS gd(d)
+  WHERE p < (SELECT np FROM depth)
+  GROUP BY t, p
+),
+sigs AS (
+  SELECT e.vec_id, pl.t AS tbl,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.wv) > 0
+                  THEN (1 << pl.p) ELSE 0 END) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY 1, 2
+),
 qsig AS (SELECT tbl, bucket FROM sigs WHERE vec_id = {query_vec_id}),
 cands AS (
   SELECT DISTINCT s.vec_id
@@ -962,11 +1044,42 @@ LIMIT {k}
 """
 
 
+def _bucket_scored_pairs(embeddings: DataFrame, n_tables: int,
+                         n_planes: "int | str", dim: int, vec_col: str,
+                         id_col: str, materialize: bool) -> DataFrame:
+    """All LSH-bucket candidate pairs with exact rounded cosine —
+    (anchor_id, nbr_id, cos_sim), both directions, deduplicated. The
+    narrow (id, table, bucket) signature table is staged once: both sides
+    of the bucket self-join (and nothing else) read it, and recomputing
+    it means running the Arrow matmul + corpus scan twice (at scale this
+    is the persisted index; locally localCheckpoint stands in for it)."""
+    sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
+                                vec_col=vec_col, id_col=id_col)
+    slim = stage(sig.select(F.col(id_col), "table", "bucket"),
+                 materialize)
+    cands = (slim.alias("sa")
+             .join(slim.alias("sb"), ["table", "bucket"])
+             .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
+             .select(F.col(f"sa.{id_col}").alias("anchor_id"),
+                     F.col(f"sb.{id_col}").alias("nbr_id"))
+             .dropDuplicates(["anchor_id", "nbr_id"]))
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    ea = emb.select(F.col(id_col).alias("anchor_id"), F.col("v").alias("va"))
+    eb = emb.select(F.col(id_col).alias("nbr_id"), F.col("v").alias("vb"))
+    return (cands.join(ea, "anchor_id").join(eb, "nbr_id")
+            .select("anchor_id", "nbr_id",
+                    F.round(_dot(F.col("va"), F.col("vb"))
+                            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                            6).alias("cos_sim")))
+
+
 def knn_graph(embeddings: DataFrame, k: int = 3,
               n_tables: int = 16, n_planes: "int | str" = 8, dim: int = 64,
               vec_col: str = "embedding",
               id_col: str = "vec_id",
-              materialize: bool = True) -> DataFrame:
+              materialize: bool = True,
+              precollapse: bool = True) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
     most-cosine-similar LSH-bucket candidates — the substrate for graph
     clustering, label propagation, and near-dup verification at corpus
@@ -980,35 +1093,112 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
     layout) and the window shuffles on the uniform anchor id. Pass
     ``n_planes="auto"`` to hold bucket occupancy — and therefore the
     candidate volume per vector — constant as the corpus grows (the
-    fixed-depth occupancy^2 term SCALE.md measures at 10x)."""
+    fixed-depth occupancy^2 term SCALE.md measures at 10x).
+
+    EXACT-DUPLICATE PRE-COLLAPSE (``precollapse=True``, output-invariant
+    — pinned row-identical by ``test_knn_graph_precollapse_invariant``):
+    byte-identical finite non-zero vectors form an LSH clique whose
+    occupancy^2 candidate volume dominates real corpora (exact-duplicate
+    documents embed identically). They share one candidate set and one
+    score function, so the graph is computed per min-id REPRESENTATIVE
+    and fanned out:
+
+    - rep-level pairs score once; the neighbor side expands to members
+      and a per-rep top-k is shared by every member of the anchor group
+      (identical vectors see identical buckets, hence identical outside
+      candidates and scores);
+    - in-group edges are exactly round(cos(u,u), 6) = 1.0 (the unrounded
+      quotient sits within ulps of 1, rounding absorbs it), and only the
+      k smallest co-member ids per anchor can reach the final top-k under
+      the (score desc, id asc) order, so the group contributes k+1 head
+      ids — |group|*k edges instead of |group|^2;
+    - the final per-anchor window merges the two capped lists; each list
+      preserves its own top-k under the same total order, so the merged
+      top-k (and the rnk positions) equal the un-collapsed ranking
+      exactly.
+
+    Degenerate vectors (zero norm, non-finite) bypass the collapse as
+    their own representatives: their cosine is NULL/NaN under the float
+    path in BOTH engines, never the literal 1.0.
+
+    The collapse is ADAPTIVE: one narrow pre-job (group the hash keys,
+    any count >= 2?) decides at plan-build time whether duplicate groups
+    exist at all. A duplicate-free corpus takes the original 2-shuffle
+    plan untouched — the rep machinery (~10 extra narrow shuffles) is
+    only worth paying when there is mass for it to collapse. The probe
+    costs one aggregation over (id, 64-char hash) rows — the same
+    count()-shaped plan-time job ``n_planes="auto"`` already runs."""
     from pyspark.sql import Window
 
-    sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
-                                vec_col=vec_col, id_col=id_col)
-    # materialize the narrow signature table once: both sides of the
-    # bucket self-join (and nothing else) read it, and recomputing it
-    # means running the Arrow matmul + corpus scan twice (at scale this
-    # is the persisted index; locally localCheckpoint stands in for it)
-    slim = stage(sig.select(F.col(id_col), "table", "bucket"),
-                 materialize)
-    cands = (slim.alias("sa")
-             .join(slim.alias("sb"), ["table", "bucket"])
-             .filter(F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
-             .select(F.col(f"sa.{id_col}").alias("anchor_id"),
-                     F.col(f"sb.{id_col}").alias("nbr_id"))
-             .dropDuplicates(["anchor_id", "nbr_id"]))
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    ea = emb.select(F.col(id_col).alias("anchor_id"), F.col("v").alias("va"))
-    eb = emb.select(F.col(id_col).alias("nbr_id"), F.col("v").alias("vb"))
-    scored = (cands.join(ea, "anchor_id").join(eb, "nbr_id")
-              .select("anchor_id", "nbr_id",
-                      F.round(_dot(F.col("va"), F.col("vb"))
-                              / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                              6).alias("cos_sim")))
+    # collapsible = finite positive norm (NaN fails n < inf in Spark's
+    # NaN-greatest ordering); everything else is its own representative
+    n = _norm(F.col("v"))
+    keyed = (emb.filter((n > 0) & (n < F.lit(float("inf"))))
+             .select(F.col(id_col),
+                     F.sha2(F.to_json(F.struct("v")), 256).alias("vkey")))
+    if precollapse:
+        precollapse = not (keyed.groupBy("vkey").count()
+                           .filter(F.col("count") >= 2).isEmpty())
+    if not precollapse:
+        scored = _bucket_scored_pairs(embeddings, n_tables, n_planes, dim,
+                                      vec_col, id_col, materialize)
+        w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"),
+                                                    F.asc("nbr_id"))
+        return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+                .filter(F.col("rnk") <= k)
+                .select("anchor_id", "nbr_id", "cos_sim", "rnk"))
+
+    rep_map = stage(
+        emb.select(F.col(id_col))
+        .join(keyed.select(
+            F.col(id_col),
+            F.min(id_col).over(Window.partitionBy("vkey")).alias("rep")),
+            id_col, "left")
+        .select(F.col(id_col), F.coalesce("rep", F.col(id_col))
+                .alias("rep_id")),
+        materialize)
+    reps = embeddings.join(
+        rep_map.filter(F.col(id_col) == F.col("rep_id")).select(id_col),
+        id_col)
+    scored_rep = (_bucket_scored_pairs(reps, n_tables, n_planes, dim,
+                                       vec_col, id_col, materialize)
+                  .withColumnRenamed("anchor_id", "anchor_rep")
+                  .withColumnRenamed("nbr_id", "nbr_rep"))
+    # fan the NEIGHBOR side to members, rank once per anchor group
+    exp = (scored_rep
+           .join(rep_map.select(F.col("rep_id").alias("nbr_rep"),
+                                F.col(id_col).alias("nbr_id")), "nbr_rep")
+           .select("anchor_rep", "nbr_id", "cos_sim"))
+    w_rep = Window.partitionBy("anchor_rep").orderBy(F.desc("cos_sim"),
+                                                     F.asc("nbr_id"))
+    rep_topk = (exp.withColumn("rn", F.row_number().over(w_rep))
+                .filter(F.col("rn") <= k).drop("rn"))
+    outside = (rep_topk
+               .join(rep_map.select(F.col("rep_id").alias("anchor_rep"),
+                                    F.col(id_col).alias("anchor_id")),
+                     "anchor_rep")
+               .select("anchor_id", "nbr_id", "cos_sim"))
+    # in-group edges: per member, the k smallest OTHER member ids at the
+    # exact rounded score 1.0 (k+1 head ids cover every member's k)
+    grp_w = Window.partitionBy("rep_id").orderBy(F.asc(id_col))
+    heads = (rep_map.withColumn("rn", F.row_number().over(grp_w))
+             .filter(F.col("rn") <= k + 1)
+             .groupBy("rep_id")
+             .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                  .alias("head_ids")))
+    me = F.col(id_col)
+    ingroup = (rep_map.join(heads, "rep_id")
+               .select(F.col(id_col).alias("anchor_id"),
+                       F.explode(F.slice(
+                           F.filter("head_ids", lambda x: x != me),
+                           1, k)).alias("nbr_id"))
+               .withColumn("cos_sim", F.lit(1.0)))
+    edges = outside.unionByName(ingroup)
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"),
                                                 F.asc("nbr_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+    return (edges.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= k)
             .select("anchor_id", "nbr_id", "cos_sim", "rnk"))
 

@@ -970,9 +970,20 @@ def train_quality_classifier(docs: DataFrame, epochs: int = 3,
                  .withColumn("s", F.expr(score))
                  .withColumn("r", F.lit(500_000)
                              + F.expr(_SIG.format(s="s")) - F.col("ym")))
+        # Gradient sums accumulate as DECIMAL(38,0) (exact to ~1e38), not
+        # BIGINT: the per-row summands reach ~1e6-1e11 micro-units, so a
+        # BIGINT sum would wrap silently (non-ANSI) somewhere past ~1e7
+        # rows while the DuckDB twin sums into HUGEINT — the decimal
+        # accumulator keeps the cross-engine bit-exactness contract at
+        # corpus scale. Per-row products/DIVs stay as before (identical
+        # truncation order); only the accumulator type widens, and DIV on
+        # decimal operands truncates toward zero into BIGINT exactly like
+        # integer DIV (verified incl. negative operands).
         grads = resid.agg(
-            F.expr("sum(r) DIV count(1)").alias("g0"),
-            *[F.expr(f"sum((r * x{j}m) DIV 1000000) DIV count(1)")
+            F.expr("sum(cast(r as decimal(38,0))) DIV count(1)")
+            .alias("g0"),
+            *[F.expr(f"sum(cast((cast(r as decimal(38,0)) * x{j}m)"
+                     f" DIV 1000000 as decimal(38,0))) DIV count(1)")
               .alias(f"g{j}") for j in (1, 2, 3, 4)])
         w = stage(
             w.join(F.broadcast(grads)).select(

@@ -103,6 +103,21 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             query_vec_id=0, k=10, n_planes=8)
 
 
+@register("sim_ann_auto_depth",
+          sim.lsh_ann_auto_topk_oracle_sql(0, 10, auto_occupancy=4))
+def q_sim_ann_auto_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The occupancy-holding scale lever, oracle-checked end-to-end:
+    ``n_planes="auto"`` resolves the plane depth from the corpus count
+    (ceil-log2 rule, ``auto_n_planes``), and the DuckDB twin derives the
+    SAME depth in a scalar CTE before building the identical plane
+    family. occupancy=4 makes the sf0.01 corpus (500 vectors) resolve a
+    non-clamped depth of 7 — the formula path — while the 20-vector edge
+    corpus exercises the lo-clamp path."""
+    return sim.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"),
+                            query_vec_id=0, k=10, n_planes="auto",
+                            auto_occupancy=4)
+
+
 @register("sim_ann_multiprobe_topk",
           sim.lsh_multiprobe_topk_oracle_sql(0, 10))
 def q_sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

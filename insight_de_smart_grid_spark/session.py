@@ -24,6 +24,25 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def default_driver_mem() -> str:
+    """Driver-heap default for local mode: 16g, capped at ~70% of the
+    host's currently-available memory so a smaller host gets a heap Spark
+    can actually back (a 16g JVM on an 8 GiB box swaps or draws the OS
+    OOM killer instead of a clean Spark memory error). Explicit override:
+    ``SPARK_GRAFT_DRIVER_MEM``."""
+    cap_mb = 16 * 1024
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_mb = int(line.split()[1]) // 1024
+                    cap_mb = max(1024, min(cap_mb, avail_mb * 7 // 10))
+                    break
+    except OSError:
+        pass  # non-Linux: keep the 16g default
+    return f"{cap_mb}m"
+
+
 def get_spark(app_name: str = "insight_de_smart_grid_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -40,10 +59,13 @@ def get_spark(app_name: str = "insight_de_smart_grid_spark",
         # local mode runs driver+executors in ONE JVM: the 1g default heap
         # divided by 32 task slots starves sort/window buffers long before
         # the machine does (measured: UNABLE_TO_ACQUIRE_MEMORY on a 1M-row
-        # skewed window with >100 GiB of RAM free). Pre-JVM only — a no-op
-        # on an inherited session, where the harness owns sizing.
+        # skewed window with >100 GiB of RAM free). Default 16g, capped by
+        # what the host can actually back (default_driver_mem). Pre-JVM
+        # only — a no-op on an inherited session, where the harness owns
+        # sizing.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               default_driver_mem()))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -233,6 +233,12 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str,
     The wire shape is identical; only the checkpoint option differs.
     ``tests/test_sources.py`` round-trips the batch path through the
     mockkafka capture writer."""
+    if streaming and checkpoint_dir is None:
+        # the exactly-once ledger is not optional for the streaming sink;
+        # omitting it would otherwise only surface at .start() (or be
+        # silently absorbed by a session-wide checkpointLocation)
+        raise ValueError("streaming kafka_sink requires checkpoint_dir "
+                         "(pass streaming=False for the batch produce)")
     shaped = kafka_payload(df, key_col)
     if streaming:
         return (shaped

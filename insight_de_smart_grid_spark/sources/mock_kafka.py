@@ -28,6 +28,7 @@ materialization, no JVM round-trip).
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -197,8 +198,65 @@ def register_mock_kafka(spark) -> None:
 
 
 # session-lifetime cache of encoded backlogs, keyed by (path, topic,
-# partitions) — see MockKafkaStreamReader._rows
+# partitions, fixture content hash) — see MockKafkaStreamReader._rows
 _ENCODED_BACKLOGS: dict[tuple, list] = {}
+
+
+def _private_cache_dir() -> "str | None":
+    """Per-user 0700 cache dir for the encoded backlog, or None (caller
+    skips disk caching) when a safe one can't be guaranteed: the dir must
+    be OWNED by this uid with no group/other access, else another local
+    user could pre-plant or read cache entries."""
+    import stat
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    if uid is None:
+        return None
+    d = os.path.join(tempfile.gettempdir(), f"mockkafka-{uid}")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if (st.st_uid != uid or not stat.S_ISDIR(st.st_mode)
+                or (st.st_mode & 0o077)):
+            return None
+        return d
+    except OSError:
+        return None
+
+
+def _write_backlog_parquet(rows: list, path: str) -> None:
+    """Persist the encoded backlog as plain-data parquet (bytes/str/int
+    columns only — unlike pickle, loading it can't execute anything)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "key": pa.array([r[0] for r in rows], pa.binary()),
+        "value": pa.array([r[1] for r in rows], pa.binary()),
+        "topic": pa.array([r[2] for r in rows], pa.string()),
+        "partition": pa.array([r[3] for r in rows], pa.int32()),
+        "offset": pa.array([r[4] for r in rows], pa.int64()),
+        # whole-ms epoch: reconstructed with the same fromtimestamp(ms /
+        # 1000.0) expression the batch reader uses, so the tuples are
+        # value-identical either way
+        "ts_ms": pa.array([round(r[5].timestamp() * 1000) for r in rows],
+                          pa.int64()),
+        "ts_type": pa.array([r[6] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, path)
+
+
+def _read_backlog_parquet(path: str) -> list:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    cols = [t.column(c).to_pylist() for c in
+            ("key", "value", "topic", "partition", "offset", "ts_ms",
+             "ts_type")]
+    return [(k, v, tp, p, o,
+             datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc), tt)
+            for k, v, tp, p, o, ms, tt in zip(*cols)]
 
 
 class MockKafkaStreamReader(SimpleDataSourceStreamReader):
@@ -222,7 +280,7 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self) -> list:
         if self._cache is None:
-            # The encoded backlog is deterministic in (path file mtime,
+            # The encoded backlog is deterministic in (fixture content,
             # topic, partition count); cache it across stream starts so
             # each invocation pays the pure-Python avro encode once per
             # fixture — a real broker already holds the produced
@@ -231,36 +289,47 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
             # fixture). Spark 4 runs this reader in a fresh Python worker
             # process per query, so the cache must live on DISK (an
             # in-process dict never survives to the next invocation).
-            import hashlib
-            import os
-            import pickle
-            import tempfile
-
-            path = self.options["path"]
-            key_src = "|".join((
-                path, self.options.get("topic", "power-raw"),
-                self.options.get("partitions", "4"),
-                str(os.path.getmtime(path)) if os.path.exists(path) else "",
-            ))
-            key = hashlib.md5(key_src.encode()).hexdigest()
+            #
+            # Trust boundary: the cache dir is USER-PRIVATE (0700, owner-
+            # checked — a world-writable shared path would let another
+            # local user pre-plant the cache), the on-disk format is
+            # parquet (pure data — never unpickle from a shared tmpfs),
+            # and the key is a CONTENT hash of the fixture bytes (an
+            # in-place rewrite with preserved mtime still misses).
+            key = self._cache_key()
             if key not in _ENCODED_BACKLOGS:
-                cache = os.path.join(tempfile.gettempdir(),
-                                     f"mockkafka_backlog_{key}.pkl")
-                if os.path.exists(cache):
-                    with open(cache, "rb") as f:
-                        _ENCODED_BACKLOGS[key] = pickle.load(f)
+                cache_dir = _private_cache_dir()
+                cache = (os.path.join(cache_dir, f"backlog_{key}.parquet")
+                         if cache_dir else None)
+                if cache and os.path.exists(cache):
+                    _ENCODED_BACKLOGS[key] = _read_backlog_parquet(cache)
                 else:
                     batch = MockKafkaReader(self.options)
                     rows = []
                     for p in batch.partitions():
                         rows.extend(batch.read(p))
                     _ENCODED_BACKLOGS[key] = rows
-                    tmp = cache + f".tmp{os.getpid()}"
-                    with open(tmp, "wb") as f:
-                        pickle.dump(rows, f)
-                    os.replace(tmp, cache)  # atomic vs concurrent readers
+                    if cache:
+                        tmp = cache + f".tmp{os.getpid()}"
+                        _write_backlog_parquet(rows, tmp)
+                        os.replace(tmp, cache)  # atomic vs concurrent
             self._cache = _ENCODED_BACKLOGS[key]
         return self._cache
+
+    def _cache_key(self) -> str:
+        import hashlib
+
+        path = self.options["path"]
+        h = hashlib.md5()
+        if os.path.isfile(path):
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+        key_src = "|".join((
+            path, self.options.get("topic", "power-raw"),
+            self.options.get("partitions", "4"), h.hexdigest(),
+        ))
+        return hashlib.md5(key_src.encode()).hexdigest()
 
     def _sentinel_row(self):
         from insight_de_smart_grid_spark.sources.avro_codec import (

@@ -24,6 +24,10 @@ row gets the same treatment — copies stay near-identical near-dups):
 - events: mult copies at the SAME timestamps; ~30% of rows re-keyed to
   one hot user — a hot (house, window) key through every rollup,
   window, and stateful-streaming path.
+- supplier: mult near-identical name variants per supplier — the shared
+  "Supplier#0000..." prefix is PassJoin's hot-segment hazard, and the
+  copies multiply the near-dup name mass through the segment inverted
+  index (fuzzy-match family).
 
 Scale knob: mult=10 on sf0.1 gives 50k docs / 20k vectors / 1M events —
 small enough for CI, big enough that a quadratic blowup or single-task
@@ -86,6 +90,19 @@ def build_stress_corpus(spark: SparkSession, out_dir: str,
              .otherwise(F.col("embedding")).alias("embedding"),
              F.col("label"))
      .write.mode("overwrite").parquet(str(out / "embeddings.parquet")))
+
+    sup = spark.read.parquet(f"{base_sf}/supplier.parquet")
+    # mult near-identical name variants per supplier ("Supplier#x v3"):
+    # the TPC-H shared "Supplier#0000..." prefix is already PassJoin's
+    # hot-segment hazard; the copies multiply the near-dup name mass so
+    # the segment inverted index carries mult x rows per hot segment
+    (sup.crossJoin(copies)
+     .select((F.col("s_suppkey") + F.col("copy") * BIG).alias("s_suppkey"),
+             F.when(F.col("copy") > 0,
+                    F.concat(F.col("s_name"), F.lit(" v"), F.col("copy")))
+             .otherwise(F.col("s_name")).alias("s_name"),
+             F.col("s_nationkey"), F.col("s_acctbal"))
+     .write.mode("overwrite").parquet(str(out / "supplier.parquet")))
 
     ev = spark.read.parquet(f"{base_sf}/events.parquet")
     (ev.crossJoin(copies)

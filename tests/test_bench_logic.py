@@ -56,3 +56,20 @@ def test_unflagged_queries_never_remeasured():
         {"fast": 0.1, "slow": 3.0}, {"fast": 0.1, "slow": 1.0}, spy)
     assert calls == ["slow"]
     assert set(out) == {"slow"}
+
+
+def test_run_query_releases_staged_blocks(spark):
+    """The bench loop's consume-then-release contract: a query that stages
+    shared subplans (sim_knn_graph localCheckpoints its signature table
+    and rep map) must leave the persistent-RDD registry exactly as it
+    found it once run_query returns — 202 queries in one session must not
+    accumulate pinned blocks (operators/staging.py lifecycle)."""
+    from bench import run_query
+    from insight_de_smart_grid_spark.operators.staging import (
+        pinned_rdd_ids,
+    )
+    from tests.conftest import SF_ORACLE
+
+    before = pinned_rdd_ids(spark)
+    run_query(spark, "sim_knn_graph", SF_ORACLE)
+    assert pinned_rdd_ids(spark) - before == set()

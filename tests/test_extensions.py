@@ -840,6 +840,98 @@ def test_semantic_dedup_precollapse_is_output_invariant(spark):
     assert as_dict == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6}
 
 
+def test_semantic_dedup_boundary_threshold_uses_float_path(spark):
+    """At threshold = 1.0 EXACTLY the collapse is disabled: the
+    un-collapsed filter compares the unrounded float cosine, which can
+    land 1 ulp below 1.0, and the oracle shares that float semantics —
+    byte-equality clustering at the boundary would diverge. The output at
+    1.0 must equal the plain float formulation row-for-row."""
+    from insight_de_smart_grid_spark.operators.dedup import dup_clusters
+    from insight_de_smart_grid_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        semantic_dedup,
+    )
+
+    dim = 64
+    # non-trivial magnitudes so dot(v,v)/(sqrt*sqrt) is NOT guaranteed an
+    # exact 1.0 — the case the boundary semantics exist for
+    a = [0.1 * ((i % 7) + 1) for i in range(dim)]
+    orth = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    emb = spark.createDataFrame(
+        [(0, a), (1, a), (2, a), (3, orth)],
+        "vec_id long, embedding array<float>")
+
+    got = sorted(map(tuple, semantic_dedup(emb, threshold=1.0).collect()))
+    pairs = cosine_pairs_blocked(emb, threshold=1.0)
+    labels = dup_clusters(pairs.select(F.col("vec_a").alias("doc_a"),
+                                       F.col("vec_b").alias("doc_b")))
+    ref = sorted(map(tuple, (
+        emb.select("vec_id")
+        .join(labels.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+              "vec_id", "left")
+        .select("vec_id",
+                F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    ).collect()))
+    assert got == ref
+
+
+def test_knn_graph_precollapse_invariant(spark):
+    """The knn_graph exact-duplicate pre-collapse must be invisible in
+    the output — identical (anchor, nbr, cos_sim, rnk) rows as the
+    un-collapsed formulation — on a corpus stacking every hazard: a hot
+    identical-vector group larger than k, a second identical pair, a
+    near-duplicate, orthogonal singletons, and two byte-identical ZERO
+    vectors (degenerate norm -> must bypass the collapse; their cosine
+    is NULL under the float path, never 1.0)."""
+    from insight_de_smart_grid_spark.operators.similarity import knn_graph
+
+    dim = 64
+    hot = [0.1 * ((i % 5) + 1) for i in range(dim)]
+    pair = [1.0, -1.0] * (dim // 2)
+    near = hot[:]
+    near[0] += 1e-4
+    zero = [0.0] * dim
+    rows = [(i, hot) for i in range(6)]            # hot group of 6 > k
+    rows += [(6, pair), (7, pair), (8, near)]
+    rows += [(9, [0.0] * (dim - 1) + [1.0]), (10, zero), (11, zero)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+
+    def result(precollapse):
+        return sorted(
+            (r.anchor_id, r.nbr_id, r.cos_sim, r.rnk)
+            for r in knn_graph(emb, k=3, precollapse=precollapse)
+            .collect())
+
+    got, ref = result(True), result(False)
+    assert got == ref
+    # the hot group's members rank their 3 smallest co-members first
+    by_anchor = {}
+    for a, n, c, rk in got:
+        by_anchor.setdefault(a, []).append((rk, n, c))
+    assert sorted(by_anchor[5])[:3] == [(1, 0, 1.0), (2, 1, 1.0),
+                                        (3, 2, 1.0)]
+
+
+def test_knn_graph_precollapse_invariant_on_edge_corpus(spark, tmp_path):
+    """Same invariance over the adversarial edge corpus (zero vector,
+    duplicate pair, near-axis vectors)."""
+    from insight_de_smart_grid_spark.operators.similarity import knn_graph
+    from tests.edge_fixture import build_edge_sf
+
+    d = build_edge_sf(str(tmp_path / "edge"))
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+
+    def result(precollapse):
+        return sorted(
+            (r.anchor_id, r.nbr_id, r.cos_sim, r.rnk)
+            for r in knn_graph(emb, k=3, precollapse=precollapse)
+            .collect())
+
+    assert result(True) == result(False)
+
+
 def test_semantic_dedup_matches_oracle(spark, duck):
     check_registered(spark, duck, "dedup_semantic")
 

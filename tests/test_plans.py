@@ -415,6 +415,68 @@ def test_persisted_ann_index_probes_without_index_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ann_sig_idx")
 
 
+def test_persisted_ann_index_multiprobe_without_index_shuffle(spark,
+                                                              tmp_path):
+    """The multiprobe serving path over the SAME persisted index: the
+    probe list grows to n_planes+1 buckets per table (query bucket + every
+    Hamming-1 flip, `lsh_multiprobe_topk`'s recall lever) but stays a
+    broadcast equi-join — the bucketed index side is never re-shuffled and
+    never range-scanned, exactly like single-probe. Candidates must be a
+    superset of single-probe's (monotone recall) and match the in-memory
+    multiprobe join."""
+    from pyspark.sql import functions as F
+
+    from insight_de_smart_grid_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    n_planes = 8
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    sig = hyperplane_signatures(emb, n_tables=4, n_planes=n_planes) \
+        .select("vec_id", "table", "bucket")
+    (sig.write.mode("overwrite").option("path", str(tmp_path / "idx"))
+     .bucketBy(8, "table", "bucket").sortBy("table", "bucket")
+     .saveAsTable("ann_sig_idx_mp"))
+    try:
+        idx = spark.table("ann_sig_idx_mp")
+        qsig = sig.filter(F.col("vec_id") == 0).select("table", "bucket")
+        probes = qsig.select(
+            "table",
+            F.explode(F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                  for p in range(n_planes)])).alias("bucket"))
+        probe = (idx.join(F.broadcast(probes), ["table", "bucket"])
+                 .filter(F.col("vec_id") != 0)
+                 .select("vec_id").distinct())
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert "Not(EqualTo(vec_id,0))" in plan, plan
+        # the ONLY hash repartitioning is the distinct's own aggregation
+        # exchange; the index never reshuffles even with the 9x probe list
+        assert plan.count("hashpartitioning") == 1, plan
+
+        got = {r.vec_id for r in probe.collect()}
+        live = {r.vec_id for r in
+                (sig.join(probes, ["table", "bucket"])
+                 .filter(F.col("vec_id") != 0)
+                 .select("vec_id").distinct()).collect()}
+        assert got == live
+        single = {r.vec_id for r in
+                  (idx.join(F.broadcast(qsig), ["table", "bucket"])
+                   .filter(F.col("vec_id") != 0)
+                   .select("vec_id").distinct()).collect()}
+        assert single <= got  # multiprobe candidates dominate single-probe
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_sig_idx_mp")
+
+
 def test_literal_lookback_anchor_pushes_to_scan(spark):
     """The production history form (literal clock anchor) must fold the
     OR-of-ranges predicate to constants that reach the parquet scan as
