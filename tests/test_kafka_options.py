@@ -93,3 +93,37 @@ def test_sink_option_keys_are_documented():
 def test_allowlist_rejects_typos(bad_key):
     """The allowlist itself must be able to catch the typo class."""
     assert bad_key not in DOCUMENTED_SOURCE_OPTIONS
+
+
+def test_streaming_sink_requires_checkpoint_dir(spark):
+    """S4's exactly-once ledger is not forgettable (round-6 advisory):
+    building a STREAMING kafka sink without checkpoint_dir raises at
+    construction, not at .start() — and never silently inherits a
+    session-wide checkpointLocation. The batch produce path (S5) keeps
+    accepting None."""
+    from insight_de_smart_grid_spark.sources.files import kafka_sink
+    from insight_de_smart_grid_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = (load_table(spark, SF_SMOKE, "events")
+          .selectExpr("cast(user_id as string) as house_id", "value"))
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        kafka_sink(df, "broker:9092", "out", streaming=True)
+    # batch form builds without one (the writer is just composed here)
+    kafka_sink(df, "broker:9092", "out", streaming=False)
+
+
+def test_default_driver_mem_caps_to_available():
+    """get_spark's driver-heap default (round-6 advisory): 16g on a big
+    host, capped at ~70% of MemAvailable on a small one, floored at 1g —
+    a heap the OS can actually back instead of an OOM-killed JVM."""
+    from insight_de_smart_grid_spark.session import default_driver_mem
+
+    got = default_driver_mem()
+    assert got.endswith("m")
+    mb = int(got[:-1])
+    assert 1024 <= mb <= 16 * 1024
+    with open("/proc/meminfo") as f:
+        avail_mb = next(int(line.split()[1]) // 1024 for line in f
+                        if line.startswith("MemAvailable:"))
+    assert mb <= max(1024, avail_mb * 7 // 10)

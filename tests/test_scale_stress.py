@@ -233,9 +233,10 @@ def test_knn_graph_wall_ratio_with_levers(spark, stress_dir):
     TIMINGS["knn_graph_auto_stress_s"] = round(t_stress, 2)
     TIMINGS["knn_graph_auto_wall_ratio"] = ratio
     if FULL:
-        # 10x data, planted hot bucket: wall must stay well under the
-        # 7.2x fixed-depth/no-collapse ratio round 5 measured
-        assert ratio <= 3.5, ratio
+        # MULT x data, planted hot bucket: wall must stay sub-linear —
+        # <= 0.35 * MULT (at 10x that is 3.5x, well under the 7.2x
+        # fixed-depth/no-collapse ratio round 5 measured)
+        assert ratio <= 0.35 * MULT, ratio
 
 
 SWEEP = [

@@ -393,3 +393,71 @@ def test_kafka_batch_produce_roundtrip_via_mock(spark, tmp_path):
     with pytest.raises(Exception, match="value"):
         (reagg.write.format("mockkafka")
          .option("capture_dir", cap).mode("append").save())
+
+
+def test_mockkafka_backlog_cache_is_private_and_non_executable(tmp_path,
+                                                               monkeypatch):
+    """The stream reader's disk cache contract (round-6 advisory): the
+    cache dir is per-user 0700 and OWNERSHIP-checked (a pre-planted dir
+    owned by another uid, or one with group/other access, disables disk
+    caching entirely rather than trusting it), the format is parquet
+    (pure data — loading it cannot execute anything, unlike pickle), and
+    the roundtrip preserves the envelope tuples exactly, including the
+    whole-ms UTC timestamps."""
+    import os
+    import stat
+    from datetime import datetime, timezone
+
+    from insight_de_smart_grid_spark.sources import mock_kafka as mk
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    d = mk._private_cache_dir()
+    assert d is not None and d.startswith(str(tmp_path))
+    st = os.stat(d)
+    assert stat.S_ISDIR(st.st_mode)
+    assert st.st_uid == os.getuid()
+    assert st.st_mode & 0o077 == 0  # no group/other access
+
+    # loosened permissions must disable disk caching, not be trusted
+    os.chmod(d, 0o755)
+    assert mk._private_cache_dir() is None
+    os.chmod(d, 0o700)
+    assert mk._private_cache_dir() == d
+
+    rows = [
+        (b"1", b"\x02abc", "power-raw", 0, 0,
+         datetime.fromtimestamp(1_700_000_000_123 / 1000.0,
+                                tz=timezone.utc), 0),
+        (b"2", b"", "power-raw", 3, 17,
+         datetime.fromtimestamp(1 / 1000.0, tz=timezone.utc), 0),
+    ]
+    p = os.path.join(d, "roundtrip.parquet")
+    mk._write_backlog_parquet(rows, p)
+    assert mk._read_backlog_parquet(p) == rows
+
+
+def test_mockkafka_cache_key_tracks_fixture_content(tmp_path):
+    """The cache key hashes fixture CONTENT: rewriting the file in place
+    (even with a preserved mtime) changes the key; topic/partition options
+    are part of the key too."""
+    import os
+
+    from insight_de_smart_grid_spark.sources.mock_kafka import (
+        MockKafkaStreamReader,
+    )
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"one")
+    st = os.stat(f)
+
+    def key(**over):
+        opts = {"path": str(f), "topic": "t", "partitions": "4", **over}
+        return MockKafkaStreamReader(opts)._cache_key()
+
+    k1 = key()
+    assert k1 == key()  # deterministic
+    f.write_bytes(b"two")
+    os.utime(f, (st.st_atime, st.st_mtime))  # preserve mtime
+    assert key() != k1
+    assert key(topic="other") != key()
+    assert key(partitions="8") != key()
