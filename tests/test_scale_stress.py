@@ -58,9 +58,23 @@ def stress_dir(spark, tmp_path_factory):
     return d
 
 
-def _timed(name: str, fn):
+def _timed(name: str, fn, spark=None):
+    """Time one fully-consumed execution. When ``spark`` is passed the
+    call runs inside a ``checkpoint_scope`` so the localCheckpoint blocks
+    the staging operators pin are released before the NEXT family runs —
+    the same consume-then-release lifecycle bench.py uses. Without it the
+    sweep accumulates every family's pinned blocks in the one 16g JVM;
+    measured at 30x, that heap pressure OOMed a later broadcast build."""
+    from insight_de_smart_grid_spark.operators.staging import (
+        checkpoint_scope,
+    )
+
     t0 = time.monotonic()
-    out = fn()
+    if spark is not None:
+        with checkpoint_scope(spark):
+            out = fn()
+    else:
+        out = fn()
     TIMINGS[name] = round(time.monotonic() - t0, 2)
     return out
 
@@ -97,7 +111,7 @@ def test_minhash_recall_on_planted_copies(spark, stress_dir):
         lambda: QUERIES["dedup_minhash_lsh"].fn(spark, stress_dir)
         .filter(F.col("doc_a") % BIG == F.col("doc_b") % BIG)
         .select((F.col("doc_a") % BIG).alias("base_id"))
-        .distinct().count())
+        .distinct().count(), spark)
     base_docs = spark.read.parquet(f"{BASE}/documents.parquet").count()
     recall = pairs / base_docs
     TIMINGS["minhash_copy_recall"] = round(recall, 4)
@@ -121,7 +135,7 @@ def test_hot_lsh_bucket_is_complete_and_bounded(spark, stress_dir):
     pairs = _timed(
         "dedup_embedding_cosine",
         lambda: QUERIES["dedup_embedding_cosine"].fn(spark, stress_dir)
-        .select("vec_a", "vec_b").collect())
+        .select("vec_a", "vec_b").collect(), spark)
     hot_pairs = {(r.vec_a, r.vec_b) for r in pairs
                  if r.vec_a in hot_ids and r.vec_b in hot_ids}
     assert len(hot_pairs) == h * (h - 1) // 2
@@ -137,9 +151,9 @@ def test_duplicate_spans_skew_crossover(spark, stress_dir):
                       for r in rows)
 
     window_form = _timed("dedup_duplicate_spans",
-                         lambda: run("dedup_duplicate_spans"))
+                         lambda: run("dedup_duplicate_spans"), spark)
     df_form = _timed("dedup_duplicate_spans_skew_safe",
-                     lambda: run("dedup_duplicate_spans_skew_safe"))
+                     lambda: run("dedup_duplicate_spans_skew_safe"), spark)
     assert window_form == df_form
     assert len(window_form) > 0
 
@@ -201,7 +215,8 @@ def test_auto_planes_holds_candidate_volume(spark, stress_dir):
         )
         n_edges = _timed("knn_graph_auto",
                          lambda: knn_graph(emb, k=3,
-                                           n_planes="auto").count())
+                                           n_planes="auto").count(),
+                         spark)
         assert n_edges > 0
 
 
@@ -278,7 +293,8 @@ def test_sweep_completes(spark, stress_dir, name):
     """Each family must complete against the stress corpus and return rows
     — a quadratic candidate blowup or single-task skew collapse shows up
     here as a wall-clock cliff (timings recorded for SCALE.md)."""
-    n = _timed(name, lambda: QUERIES[name].fn(spark, stress_dir).count())
+    n = _timed(name, lambda: QUERIES[name].fn(spark, stress_dir).count(),
+               spark)
     assert n > 0
 
 
