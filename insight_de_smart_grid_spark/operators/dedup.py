@@ -866,7 +866,14 @@ def duplicate_spans(docs: DataFrame, k: int = 20,
         pos = stage(pos, materialize)
         dfreq = (pos.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") > 1).select("g"))
-        dup_pos = (pos.join(dfreq, "g")
+        # SHUFFLE_HASH, never broadcast: dfreq is the corpus's distinct
+        # duplicated-gram set — on a duplicate-heavy corpus that is
+        # corpus-sized (at 30x every gram qualifies; measured: AQE's
+        # post-agg size estimate converted it to a broadcast whose build
+        # OOMed next to the staged explode). The equi-join keys on the
+        # uniform hash g, each hash-side partition is dfreq/shuffle-n
+        # rows, and AQE skew-split can still rebalance the probe side.
+        dup_pos = (pos.join(dfreq.hint("SHUFFLE_HASH"), "g")
                    .select(id_col, (F.col("pos0") + 1).alias("p")))
     else:
         w_g = Window.partitionBy("g")
