@@ -150,7 +150,17 @@ def main() -> None:
     # one line.
     base_path = Path(REPO) / "BENCH_BASELINE.json"
     if base_path.exists():
-        base = json.loads(base_path.read_text()).get("queries", {})
+        base_doc = json.loads(base_path.read_text())
+        # the frozen medians are per-SF facts: comparing an sf0.01 run
+        # against sf0.1 medians flags noise (streaming replays have
+        # scale-independent overhead), so the gate only arms at the
+        # baseline's own scale factor
+        if base_doc.get("sf") is not None and out["sf"] != base_doc["sf"]:
+            print(f"bench: baseline frozen at sf={base_doc['sf']}, run is "
+                  f"sf={out['sf']} — regression gate skipped",
+                  file=sys.stderr)
+            base_doc = {}
+        base = base_doc.get("queries", {})
 
         def remeasure(name: str) -> float:
             # same methodology as the first pass (median of 3; streaming

@@ -153,6 +153,18 @@ def q_duty_cycle_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                          slide="2 minutes")
 
 
+@register("duty_cycle_sliding_panes", _SLIDING_ORACLE)
+def q_duty_cycle_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding duty cycle through the pane decomposition (one
+    tumbling slide-width pre-aggregate, explode over pane partials, tiny
+    combine — "No pane, no gain"): the dense-telemetry scale twin of
+    `duty_cycle_sliding`, registered against the identical oracle SQL so
+    both forms are value-checked row-identical. See the operator
+    docstring for when each form wins."""
+    return dc.duty_cycle(readings_view(spark, sf_dir), window="10 minutes",
+                         slide="2 minutes", panes=True)
+
+
 # ---------------------------------------------------------------------------
 # Cleansing + enrichment (SURVEY P10-P12, J1, §2.8)
 # ---------------------------------------------------------------------------

@@ -41,3 +41,25 @@ def test_duty_cycle_sliding_covers_each_row_w_over_s_times(spark):
            .agg(F2.count("power").alias("c")))
     assert agg.agg(F2.sum("c")).collect()[0][0] == 5 * n_rows
     assert sl is not None
+
+
+def test_duty_cycle_pane_decomposition_is_invariant(spark):
+    """The pane form (tumbling slide-width pre-aggregate -> pane explode
+    -> combine) must be row-identical to Spark's window-explode form:
+    same (window, keys) groups including all-null-power windows (c_all=0
+    -> NULL ratio in both), same long counts, hence the same IEEE
+    quotient."""
+    readings = readings_view(spark, SF_ORACLE)
+    explode_form = duty_cycle(readings, window="10 minutes",
+                              slide="2 minutes", panes=False)
+    pane_form = duty_cycle(readings, window="10 minutes",
+                           slide="2 minutes", panes=True)
+    assert sorted(map(tuple, explode_form.collect())) == \
+        sorted(map(tuple, pane_form.collect()))
+    # W not divisible by S -> the pane path must decline, not misalign
+    odd = duty_cycle(readings, window="10 minutes", slide="3 minutes",
+                     panes=True)
+    odd_ref = duty_cycle(readings, window="10 minutes", slide="3 minutes",
+                         panes=False)
+    assert sorted(map(tuple, odd.collect())) == \
+        sorted(map(tuple, odd_ref.collect()))

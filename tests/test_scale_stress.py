@@ -279,7 +279,11 @@ SWEEP = [
     "pipeline_global_shuffle",
     "pipeline_pack_sequences",
     "pipeline_train_quality_clf",
-    # hot (house, window) keys through rollup and stateful streaming
+    # hot (house, window) keys through rollup and stateful streaming;
+    # the two sliding duty-cycle forms measure the pane-decomposition
+    # crossover on a DENSE corpus (mult same-timestamp copies per pane)
+    "duty_cycle_sliding",
+    "duty_cycle_sliding_panes",
     "rollup_1s",
     "dash_timeseries_5s",
     "streaming_rollup",
