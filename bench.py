@@ -43,6 +43,30 @@ def is_regression(now: float, baseline: float) -> bool:
             and now > 1.5 * baseline and now - baseline > 0.3)
 
 
+def is_ingest_regression(now_rate: float, base_rate: float) -> bool:
+    """Ingest throughput gate (round-7 advisory): a >1.5x DROP in
+    rows/sec vs the frozen baseline. Same shape as the query gate but
+    inverted — lower is worse for a rate."""
+    return base_rate > 0 and now_rate > 0 and now_rate * 1.5 < base_rate
+
+
+def round_number(repo: str) -> int:
+    """Current build round, inferred from the driver's committed
+    artifacts: one past the highest CORRECTNESS_r{N}/BENCH_r{N} on disk
+    (the driver writes round N's files AFTER the round's bench runs).
+    ``SPARK_GRAFT_ROUND`` overrides."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    import re
+    best = 0
+    for p in Path(repo).glob("*_r[0-9]*.json"):
+        m = re.match(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p.name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
 def confirmed_regressions(timings: dict, base: dict, remeasure) -> dict:
     """Flags from the first pass, kept only if a fresh measurement minutes
     later still crosses the line. A transient allocator/GC stall can push
@@ -142,6 +166,14 @@ def main() -> None:
         # reference baseline headline is >=100k msg/s sustained ingest
         # (README.md:27); flagship duty-cycle rows/sec is the comparable
         out["ingest_rows_per_sec"] = int(n_events / flagship)
+    # the resolved driver heap varies with host load (MemAvailable cap,
+    # session.default_driver_mem) — log it so a regression triage can see
+    # whether a slow round ran under a smaller heap than the frozen medians
+    try:
+        out["driver_mem"] = spark.sparkContext.getConf().get(
+            "spark.driver.memory", "unset")
+    except Exception:
+        out["driver_mem"] = "unknown"
 
     # Round-over-round regression tracking against the frozen per-query
     # baseline (BENCH_BASELINE.json = round-1 medians). Regression = >1.5x
@@ -178,6 +210,36 @@ def main() -> None:
             for name, r in sorted(regressions.items()):
                 print(f"bench: REGRESSION {name}: {r['now']}s vs baseline "
                       f"{r['baseline']}s", file=sys.stderr)
+        # ingest gate (round-7 advisory): same drop-with-in-session-confirm
+        # logic as the query gate, against the frozen rows/sec headline. The
+        # rate is n_events / flagship-median, so the confirm pass is one
+        # fresh flagship re-measure minutes after the first.
+        base_rate = base_doc.get("ingest_rows_per_sec", 0)
+        now_rate = out.get("ingest_rows_per_sec", 0)
+        if is_ingest_regression(now_rate, base_rate):
+            try:
+                rate2 = int(n_events / remeasure("duty_cycle_10m"))
+            except Exception:
+                rate2 = now_rate
+            if is_ingest_regression(rate2, base_rate):
+                out["ingest_regression"] = {"now": rate2,
+                                            "baseline": base_rate}
+                print(f"bench: INGEST REGRESSION {rate2} rows/s vs "
+                      f"baseline {base_rate}", file=sys.stderr)
+            else:
+                print(f"bench: ingest flag did not reproduce ({now_rate} "
+                      f"-> {rate2} rows/s vs baseline {base_rate}) — "
+                      "transient", file=sys.stderr)
+
+    # full per-round snapshot (round-7 advisory): the driver's BENCH_r{N}
+    # artifact keeps only a 2,000-char stdout tail, losing most per-query
+    # timings; this committed file preserves the complete measurement.
+    try:
+        full = Path(REPO) / f"BENCH_FULL_r{round_number(REPO):02d}.json"
+        full.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    except OSError as exc:
+        print(f"bench: could not write full snapshot: {exc}",
+              file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -323,9 +323,11 @@ def auto_n_planes(n_rows: int, target_occupancy: int = 32,
     (20k vectors -> 10 planes, the 8x candidate reduction noted in
     ``cosine_pairs_blocked``).
 
-    Off the registered-oracle surface by design: the DuckDB twins are
-    static SQL and cannot resolve a data-dependent plane count. Engine
-    callers opt in with ``n_planes="auto"``."""
+    ON the registered-oracle surface since round 6: the
+    ``sim_ann_auto_depth`` query is value-checked against
+    ``lsh_ann_auto_topk_oracle_sql``, whose scalar CTE reproduces this
+    exact clamp rule (greatest/least over ceil(log2(n/occupancy))) in
+    static SQL. Engine callers opt in with ``n_planes="auto"``."""
     import math
     if n_rows <= 0:
         return lo
@@ -1127,9 +1129,21 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
     plan untouched — the rep machinery (~10 extra narrow shuffles) is
     only worth paying when there is mass for it to collapse. The probe
     costs one aggregation over (id, 64-char hash) rows — the same
-    count()-shaped plan-time job ``n_planes="auto"`` already runs."""
+    count()-shaped plan-time job ``n_planes="auto"`` already runs.
+
+    ``n_planes="auto"`` resolves ONCE from the FULL corpus count, before
+    the collapse branch (round-7 advisory): resolving inside
+    ``_bucket_scored_pairs`` would size the plane family from
+    ``reps.count()`` on the collapsed branch and ``embeddings.count()``
+    on the other, so a duplicate-heavy corpus would build
+    different-depth LSH families per branch and break the documented
+    output invariance. The full count is also the conservative choice —
+    deeper-or-equal planes, fewer candidates — and the invariance is
+    pinned by ``test_knn_graph_precollapse_invariant_auto_depth``."""
     from pyspark.sql import Window
 
+    if n_planes == "auto":
+        n_planes = auto_n_planes(embeddings.count())
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     # collapsible = finite positive norm (NaN fails n < inf in Spark's

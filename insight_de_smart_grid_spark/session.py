@@ -24,22 +24,31 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def default_driver_mem() -> str:
+def default_driver_mem(avail_mb: "int | None" = None) -> str:
     """Driver-heap default for local mode: 16g, capped at ~70% of the
     host's currently-available memory so a smaller host gets a heap Spark
     can actually back (a 16g JVM on an 8 GiB box swaps or draws the OS
     OOM killer instead of a clean Spark memory error). Explicit override:
-    ``SPARK_GRAFT_DRIVER_MEM``."""
+    ``SPARK_GRAFT_DRIVER_MEM``.
+
+    Because the cap samples MemAvailable at get_spark time, a busy host
+    can resolve a smaller heap than the one the frozen bench medians were
+    measured under — bench.py therefore logs the RESOLVED heap in its
+    JSON (``driver_mem``) so regression triage can see it (round-7
+    advisory). ``avail_mb`` injects the sample for deterministic tests;
+    None reads /proc/meminfo."""
     cap_mb = 16 * 1024
-    try:
-        with open("/proc/meminfo") as f:
-            for line in f:
-                if line.startswith("MemAvailable:"):
-                    avail_mb = int(line.split()[1]) // 1024
-                    cap_mb = max(1024, min(cap_mb, avail_mb * 7 // 10))
-                    break
-    except OSError:
-        pass  # non-Linux: keep the 16g default
+    if avail_mb is None:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        avail_mb = int(line.split()[1]) // 1024
+                        break
+        except OSError:
+            pass  # non-Linux: keep the 16g default
+    if avail_mb is not None:
+        cap_mb = max(1024, min(cap_mb, avail_mb * 7 // 10))
     return f"{cap_mb}m"
 
 

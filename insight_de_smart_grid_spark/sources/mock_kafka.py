@@ -325,6 +325,23 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
             with open(path, "rb") as f:
                 for chunk in iter(lambda: f.read(1 << 20), b""):
                     h.update(chunk)
+        elif os.path.isdir(path):
+            # Directory-shaped parquet datasets (Spark-written) get a
+            # freshness component too (round-7 advisory): fold every
+            # entry's (relpath, size, mtime_ns) so a rewritten fixture at
+            # the same path misses the stale cache. Content-hashing the
+            # files would be exact but costs a full re-read per session;
+            # size+mtime_ns is the same contract filesystems/rsync use.
+            for root, dirs, files in sorted(os.walk(path)):
+                dirs.sort()
+                for name in sorted(files):
+                    fp = os.path.join(root, name)
+                    try:
+                        st = os.stat(fp)
+                        h.update(f"{os.path.relpath(fp, path)}|{st.st_size}"
+                                 f"|{st.st_mtime_ns}".encode())
+                    except OSError:
+                        continue
         key_src = "|".join((
             path, self.options.get("topic", "power-raw"),
             self.options.get("partitions", "4"), h.hexdigest(),

@@ -14,7 +14,12 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from bench import confirmed_regressions, is_regression  # noqa: E402
+from bench import (  # noqa: E402
+    confirmed_regressions,
+    is_ingest_regression,
+    is_regression,
+    round_number,
+)
 
 
 def test_is_regression_needs_both_ratio_and_absolute():
@@ -56,6 +61,34 @@ def test_unflagged_queries_never_remeasured():
         {"fast": 0.1, "slow": 3.0}, {"fast": 0.1, "slow": 1.0}, spy)
     assert calls == ["slow"]
     assert set(out) == {"slow"}
+
+
+def test_ingest_gate_fires_on_synthetic_slowdown():
+    """Round-7 advisory: the ingest rows/sec gate must fire on a >1.5x
+    throughput DROP against the frozen baseline and stay silent on
+    anything smaller (rates invert the query gate's direction)."""
+    base = 224_719
+    assert is_ingest_regression(base // 2, base)        # 2x drop: fires
+    assert is_ingest_regression(149_000, base)          # just past 1.5x
+    assert not is_ingest_regression(150_000, base)      # 1.498x: silent
+    assert not is_ingest_regression(base, base)         # clean run: silent
+    assert not is_ingest_regression(base * 2, base)     # faster: silent
+    assert not is_ingest_regression(0, base)            # no measurement
+    assert not is_ingest_regression(base, 0)            # no baseline
+
+
+def test_round_number_from_artifacts(tmp_path, monkeypatch):
+    """BENCH_FULL_r{N} self-numbers from the committed driver artifacts:
+    one past the highest CORRECTNESS/BENCH round on disk, env override
+    wins."""
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    assert round_number(str(tmp_path)) == 1  # bare repo -> round 1
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    (tmp_path / "BENCH_r05.json").write_text("{}")
+    (tmp_path / "BENCH_r2_local.json").write_text("{}")  # non-driver: skip
+    assert round_number(str(tmp_path)) == 7
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
+    assert round_number(str(tmp_path)) == 12
 
 
 def test_run_query_releases_staged_blocks(spark):

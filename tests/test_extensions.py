@@ -932,6 +932,42 @@ def test_knn_graph_precollapse_invariant_on_edge_corpus(spark, tmp_path):
     assert result(True) == result(False)
 
 
+def test_knn_graph_precollapse_invariant_auto_depth(spark):
+    """Round-7 advisory: with ``n_planes="auto"`` the depth must resolve
+    ONCE from the FULL corpus count before the collapse branch. The
+    corpus is sized so the full count (1100 -> depth 6) and the rep
+    count (501 -> depth 4) straddle two log2 boundaries: resolving
+    inside ``_bucket_scored_pairs`` (the pre-fix behavior) would build
+    different-depth LSH families per branch and break invariance."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_planes,
+        knn_graph,
+    )
+
+    dim = 64
+    hot = [0.1 * ((d % 5) + 1) for d in range(dim)]
+    rows = [(i, hot) for i in range(600)]
+    rows += [(600 + i, [((i * 31 + d * 7) % 97) / 97.0 - 0.5
+                        for d in range(dim)]) for i in range(500)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    assert auto_n_planes(1100) != auto_n_planes(501)  # the trap is armed
+
+    def result(**kw):
+        return sorted(
+            (r.anchor_id, r.nbr_id, r.cos_sim, r.rnk)
+            for r in knn_graph(emb, k=3, n_planes="auto", **kw).collect())
+
+    got = result(precollapse=True)
+    assert got == result(precollapse=False)
+    # and "auto" means exactly the full-count rule on the collapsed branch
+    concrete = sorted(
+        (r.anchor_id, r.nbr_id, r.cos_sim, r.rnk)
+        for r in knn_graph(emb, k=3, n_planes=auto_n_planes(1100),
+                           precollapse=True).collect())
+    assert got == concrete
+
+
 def test_semantic_dedup_matches_oracle(spark, duck):
     check_registered(spark, duck, "dedup_semantic")
 

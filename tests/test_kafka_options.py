@@ -115,15 +115,18 @@ def test_streaming_sink_requires_checkpoint_dir(spark):
 
 def test_default_driver_mem_caps_to_available():
     """get_spark's driver-heap default (round-6 advisory): 16g on a big
-    host, capped at ~70% of MemAvailable on a small one, floored at 1g —
-    a heap the OS can actually back instead of an OOM-killed JVM."""
+    host, capped at ~70% of MemAvailable on a small one, floored at 1g.
+    The cap rule is asserted exactly via the injected sample (round-7
+    advisory: re-reading /proc/meminfo after the fact flaked when
+    available memory moved between the two reads); the live read only
+    gets the structural bounds."""
     from insight_de_smart_grid_spark.session import default_driver_mem
 
+    # exact rule on injected samples — deterministic, no meminfo race
+    assert default_driver_mem(avail_mb=256 * 1024) == f"{16 * 1024}m"
+    assert default_driver_mem(avail_mb=8 * 1024) == f"{8 * 1024 * 7 // 10}m"
+    assert default_driver_mem(avail_mb=100) == "1024m"  # floor
+    # live path: only the loose structural invariants
     got = default_driver_mem()
     assert got.endswith("m")
-    mb = int(got[:-1])
-    assert 1024 <= mb <= 16 * 1024
-    with open("/proc/meminfo") as f:
-        avail_mb = next(int(line.split()[1]) // 1024 for line in f
-                        if line.startswith("MemAvailable:"))
-    assert mb <= max(1024, avail_mb * 7 // 10)
+    assert 1024 <= int(got[:-1]) <= 16 * 1024

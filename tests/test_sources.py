@@ -461,3 +461,40 @@ def test_mockkafka_cache_key_tracks_fixture_content(tmp_path):
     assert key() != k1
     assert key(topic="other") != key()
     assert key(partitions="8") != key()
+
+
+def test_mockkafka_cache_key_tracks_directory_fixtures(tmp_path):
+    """Round-7 advisory: directory-shaped parquet datasets (Spark-written)
+    must carry a freshness component too — a rewritten fixture at the
+    same path must MISS the cached backlog. The key folds every entry's
+    (relpath, size, mtime_ns), so adding a part-file, changing bytes
+    (size), or a same-size rewrite (mtime_ns) all change the key."""
+    import os
+
+    from insight_de_smart_grid_spark.sources.mock_kafka import (
+        MockKafkaStreamReader,
+    )
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"aaaa")
+
+    def key():
+        opts = {"path": str(d), "topic": "t", "partitions": "4"}
+        return MockKafkaStreamReader(opts)._cache_key()
+
+    k1 = key()
+    assert k1 == key()  # deterministic on an unchanged directory
+    (d / "part-00001.parquet").write_bytes(b"bb")  # new part-file
+    k2 = key()
+    assert k2 != k1
+    part.write_bytes(b"aaaaaa")  # size change
+    k3 = key()
+    assert k3 != k2
+    # same-size rewrite: Spark's overwrite always creates fresh files, so
+    # mtime_ns moves even when bytes/size collide
+    part.write_bytes(b"cccccc")
+    os.utime(part, ns=(os.stat(part).st_atime_ns,
+                       os.stat(part).st_mtime_ns + 1))
+    assert key() != k3
