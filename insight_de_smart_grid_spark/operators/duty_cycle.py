@@ -40,6 +40,38 @@ def _interval_seconds(spec: str) -> "int | None":
     return None
 
 
+# Measured crossover (SCALE.md, round-6 stress sweep): the pane form wins
+# at ~10 events per (key, pane) (3.28 vs 3.80 s at x10 density; gap grows
+# with density) and loses at ~1 (the pre-agg collapses nothing and pays a
+# second shuffle). 4.0 sits between the two measured points: above it the
+# hash-agg input cut pays for the extra combine with margin.
+PANE_DENSITY_CROSSOVER = 4.0
+
+
+def pane_density(readings: DataFrame, slide_seconds: int,
+                 time_col: str = "ts",
+                 keys: tuple[str, ...] = ("house_id", "appliance_id")
+                 ) -> float:
+    """One cheap probe job: average events per occupied (key, pane) —
+    the quantity that decides explode-vs-pane (the hash-agg input cut is
+    exactly this density). Same pattern as ``knn_graph``'s duplicate
+    probe: a narrow plan-build-time aggregation whose cost is one corpus
+    scan with an HLL sketch, no shuffle of the wide rows (at cluster
+    scale, catalog row stats / a sample would stand in).
+
+    ``approx_count_distinct`` (HLL++, ~2% rse) estimates the occupied
+    (key, pane) group count; the pane index is integer epoch arithmetic,
+    not ``window()``, so nothing explodes in the probe itself."""
+    pane_idx = F.floor(F.unix_timestamp(F.col(time_col)) /
+                       F.lit(slide_seconds))
+    stats = readings.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(
+            F.struct(pane_idx.alias("p"),
+                     *[F.col(k) for k in keys])).alias("g")).first()
+    return stats.n / max(stats.g, 1)
+
+
 def duty_cycle(readings: DataFrame,
                window: str = "10 minutes",
                slide: str | None = None,
@@ -47,7 +79,7 @@ def duty_cycle(readings: DataFrame,
                time_col: str = "ts",
                keys: tuple[str, ...] = ("house_id", "appliance_id"),
                power_col: str = "power",
-               panes: bool = False) -> DataFrame:
+               panes: "bool | str" = False) -> DataFrame:
     """Batch duty-cycle over a readings-shaped frame.
 
     ``slide=None`` -> tumbling (the oracle-checkable variant); pass a slide for
@@ -77,11 +109,25 @@ def duty_cycle(readings: DataFrame,
     fixture (~1 event per pane) gains nothing and pays the second tiny
     shuffle, so the EXPLODE form stays the registered default and the
     pane form is the registered scale twin — the stress sweep measures
-    the crossover on its x10/x30 same-timestamp corpora."""
+    the crossover on its x10/x30 same-timestamp corpora.
+
+    ``panes="auto"`` (round-7, the knn-graph dup-probe pattern): one
+    cheap probe job (``pane_density``) estimates events per occupied
+    (key, pane) and picks the pane form at or above the measured
+    crossover (``PANE_DENSITY_CROSSOVER``), the explode form below —
+    dense 1 Hz telemetry gets the decomposition automatically, the
+    sparse fixture keeps the single-shuffle plan. Registered as
+    ``duty_cycle_sliding_auto`` against the same oracle SQL; the choice
+    is plan-asserted on both corpora in the stress sweep."""
     w_s = _interval_seconds(window)
     s_s = _interval_seconds(slide) if slide else None
-    if (panes and slide is not None and w_s and s_s
-            and w_s % s_s == 0 and w_s != s_s):
+    decomposable = (slide is not None and w_s and s_s
+                    and w_s % s_s == 0 and w_s != s_s)
+    if panes == "auto":
+        panes = bool(decomposable) and (
+            pane_density(readings, s_s, time_col, keys)
+            >= PANE_DENSITY_CROSSOVER)
+    if panes and decomposable:
         n_panes = w_s // s_s
         pane = (
             readings

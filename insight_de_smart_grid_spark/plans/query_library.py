@@ -153,6 +153,18 @@ def q_duty_cycle_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                          slide="2 minutes")
 
 
+@register("duty_cycle_sliding_auto", _SLIDING_ORACLE)
+def q_duty_cycle_sliding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE form selection (round-7): one cheap probe job estimates
+    events per occupied (key, pane) and picks the pane decomposition at
+    or above the measured crossover density, the explode form below
+    (``operators/duty_cycle.py::pane_density`` — the knn-graph dup-probe
+    pattern). Same oracle SQL as both fixed forms: whichever plan the
+    probe picks must produce identical rows."""
+    return dc.duty_cycle(readings_view(spark, sf_dir), window="10 minutes",
+                         slide="2 minutes", panes="auto")
+
+
 @register("duty_cycle_sliding_panes", _SLIDING_ORACLE)
 def q_duty_cycle_sliding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME sliding duty cycle through the pane decomposition (one
@@ -258,6 +270,35 @@ def q_streaming_duty_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", events_to_readings,
         query_name="unused", checkpoint_dir=f"{base}/ck",
         out_dir=f"{base}/sink", flush_sentinel=True,
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    return out.filter(F.col("house_id") != "-1")
+
+
+@register("streaming_duty_cycle_panes", _SLIDING_ORACLE)
+def q_streaming_duty_cycle_panes(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The reference's continuous query through the PANE-DECOMPOSED
+    streaming plan (two chained stateful aggregations, Spark 3.4+
+    multiple-stateful-operator append mode): tumbling slide-width pane
+    aggregate — the state store ingests each event ONCE — then a sliding
+    window combine over the aggregated panes. The dense-telemetry scale
+    twin of ``streaming_duty_cycle`` (the reference's 1 Hz meters write
+    window/slide = 5x state rows per event under the explode form),
+    registered against the identical oracle SQL so both streaming forms
+    are value-checked row-identical. See
+    ``streaming/duty_cycle_stream.py::duty_cycle_stream_panes_plan``."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+        run_stream_over_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="sdcp_")
+    out = run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", events_to_readings,
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink", flush_sentinel=True, panes=True,
         window="10 minutes", slide="2 minutes", watermark="2 seconds")
     return out.filter(F.col("house_id") != "-1")
 

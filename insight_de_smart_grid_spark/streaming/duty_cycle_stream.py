@@ -59,12 +59,80 @@ def duty_cycle_stream_plan(stream: DataFrame,
     )
 
 
+def duty_cycle_stream_panes_plan(stream: DataFrame,
+                                 window: str = "10 minutes",
+                                 slide: str = "2 minutes",
+                                 watermark: str = "2 seconds",
+                                 threshold: float = DEFAULT_THRESHOLD,
+                                 time_col: str = "ts",
+                                 keys: tuple[str, ...] = ("house_id",
+                                                          "appliance_id"),
+                                 power_col: str = "power") -> DataFrame:
+    """Pane-decomposed STREAMING sliding duty cycle — the scale twin of
+    ``duty_cycle_stream_plan`` (round-6 batch twin:
+    ``operators/duty_cycle.py`` ``panes=True``), now in the execution mode
+    the reference actually runs (duty_cycle_avro.py:75-89 is a continuous
+    query over 1 Hz meters).
+
+    WHY: Spark's sliding ``window()`` explodes every event into
+    window/slide copies BEFORE the stateful aggregation, so the state
+    store ingests 5x the stream for the reference's 10min/2min shape —
+    at 1 Hz meter density that is ~5x state-store writes, checkpoint
+    bytes, and shuffle volume, all pure overhead because both counts are
+    sums and therefore pane-decomposable ("No pane, no gain", Li et al.
+    SIGMOD Record '05).
+
+    HOW: two CHAINED stateful aggregations in append mode (multiple
+    stateful operators, Spark 3.4+ / SPARK-40925):
+
+    1. tumbling slide-width PANE aggregate — the state store ingests
+       each event exactly ONCE (keyed (pane, house, appliance));
+    2. sliding window over the pane's window column — Spark assigns the
+       pane's event-time (``window_time`` = pane end - 1 microsecond) to
+       the window/slide containing sliding windows, exactly the
+       epoch-aligned window set the explode form assigns each event, and
+       sums the pane partials. Its state input is bounded by #keys x
+       #panes — aggregated cardinality, not event cardinality.
+
+    Append-mode flush cascades through both operators in the final
+    no-data micro-batch: stage 1 emits every pane whose end <= final
+    watermark, stage 2 consumes them in the same batch and emits every
+    window whose end <= that watermark; a window's panes all end at or
+    before the window end, so a finalized window always has its full
+    pane set — the emitted rows are identical to the explode form's
+    (pinned by ``test_streaming_panes_equal_explode_stream`` and the
+    ``streaming_duty_cycle_panes`` oracle row, same SQL as
+    ``streaming_duty_cycle``)."""
+    pane = (
+        stream
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), slide).alias("pane"),
+                 *[F.col(k) for k in keys])
+        .agg(F.count(F.col(power_col)).alias("p_all"),
+             F.count(F.when(F.col(power_col) > F.lit(threshold), True))
+             .alias("p_duty"))
+    )
+    agg = (
+        pane
+        .groupBy(F.window(F.col("pane"), window, slide).alias("window"),
+                 *[F.col(k) for k in keys])
+        .agg(F.sum("p_all").alias("c_all"),
+             F.sum("p_duty").alias("c_duty"))
+    )
+    return (
+        agg.withColumn("duty_cycle", F.col("c_duty") / F.col("c_all"))
+        .select(F.col("window.end").alias("time_end"), *keys, "duty_cycle")
+    )
+
+
 def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
                             to_readings, query_name: str = "duty_stream",
                             checkpoint_dir: str | None = None,
                             out_dir: str | None = None,
                             state_partitions: int | None = 8,
                             flush_sentinel: bool = False,
+                            panes: bool = False,
+                            progress_out: "list | None" = None,
                             **plan_kwargs) -> DataFrame:
     """Replay a parquet table through the streaming plan with
     ``availableNow`` + memory sink; returns the finalized (append-mode)
@@ -78,11 +146,14 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
 
     ``state_partitions`` sizes the stateful shuffle; see
     ``streaming.replay.replay_parquet_stream`` (the shared runner).
+    ``panes=True`` routes through the pane-decomposed chained-stateful
+    plan (``duty_cycle_stream_panes_plan``); ``progress_out`` collects
+    the drained query's progress objects (state-operator metrics).
     """
+    plan = duty_cycle_stream_panes_plan if panes else duty_cycle_stream_plan
     return replay_parquet_stream(
         spark, parquet_path,
-        lambda stream: duty_cycle_stream_plan(to_readings(stream),
-                                              **plan_kwargs),
+        lambda stream: plan(to_readings(stream), **plan_kwargs),
         query_name=query_name, checkpoint_dir=checkpoint_dir,
         out_dir=out_dir, state_partitions=state_partitions,
-        flush_sentinel=flush_sentinel)
+        flush_sentinel=flush_sentinel, progress_out=progress_out)

@@ -126,12 +126,19 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
                           sentinel_margin_s: int = 3600,
                           sentinel_count: int = 1,
                           max_files_per_trigger: int | None = None,
-                          sentinel_all_types: bool = False
+                          sentinel_all_types: bool = False,
+                          progress_out: "list | None" = None
                           ) -> DataFrame:
     """Build ``plan_fn(stream)`` over a parquet file source and drain it with
     ``trigger(availableNow=True)``; returns the sink contents as a batch
     DataFrame (memory sink by default, fault-tolerant parquet sink when
     ``out_dir`` is given).
+
+    ``progress_out``: a caller-supplied list that receives the drained
+    query's ``recentProgress`` dicts — the per-micro-batch state-operator
+    metrics (numRowsUpdated, numRowsTotal, operator name) that let tests
+    assert HOW MUCH the state store ingested, not just what came out
+    (the pane-vs-explode state-input contract).
 
     ``state_partitions`` sizes the stateful shuffle (= number of state store
     instances, fixed at first start). Per-store open/commit overhead dominates
@@ -156,6 +163,8 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
                 writer = writer.option("checkpointLocation", checkpoint_dir)
             q = writer.start()
             q.awaitTermination()
+            if progress_out is not None:
+                progress_out.extend(p for p in q.recentProgress if p)
             return spark.read.parquet(out_dir)
         writer = (plan.writeStream.outputMode("append")
                   .format("memory").queryName(query_name)
@@ -164,6 +173,8 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
             writer = writer.option("checkpointLocation", checkpoint_dir)
         q = writer.start()
         q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(p for p in q.recentProgress if p)
         return spark.table(query_name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

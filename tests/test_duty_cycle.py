@@ -63,3 +63,50 @@ def test_duty_cycle_pane_decomposition_is_invariant(spark):
                          panes=False)
     assert sorted(map(tuple, odd.collect())) == \
         sorted(map(tuple, odd_ref.collect()))
+
+
+def _is_pane_plan(df) -> bool:
+    """The pane plan (and only it) synthesizes window ends with
+    make_interval arithmetic over exploded pane indices; the explode form
+    plans a single window() generator. Marker read from the ANALYZED
+    plan — the optimizer constant-folds the literal make_interval away."""
+    return "make_interval" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_duty_cycle_auto_probe_picks_by_density(spark):
+    """panes="auto" (round-7): the probe must pick the EXPLODE plan on
+    the sparse fixture (~1 event per (key, pane) — the pre-agg collapses
+    nothing) and the PANE plan on a dense corpus (many events per pane),
+    and both choices must return rows identical to the fixed forms."""
+    from insight_de_smart_grid_spark.operators.duty_cycle import (
+        PANE_DENSITY_CROSSOVER,
+        pane_density,
+    )
+
+    readings = readings_view(spark, SF_ORACLE)
+    assert pane_density(readings, 120) < PANE_DENSITY_CROSSOVER
+    auto_sparse = duty_cycle(readings, window="10 minutes",
+                             slide="2 minutes", panes="auto")
+    assert not _is_pane_plan(auto_sparse)
+    assert sorted(map(tuple, auto_sparse.collect())) == sorted(map(
+        tuple, duty_cycle(readings, window="10 minutes",
+                          slide="2 minutes", panes=False).collect()))
+
+    # dense corpus: every key emits ~1 Hz within one 10-minute stretch
+    dense = spark.range(600).selectExpr(
+        "timestamp_seconds(1704067200 + id) AS ts",
+        "cast(id % 2 as string) AS house_id",
+        "concat(cast(id % 2 as string), '_m') AS appliance_id",
+        "cast(id % 7 as double) AS power")
+    assert pane_density(dense, 120) >= PANE_DENSITY_CROSSOVER
+    auto_dense = duty_cycle(dense, window="10 minutes",
+                            slide="2 minutes", panes="auto")
+    assert _is_pane_plan(auto_dense)
+    assert sorted(map(tuple, auto_dense.collect())) == sorted(map(
+        tuple, duty_cycle(dense, window="10 minutes", slide="2 minutes",
+                          panes=True).collect()))
+
+    # non-decomposable shape: auto must fall back to explode, not raise
+    odd_auto = duty_cycle(dense, window="10 minutes", slide="3 minutes",
+                          panes="auto")
+    assert not _is_pane_plan(odd_auto)

@@ -220,6 +220,38 @@ def test_auto_planes_holds_candidate_volume(spark, stress_dir):
         assert n_edges > 0
 
 
+def test_duty_cycle_auto_form_selection(spark, stress_dir):
+    """The round-7 adaptive pane/explode probe, exercised on both
+    corpora: the DENSE stress corpus (mult same-timestamp copies per
+    pane) must select the pane decomposition, the sparse base fixture
+    (~1 event per (key, pane)) must keep the single-shuffle explode
+    plan. Plan-asserted via the pane form's make_interval marker."""
+    from insight_de_smart_grid_spark.operators.duty_cycle import (
+        PANE_DENSITY_CROSSOVER,
+        pane_density,
+    )
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+
+    dense = readings_view(spark, str(stress_dir))
+    sparse = readings_view(spark, BASE)
+    d_dense = pane_density(dense, 120)
+    d_sparse = pane_density(sparse, 120)
+    TIMINGS["pane_density_stress"] = round(d_dense, 2)
+    TIMINGS["pane_density_base"] = round(d_sparse, 2)
+    assert d_dense >= PANE_DENSITY_CROSSOVER > d_sparse
+
+    def is_pane_plan(df):
+        # analyzed plan: the optimizer constant-folds the literal
+        # make_interval away (see test_duty_cycle.py::_is_pane_plan)
+        return "make_interval" in df._jdf.queryExecution().analyzed(
+            ).toString()
+
+    auto_dense = QUERIES["duty_cycle_sliding_auto"].fn(spark,
+                                                       str(stress_dir))
+    auto_sparse = QUERIES["duty_cycle_sliding_auto"].fn(spark, BASE)
+    assert is_pane_plan(auto_dense) and not is_pane_plan(auto_sparse)
+
+
 def test_knn_graph_wall_ratio_with_levers(spark, stress_dir):
     """The round-5 measured super-linear point, closed: knn_graph at
     MULT x data (with the planted identical-vector bucket) vs the benign
@@ -284,10 +316,12 @@ SWEEP = [
     # crossover on a DENSE corpus (mult same-timestamp copies per pane)
     "duty_cycle_sliding",
     "duty_cycle_sliding_panes",
+    "duty_cycle_sliding_auto",
     "rollup_1s",
     "dash_timeseries_5s",
     "streaming_rollup",
     "streaming_duty_cycle",
+    "streaming_duty_cycle_panes",
     "streaming_interpolate",
 ]
 

@@ -43,6 +43,69 @@ def test_batch_equals_stream_for_finalized_windows(spark):
     assert len(s_rows) > 0
 
 
+def test_streaming_panes_equal_explode_stream(spark):
+    """Round-7 flagship: the pane-decomposed streaming plan (two chained
+    stateful aggs, append mode) must emit EXACTLY the rows of the explode
+    streaming plan — same finalized window set, same ratios — and both
+    must equal the finalized subset of the batch pane form
+    (``duty_cycle(panes=True)``), closing the batch≡stream contract for
+    the decomposition."""
+    def run(panes):
+        return {tuple(r) for r in run_stream_over_parquet(
+            spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+            query_name=f"dsp_{uuid.uuid4().hex[:8]}",
+            window="10 minutes", slide="2 minutes", watermark="2 seconds",
+            flush_sentinel=True, panes=panes)
+            .filter(F.col("house_id") != "-1").collect()}
+
+    pane_rows = run(True)
+    assert pane_rows == run(False)
+    # batch pane form, restricted to finalized windows (the flush
+    # sentinel pushes the watermark past every real window, so the
+    # streamed set is the COMPLETE batch set here)
+    readings = readings_view(spark, SF_SMOKE)
+    batch = duty_cycle(readings, window="10 minutes", slide="2 minutes",
+                       panes=True)
+    assert pane_rows == {tuple(r) for r in batch.collect()}
+    assert len(pane_rows) > 0
+
+
+def test_streaming_panes_cut_state_writes(spark):
+    """The decomposition's scale claim, measured at the state store: the
+    explode plan writes each event into window/slide (=5) window states,
+    so its event-ingesting stateful operator updates ~5x the state rows
+    of the pane plan's stage-1 (one pane state per (pane, key)). The
+    pane plan pays a SECOND tiny operator whose input is aggregated pane
+    cardinality — bounded by #keys x #panes, not events — so its total
+    updated-state rows stay well under the explode plan's."""
+    def updated_rows(panes):
+        prog = []
+        run_stream_over_parquet(
+            spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+            query_name=f"dsw_{uuid.uuid4().hex[:8]}",
+            window="10 minutes", slide="2 minutes", watermark="2 seconds",
+            flush_sentinel=True, panes=panes, progress_out=prog)
+        per_op: dict[int, int] = {}
+        for p in prog:
+            for i, so in enumerate(p.get("stateOperators", [])):
+                per_op[i] = per_op.get(i, 0) + int(so["numRowsUpdated"])
+        return per_op
+
+    pane_ops = updated_rows(True)
+    explode_ops = updated_rows(False)
+    assert len(explode_ops) == 1 and len(pane_ops) == 2
+    explode_writes = explode_ops[0]
+    # the event-ingesting operator (the smaller of the two — progress
+    # lists operators sink-first) must write ~1/5th of the explode plan's
+    # window states on this sparse-occupancy fixture (each occupied pane
+    # feeds 5 windows); <= 1/4 leaves margin for boundary panes. On DENSE
+    # contiguous corpora the two forms' state CARDINALITY converges and
+    # the win moves to aggregation input volume (5x events pre-shuffle vs
+    # 1x) — that is the stress sweep's wall-clock entry.
+    stage1 = min(pane_ops.values())
+    assert stage1 <= explode_writes / 4
+
+
 def test_watermark_drops_late_rows_across_restarts(spark):
     """ST1: a row arriving after the watermark passed its window is dropped.
     Two availableNow runs share a checkpoint; the second run's input is
