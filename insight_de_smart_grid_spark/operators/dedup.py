@@ -1001,6 +1001,209 @@ WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
 """
 
 
+def containment_pairs_lsh(docs: DataFrame, n: int = 3,
+                          threshold: float = 0.25,
+                          n_hashes: int = 32, bands: int = 8,
+                          max_df: int = 5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          materialize: bool = True) -> DataFrame:
+    """Corpus-scale BLOCKED tier for containment (round-7; the
+    ``dedup_clusters_lsh`` pattern applied to the last two output-bound
+    exact tiers): exact containment verified only on a bounded candidate
+    set instead of the full shingle inversion.
+
+    Candidates come from TWO bounded blocks, unioned:
+
+    - MinHash band buckets (same geometry as ``minhash_lsh_near_dups``)
+      — catch near-symmetric duplicates regardless of shingle document
+      frequency: boilerplate-heavy corpora whose hot shingles explode
+      the exact tier's inversion (df^2 per shingle) never pair here
+      unless their WHOLE shingle sets collide;
+    - rare-shingle co-occurrence (df <= ``max_df``, a FLAT cap) — catch
+      the ASYMMETRIC case LSH bands miss by construction (a small doc
+      embedded in a large host has high containment but low Jaccard, so
+      no band collides); any embedded doc shares its rare shingles with
+      its host, and the flat cap bounds this block's fanout to
+      max_df^2 per shingle REGARDLESS of corpus composition. The cap is
+      deliberately NOT scaled with corpus size (winnow's 1%-of-corpus
+      rule): measured at 30x replication, a scaled cap re-admits every
+      duplicate clique's shingles (df = mult <= 1% n) and the block
+      degenerates into the exact tier's sum-of-df^2 inversion (560 s vs
+      60 s at 30x); replicated/near-symmetric mass is exactly what the
+      band block already owns.
+
+    RECALL CONTRACT (documented, not hidden): a pair that is BOTH
+    low-Jaccard AND shares only ubiquitous shingles is missed — that is
+    boilerplate inclusion, which ``duplicate_spans`` owns. Everything
+    the exact tier emits through a rare shingle or a band collision is
+    emitted here with the identical rounded score (same hash, same
+    ratio-of-integers), making this the registered first pass on
+    corpora where the exact tier's pair mass is itself quadratic.
+
+    One tokenize pass feeds signatures, shingle sets, and sizes (the
+    staged shingle-hash table is the persisted index at 100 TB)."""
+    gh_tbl = stage(
+        word_ngrams(docs, n, text_col, id_col)
+        .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")),
+        materialize)
+    x = F.col("gh") % F.lit(_MINHASH_P)
+    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
+    sig_sets = stage(
+        gh_tbl.groupBy(id_col)
+        .agg(F.collect_set("gh").alias("shingles"), *mins), materialize)
+    band_cands = lsh_candidate_pairs(sig_sets, n_hashes, bands, id_col)
+    rare = (gh_tbl.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= F.lit(max_df))
+            .select("gh"))
+    rare_gh = gh_tbl.join(rare, "gh")
+    ra, rb = rare_gh.alias("ra"), rare_gh.alias("rb")
+    rare_cands = (ra.join(rb, (F.col("ra.gh") == F.col("rb.gh"))
+                          & (F.col(f"ra.{id_col}") < F.col(f"rb.{id_col}")))
+                  .select(F.col(f"ra.{id_col}").alias("doc_a"),
+                          F.col(f"rb.{id_col}").alias("doc_b"))
+                  .distinct())
+    cands = band_cands.unionByName(rare_cands).distinct()
+    sa = sig_sets.select(F.col(id_col).alias("doc_a"),
+                         F.col("shingles").alias("sh_a"))
+    sb = sig_sets.select(F.col(id_col).alias("doc_b"),
+                         F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (cands.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(cont >= F.lit(threshold))
+            .select("doc_a", "doc_b", F.round(cont, 6).alias("containment")))
+
+
+def containment_lsh_oracle_sql(n: int = 3, threshold: float = 0.25,
+                               n_hashes: int = 32, bands: int = 8,
+                               max_df: int = 5) -> str:
+    """DuckDB twin of ``containment_pairs_lsh``: band candidates from the
+    shared minhash CTE chain, rare-shingle candidates from the hashed
+    shingle table, exact containment on the union."""
+    return ("WITH " + _minhash_pairs_ctes(n_hashes, bands, n, 0.5) + f""",
+rare_gh AS (
+  SELECT ghv FROM gh GROUP BY ghv
+  HAVING count(*) <= {max_df}
+),
+rcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gh a JOIN gh b ON a.ghv = b.ghv AND a.doc_id < b.doc_id
+  WHERE a.ghv IN (SELECT ghv FROM rare_gh)
+),
+allc AS (
+  SELECT doc_a, doc_b FROM cand
+  UNION
+  SELECT doc_a, doc_b FROM rcand
+),
+cinter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM allc c
+  JOIN gh x ON x.doc_id = c.doc_a
+  JOIN gh y ON y.doc_id = c.doc_b AND y.ghv = x.ghv
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM cinter c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
+""")
+
+
+def winnow_near_dups_lsh(docs: DataFrame, k: int = 8, w: int = 4,
+                         max_df: int = 5, min_shared: int = 5,
+                         n_hashes: int = 32, bands: int = 8,
+                         ngram: int = 3,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         materialize: bool = True) -> DataFrame:
+    """Corpus-scale blocked tier for winnow near-dups (round-7): the
+    exact MOSS scoring (shared rare winnowed fingerprints, identical
+    rare rule and counts) computed only on MinHash+LSH band candidates
+    instead of the full fingerprint inversion.
+
+    Why it scales where the exact tier is output-bound: the exact
+    tier's pair mass comes from the fingerprint-block self-join —
+    df^2 per fingerprint, which tracks true duplicate-clique mass
+    C(mult, 2) on replicated corpora and explodes whenever ``max_df``
+    must be raised to keep recall on boilerplate-heavy corpora. Here
+    the candidate set is bounded by band-bucket collisions (never by
+    fingerprint document frequency), and the verify cost is
+    sum over pairs of |fps(A)| — one probe of B's fingerprint set per
+    (pair, fp-of-A), keyed on (doc, fp) so no hot fingerprint ever
+    concentrates a partition.
+
+    Output = the exact tier's rows restricted to LSH candidates, same
+    ``n_shared`` values (pinned by the shared scoring CTEs in the
+    oracle twin)."""
+    from insight_de_smart_grid_spark.operators.text import winnow_fps_arrow
+
+    sh = (word_ngrams(docs, ngram, text_col, id_col)
+          .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
+    x = F.col("gh") % F.lit(_MINHASH_P)
+    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
+    sig = sh.groupBy(id_col).agg(*mins)
+    cands = lsh_candidate_pairs(sig, n_hashes, bands, id_col)
+
+    fps = winnow_fps_arrow(docs, text_col=text_col, k=k, w=w, id_col=id_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.greatest(F.lit(max_df),
+                                              F.floor(F.col("__n") / 100)))
+            .select("fp"))
+    rare_fps = stage(fps.join(rare, "fp"), materialize)
+    fa = rare_fps.select(F.col(id_col).alias("doc_a"), "fp")
+    fb = rare_fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (cands
+            .join(fa, "doc_a")
+            .join(fb, ["doc_b", "fp"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def winnow_lsh_oracle_sql(k: int = 8, w: int = 4, max_df: int = 5,
+                          min_shared: int = 5, n_hashes: int = 32,
+                          bands: int = 8, ngram: int = 3) -> str:
+    """DuckDB twin of ``winnow_near_dups_lsh``: the exact tier's
+    fingerprint/rare CTEs, scored only over the minhash band candidate
+    pairs (shared ``cand`` CTE)."""
+    return ("WITH " + _minhash_pairs_ctes(n_hashes, bands, ngram, 0.5)
+            + f""",
+wg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {k} + 1, 1) + 1),
+                        i -> substring(text, CAST(i AS INT), {k})) AS grams
+  FROM documents
+),
+wfp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+           j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+{w - 1}])))) AS fp
+  FROM wg
+),
+wrare AS (
+  SELECT fp FROM wfp GROUP BY fp
+  HAVING count(*) <= greatest({max_df},
+                              (SELECT count(*)//100 FROM documents))
+)
+SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+FROM cand c
+JOIN wfp a ON a.doc_id = c.doc_a
+JOIN wfp b ON b.doc_id = c.doc_b AND b.fp = a.fp
+WHERE a.fp IN (SELECT fp FROM wrare)
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+""")
+
+
 # ---------------------------------------------------------------------------
 # Cross-source shingle overlap: the contamination/provenance matrix
 # ---------------------------------------------------------------------------

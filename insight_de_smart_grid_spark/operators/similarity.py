@@ -603,11 +603,55 @@ LIMIT {k}
 """
 
 
+def auto_probe_radius(n_tables: int, n_planes: int,
+                      target_recall: float = 0.95,
+                      at_cos: float = 0.9,
+                      max_radius: int = 3) -> int:
+    """Smallest Hamming probe radius meeting a recall target — the
+    multiprobe twin of ``auto_n_planes`` (round-7): instead of hand-
+    picking "probe 1-bit flips", derive the radius from the geometry.
+
+    Model (Lv et al. multiprobe, exact under the random-hyperplane
+    collision probability): a vector at cosine ``at_cos`` agrees with
+    the query on one plane with p = 1 - acos(c)/pi; its bucket in one
+    table lands within Hamming distance r of the query's with
+    P_table(r) = sum_{j<=r} C(planes, j) p^(planes-j) (1-p)^j, and
+    probing all those buckets in every table recalls it with
+    1 - (1 - P_table(r))^tables. The radius is the smallest r clearing
+    ``target_recall`` (capped at ``max_radius`` — probe count per table
+    is sum_{j<=r} C(planes, j), so each extra unit multiplies probes,
+    not index size). Pure geometry, no data dependence — which is what
+    makes the DuckDB twin a scalar CTE
+    (``lsh_multiprobe_auto_oracle_sql``)."""
+    import math
+    p = 1.0 - math.acos(max(-1.0, min(1.0, at_cos))) / math.pi
+    for r in range(max_radius + 1):
+        pt = sum(math.comb(n_planes, j)
+                 * p ** (n_planes - j) * (1 - p) ** j
+                 for j in range(r + 1))
+        if 1.0 - (1.0 - pt) ** n_tables >= target_recall:
+            return r
+    return max_radius
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius over ``n_planes`` bits, the
+    exact bucket set Hamming-<=radius probing visits (includes 0: the
+    query's own bucket)."""
+    import itertools
+    return [sum(1 << p for p in combo)
+            for j in range(radius + 1)
+            for combo in itertools.combinations(range(n_planes), j)]
+
+
 def lsh_multiprobe_topk(embeddings: DataFrame, query_vec_id: int,
                         k: int = 10, n_tables: int = 4,
                         n_planes: "int | str" = 8, dim: int = 64,
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        id_col: str = "vec_id",
+                        probe_radius: "int | str" = 1,
+                        target_recall: float = 0.95,
+                        at_cos: float = 0.9) -> DataFrame:
     """Multiprobe ANN (Lv et al., VLDB'07 shape): probe the query's bucket
     AND every Hamming-1 neighbor bucket (one sign bit flipped) in each
     table — n_tables*(n_planes+1) probes against an index only n_tables
@@ -620,17 +664,28 @@ def lsh_multiprobe_topk(embeddings: DataFrame, query_vec_id: int,
     ``lsh_ann_topk``'s, so exact-top-k overlap is provably monotone
     non-decreasing (pinned by the recall test). Index side is identical:
     the bucketed signature table; only the broadcast probe list grows —
-    still an equi-join on (table, bucket), never a range scan."""
+    still an equi-join on (table, bucket), never a range scan.
+
+    ``probe_radius`` generalizes the original 1-bit flips to Hamming
+    <= r probing; ``probe_radius="auto"`` derives the radius from
+    (``target_recall``, ``at_cos``) via ``auto_probe_radius`` — the
+    round-7 lever, oracle-checked by ``lsh_multiprobe_auto_oracle_sql``
+    whose scalar CTE derives the same radius. Candidates grow
+    monotonically with the radius (mask-set inclusion), so recall is
+    monotone too — asserted on the planted stress pairs."""
     if n_planes == "auto":  # resolve once; the probe flips need the depth
         n_planes = auto_n_planes(embeddings.count())
+    if probe_radius == "auto":
+        probe_radius = auto_probe_radius(n_tables, n_planes,
+                                         target_recall, at_cos)
+    masks = _probe_masks(n_planes, probe_radius)
     sig = hyperplane_signatures(embeddings, n_tables, n_planes, dim,
                                 vec_col=vec_col, id_col=id_col)
     qb = (sig.filter(F.col(id_col) == query_vec_id)
           .select(F.col("table").alias("qtable"),
                   F.explode(F.array(
-                      F.col("bucket"),
-                      *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                        for p in range(n_planes)])).alias("qbucket"),
+                      *[F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in masks])).alias("qbucket"),
                   F.col("v").alias("qv")))
     cands = (
         sig.filter(F.col(id_col) != query_vec_id)
@@ -663,6 +718,62 @@ probes AS (
   UNION
   SELECT tbl, xor(bucket, (1::BIGINT << g.p)) AS bucket
   FROM qsig, generate_series(0, {n_planes - 1}) g(p)
+),
+cands AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN probes q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id != {query_vec_id}
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 6)
+       AS cos_sim
+FROM cands JOIN embeddings e USING (vec_id), qv
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def lsh_multiprobe_auto_oracle_sql(query_vec_id: int, k: int = 10,
+                                   n_tables: int = 4, n_planes: int = 8,
+                                   dim: int = 64,
+                                   target_recall: float = 0.95,
+                                   at_cos: float = 0.9,
+                                   max_radius: int = 3) -> str:
+    """DuckDB twin of ``lsh_multiprobe_topk(probe_radius="auto")``: the
+    radius CTE derives the exact ``auto_probe_radius`` rule in SQL —
+    per-table Hamming-<=r match probability as the binomial sum over
+    flipped planes, overall recall as 1-(1-P)^tables, smallest radius
+    clearing the target — then probes every bucket whose XOR mask has
+    popcount <= radius."""
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+pp AS (SELECT 1.0 - acos({at_cos}) / pi() AS p),
+ptab AS (
+  SELECT r.r AS r,
+         sum((factorial({n_planes}::INT)
+              / (factorial(j.j::INT) * factorial(({n_planes} - j.j)::INT)))
+             * power(pp.p, {n_planes} - j.j)
+             * power(1.0 - pp.p, j.j)) AS pt
+  FROM generate_series(0, {max_radius}) r(r)
+  JOIN generate_series(0, {max_radius}) j(j) ON j.j <= r.r
+  CROSS JOIN pp
+  GROUP BY r.r
+),
+radius AS (
+  SELECT coalesce(min(r), {max_radius}) AS r
+  FROM ptab WHERE 1.0 - power(1.0 - pt, {n_tables}) >= {target_recall}
+),
+masks AS (
+  SELECT g.m AS m
+  FROM generate_series(0, {2 ** n_planes - 1}) g(m), radius
+  WHERE bit_count(g.m::BIGINT) <= radius.r
+),
+qsig AS (SELECT tbl, bucket FROM sigs WHERE vec_id = {query_vec_id}),
+probes AS (
+  SELECT DISTINCT q.tbl, xor(q.bucket, masks.m::BIGINT) AS bucket
+  FROM qsig q, masks
 ),
 cands AS (
   SELECT DISTINCT s.vec_id

@@ -706,6 +706,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_containment_lsh", _dd.containment_lsh_oracle_sql())
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked corpus-scale containment tier (round-7): exact containment
+    verified on MinHash-band ∪ rare-shingle candidates — the exact
+    tier's full shingle inversion (output-bound, tracks C(mult,2) pair
+    mass on replicated corpora) never runs. Recall contract in
+    ``operators/dedup.py::containment_pairs_lsh``."""
+    return _dd.containment_pairs_lsh(load_table(spark, sf_dir, "documents"))
+
+
 @register("star_market_share", """
 SELECT year(o_orderdate) AS o_year,
        round(sum(CASE WHEN sn.n_name = 'NATION_0'

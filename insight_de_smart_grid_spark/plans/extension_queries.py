@@ -130,6 +130,22 @@ def q_sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    query_vec_id=0, k=10)
 
 
+@register("sim_ann_multiprobe_auto",
+          sim.lsh_multiprobe_auto_oracle_sql(0, 10, target_recall=0.999))
+def q_sim_ann_multiprobe_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto probe-radius multiprobe (round-7 lever): the Hamming probe
+    radius is DERIVED from the recall target via the binomial collision
+    model (``auto_probe_radius``) instead of hand-picked — target 0.999
+    at the 4x8 geometry resolves radius 2 (37 probes/table), exercising
+    the multi-bit path the fixed 1-bit form never takes. The DuckDB twin
+    derives the identical radius in a scalar CTE, so the lever itself is
+    value-checked end to end."""
+    return sim.lsh_multiprobe_topk(load_table(spark, sf_dir, "embeddings"),
+                                   query_vec_id=0, k=10,
+                                   probe_radius="auto",
+                                   target_recall=0.999)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,
@@ -293,6 +309,16 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs: >= 5 shared rare winnowed fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.winnow_near_dups(docs)
+
+
+@register("dedup_winnow_lsh", dd.winnow_lsh_oracle_sql())
+def q_dedup_winnow_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked corpus-scale winnow tier (round-7): the exact MOSS scoring
+    (same rare-fingerprint rule, same n_shared counts) computed only on
+    MinHash+LSH band candidates — candidate volume bounded by band-bucket
+    collisions, never by fingerprint document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_near_dups_lsh(docs)
 
 
 # --- training-pipeline utilities (operators/pipeline.py) -------------------

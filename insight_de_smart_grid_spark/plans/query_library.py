@@ -303,6 +303,32 @@ def q_streaming_duty_cycle_panes(spark: SparkSession, sf_dir: str
     return out.filter(F.col("house_id") != "-1")
 
 
+@register("streaming_duty_cycle_auto", _SLIDING_ORACLE)
+def q_streaming_duty_cycle_auto(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Adaptive form selection in the STREAMING mode (round-7): the
+    density probe runs over the bounded replay input (ST5 scheduled
+    micro-batch — the one streaming mode where the input CAN be probed;
+    a live deployment probes yesterday's history the same way) and picks
+    the pane-decomposed chained-stateful plan above the crossover, the
+    explode plan below. Same oracle SQL as every other sliding form —
+    whichever plan runs must emit identical rows."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.sources.tables import events_to_readings
+    from insight_de_smart_grid_spark.streaming.duty_cycle_stream import (
+        run_stream_over_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="sdca_")
+    out = run_stream_over_parquet(
+        spark, f"{sf_dir}/events.parquet", events_to_readings,
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink", flush_sentinel=True, panes="auto",
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    return out.filter(F.col("house_id") != "-1")
+
+
 @register("streaming_rollup", ru.rollup_oracle_sql(READINGS_SQL_VIEW, 1))
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ingest path (S8): continuous per-second rollup

@@ -131,7 +131,7 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
                             out_dir: str | None = None,
                             state_partitions: int | None = 8,
                             flush_sentinel: bool = False,
-                            panes: bool = False,
+                            panes: "bool | str" = False,
                             progress_out: "list | None" = None,
                             **plan_kwargs) -> DataFrame:
     """Replay a parquet table through the streaming plan with
@@ -147,9 +147,34 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
     ``state_partitions`` sizes the stateful shuffle; see
     ``streaming.replay.replay_parquet_stream`` (the shared runner).
     ``panes=True`` routes through the pane-decomposed chained-stateful
-    plan (``duty_cycle_stream_panes_plan``); ``progress_out`` collects
-    the drained query's progress objects (state-operator metrics).
-    """
+    plan (``duty_cycle_stream_panes_plan``); ``panes="auto"`` runs the
+    batch density probe (``operators.duty_cycle.pane_density``) over the
+    SAME parquet input before starting the stream — an unbounded live
+    stream can't be probed, but this runner is the ST5 scheduled
+    micro-batch mode (availableNow over a bounded replay source), where
+    the input is exactly the history the probe should read; a live
+    deployment would probe yesterday's table the same way.
+    ``progress_out`` collects the drained query's progress objects
+    (state-operator metrics)."""
+    if panes == "auto":
+        from insight_de_smart_grid_spark.operators.duty_cycle import (
+            PANE_DENSITY_CROSSOVER,
+            _interval_seconds,
+            pane_density,
+        )
+        w_s = _interval_seconds(plan_kwargs.get("window", "10 minutes"))
+        slide = plan_kwargs.get("slide", "2 minutes")
+        s_s = _interval_seconds(slide) if slide else None
+        panes = bool(slide and w_s and s_s and w_s % s_s == 0
+                     and w_s != s_s)
+        if panes:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            readings = to_readings(spark.read.parquet(parquet_path))
+            panes = (pane_density(
+                readings, s_s,
+                time_col=plan_kwargs.get("time_col", "ts"),
+                keys=plan_kwargs.get("keys", ("house_id", "appliance_id")))
+                >= PANE_DENSITY_CROSSOVER)
     plan = duty_cycle_stream_panes_plan if panes else duty_cycle_stream_plan
     return replay_parquet_stream(
         spark, parquet_path,

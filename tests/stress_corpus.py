@@ -20,7 +20,14 @@ row gets the same treatment — copies stay near-identical near-dups):
   * Zipf source: ~70% of rows collapse into one hot `source` value
     (skewed groupBy/distinct keys).
 - embeddings: mult copies; ~2% of rows replaced by ONE fixed vector —
-  a hot LSH bucket in every hyperplane table (candidate-join skew).
+  a hot LSH bucket in every hyperplane table (candidate-join skew);
+  ~1% of base vectors (vec_id % PROBE_MOD == PROBE_RES) get PERTURBED
+  copies instead of identical ones (per-copy ±0.5%*copy component
+  scaling -> cos ~0.989..0.99999 to the base, far above the ~0.75
+  max cross-cos of unrelated 64-dim vectors) — planted KNOWN-NEAREST
+  pairs whose recall the ANN levers are asserted against (round-7):
+  identical copies would make bucket collision free, perturbed ones
+  exercise the real p^planes geometry.
 - events: mult copies at the SAME timestamps; ~30% of rows re-keyed to
   one hot user — a hot (house, window) key through every rollup,
   window, and stateful-streaming path.
@@ -46,6 +53,10 @@ HOT_RUN = "z" * 220
 HOT_SOURCE = "web-hot"
 HOT_USER = 1
 EMB_DIM = 64
+# planted ANN ground truth: base vectors with vec_id % PROBE_MOD ==
+# PROBE_RES get perturbed (not identical) copies — see module docstring
+PROBE_MOD = 101
+PROBE_RES = 7
 
 
 def build_stress_corpus(spark: SparkSession, out_dir: str,
@@ -84,9 +95,21 @@ def build_stress_corpus(spark: SparkSession, out_dir: str,
     hot_vec = F.array(
         *[F.lit(1.0 if i % 2 == 0 else -1.0).cast("float")
           for i in range(EMB_DIM)])
+    # perturbed copy for the planted ANN probes: scale component i by
+    # (1 +- 0.005*copy), sign alternating by dimension — cosine to the
+    # base ~ 1 - delta^2/2 (the ± cross terms cancel), i.e. 0.99999 at
+    # copy 1 down to ~0.989 at copy 30; deterministic, no RNG
+    delta = F.lit(0.005) * F.col("copy")
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: (x * (F.lit(1.0) + delta
+                           * F.when(i % 2 == 0, F.lit(1.0))
+                           .otherwise(F.lit(-1.0)))).cast("float"))
+    probe = (F.col("vec_id") % PROBE_MOD == PROBE_RES) & (F.col("copy") > 0)
     (emb.crossJoin(copies)
      .select((F.col("vec_id") + F.col("copy") * BIG).alias("vec_id"),
              F.when(F.pmod(F.xxhash64("vec_id", "copy"), 50) == 0, hot_vec)
+             .when(probe, perturbed)
              .otherwise(F.col("embedding")).alias("embedding"),
              F.col("label"))
      .write.mode("overwrite").parquet(str(out / "embeddings.parquet")))

@@ -932,6 +932,31 @@ def test_knn_graph_precollapse_invariant_on_edge_corpus(spark, tmp_path):
     assert result(True) == result(False)
 
 
+def test_auto_probe_radius_rule():
+    """Round-7 multiprobe lever: the Hamming probe radius derives from
+    the binomial collision model — smallest r whose modeled recall
+    clears the target; monotone in the target; more tables need a
+    smaller radius; capped at max_radius when no radius suffices."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        _probe_masks,
+        auto_probe_radius,
+    )
+
+    assert auto_probe_radius(4, 8, 0.5, 0.9) == 0
+    assert auto_probe_radius(4, 8, 0.95, 0.9) == 1
+    assert auto_probe_radius(4, 8, 0.999, 0.9) == 2  # the registered shape
+    assert auto_probe_radius(4, 8, 1.0, 0.9) == 3    # cap
+    assert (auto_probe_radius(16, 10, 0.95, 0.9)
+            <= auto_probe_radius(4, 10, 0.95, 0.9))
+    # mask sets: radius-r count is the binomial partial sum, and each
+    # radius's masks strictly include the previous (candidate monotonicity)
+    import math
+    for r in range(4):
+        masks = _probe_masks(8, r)
+        assert len(masks) == sum(math.comb(8, j) for j in range(r + 1))
+        assert set(_probe_masks(8, max(r - 1, 0))) <= set(masks)
+
+
 def test_knn_graph_precollapse_invariant_auto_depth(spark):
     """Round-7 advisory: with ``n_planes="auto"`` the depth must resolve
     ONCE from the FULL corpus count before the collapse branch. The

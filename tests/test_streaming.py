@@ -106,6 +106,39 @@ def test_streaming_panes_cut_state_writes(spark):
     assert stage1 <= explode_writes / 4
 
 
+def test_streaming_auto_picks_form_by_density(spark, tmp_path):
+    """panes="auto" in the streaming runner probes the bounded replay
+    input: the sparse fixture must run the single-stateful explode plan
+    (1 state operator in progress metrics), a dense 1 Hz corpus must run
+    the chained pane plan (2 state operators) — and both must emit the
+    correct window set."""
+    def n_state_ops(path, prefix):
+        prog = []
+        out = run_stream_over_parquet(
+            spark, path, events_to_readings,
+            query_name=f"{prefix}_{uuid.uuid4().hex[:8]}",
+            window="10 minutes", slide="2 minutes", watermark="2 seconds",
+            flush_sentinel=True, panes="auto", progress_out=prog)
+        rows = out.filter(F.col("house_id") != "-1").count()
+        ops = max(len(p.get("stateOperators", [])) for p in prog)
+        return ops, rows
+
+    ops_sparse, n_sparse = n_state_ops(f"{SF_SMOKE}/events.parquet", "sa")
+    assert ops_sparse == 1 and n_sparse > 0  # explode plan
+
+    dense_dir = str(tmp_path / "dense")
+    (spark.range(600).selectExpr(
+        "id AS event_id",
+        "timestamp_seconds(1704067200 + id) AS ts",
+        "id % 2 AS user_id",
+        "'click' AS event_type",
+        "cast(id % 7 as double) AS value",
+        "'{}' AS props")
+     .write.mode("overwrite").parquet(dense_dir))
+    ops_dense, n_dense = n_state_ops(dense_dir, "da")
+    assert ops_dense == 2 and n_dense > 0  # pane plan
+
+
 def test_watermark_drops_late_rows_across_restarts(spark):
     """ST1: a row arriving after the watermark passed its window is dropped.
     Two availableNow runs share a checkpoint; the second run's input is
