@@ -439,6 +439,83 @@ def test_rocksdb_state_store_matches_batch(spark):
             spark.conf.set(key, prev)
 
 
+def test_rocksdb_state_store_matches_batch_chained_panes(spark):
+    """The round-7 chained-stateful pane plan under the RocksDB provider:
+    TWO stateful operators now share the provider (separate state store
+    instances per operator per partition), and the finalized output must
+    still equal the batch pane form exactly — the production state-store
+    proof for the new flagship streaming path."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = ("org.apache.spark.sql.execution.streaming."
+             "state.RocksDBStateStoreProvider")
+    spark.conf.set(key, rocks)
+    try:
+        stream_out = run_stream_over_parquet(
+            spark, f"{SF_SMOKE}/events.parquet", events_to_readings,
+            query_name=f"rockp_{uuid.uuid4().hex[:8]}",
+            window="10 minutes", slide="2 minutes",
+            watermark="2 seconds", flush_sentinel=True, panes=True)
+        batch = duty_cycle(readings_view(spark, SF_SMOKE),
+                           window="10 minutes", slide="2 minutes",
+                           panes=True)
+        s_rows = {tuple(r) for r in stream_out
+                  .filter(F.col("house_id") != "-1").collect()}
+        assert s_rows == {tuple(r) for r in batch.collect()}
+        assert len(s_rows) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_chained_panes_drop_late_rows_across_restarts(spark, tmp_path):
+    """ST1/ST4 for the chained pane plan: a row arriving behind the
+    persisted watermark in a SECOND availableNow run over the shared
+    checkpoint must not re-open or alter any finalized window — late
+    drops have to hold through BOTH stateful operators (a late event the
+    pane agg admitted would silently corrupt the downstream combine)."""
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "sink")
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:01", 5, "click", 10.0, "{}"),
+         (2, "2024-01-01 10:09:59", 5, "click", 10.0, "{}"),
+         (3, "2024-01-01 10:30:00", 5, "click", 10.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    on_time.write.mode("overwrite").parquet(data_dir)
+    out1 = run_stream_over_parquet(
+        spark, data_dir, events_to_readings,
+        window="10 minutes", slide="2 minutes", watermark="2 seconds",
+        checkpoint_dir=ckpt, out_dir=out_dir, panes=True)
+    first = {(r.time_end.isoformat(), r.house_id, r.appliance_id,
+              r.duty_cycle) for r in out1.collect()}
+    # watermark reached 10:29:58: every sliding window ending by then is
+    # finalized through both operators, incl. the [10:00,10:10) span's
+    assert ("2024-01-01T10:10:00", "5", "5_click", 1.0) in first
+
+    late = spark.createDataFrame(
+        [(4, "2024-01-01 10:05:00", 5, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late.write.mode("append").parquet(data_dir)
+    out2 = run_stream_over_parquet(
+        spark, data_dir, events_to_readings,
+        window="10 minutes", slide="2 minutes", watermark="2 seconds",
+        checkpoint_dir=ckpt, out_dir=out_dir, panes=True)
+    rows2 = {(r.time_end.isoformat(), r.house_id, r.appliance_id,
+              r.duty_cycle) for r in out2.collect()}
+    assert ("2024-01-01T10:10:00", "5", "5_click", 1.0) in rows2
+    # the late below-threshold row would have dragged the ratio to 2/3
+    assert all(not (t == "2024-01-01T10:10:00" and d != 1.0)
+               for t, h, a, d in rows2)
+    assert len(rows2) == len(first)  # nothing re-opened, nothing new
+
+
 def test_transform_with_state_running_energy(spark):
     """Spark 4 arbitrary-state API (transformWithStateInPandas): the last
     emission per house equals the batch aggregate. Gated on protobuf (the
