@@ -58,8 +58,12 @@ def main() -> None:
         cube = ru.rollup_time(readings, "1 second")
         cube.orderBy("window_start", "house_id", "appliance_id").show(5)
 
-        print("== 2. duty cycle (10 min window, 2 min slide) ==")
-        dc = duty_cycle(readings, window="10 minutes", slide="2 minutes")
+        print("== 2. duty cycle (10 min window, 2 min slide; panes='auto'"
+              " probes events-per-(key, pane) and picks the pane"
+              " decomposition on dense telemetry, the explode plan on"
+              " sparse data) ==")
+        dc = duty_cycle(readings, window="10 minutes", slide="2 minutes",
+                        panes="auto")
         dc.orderBy("time_end", "house_id", "appliance_id").show(5)
 
         print("== 3a. dashboard: current total power (over the cube) ==")
@@ -88,7 +92,7 @@ def main() -> None:
 
         streamed = run_stream_over_parquet(
             spark, f"{sf_dir}/events.parquet", events_to_readings,
-            query_name=f"ex_{uuid.uuid4().hex[:8]}",
+            query_name=f"ex_{uuid.uuid4().hex[:8]}", panes="auto",
             window="10 minutes", slide="2 minutes", watermark="2 seconds")
         streamed.orderBy("time_end", "house_id", "appliance_id").show(5)
 
