@@ -473,6 +473,33 @@ def test_persisted_ann_index_multiprobe_without_index_shuffle(spark,
                    .filter(F.col("vec_id") != 0)
                    .select("vec_id").distinct()).collect()}
         assert single <= got  # multiprobe candidates dominate single-probe
+
+        # round-7 auto radius (target 0.999 at 4x8 -> radius 2): the probe
+        # list grows to sum_{j<=2} C(8,j) = 37 buckets/table and must STILL
+        # be one broadcast equi-join against the untouched bucketed index
+        from insight_de_smart_grid_spark.operators.similarity import (
+            _probe_masks,
+            auto_probe_radius,
+        )
+        r2 = auto_probe_radius(4, n_planes, target_recall=0.999)
+        assert r2 == 2
+        probes2 = qsig.select(
+            "table",
+            F.explode(F.array(
+                *[F.col("bucket").bitwiseXOR(F.lit(m))
+                  for m in _probe_masks(n_planes, r2)])).alias("bucket"))
+        probe2 = (idx.join(F.broadcast(probes2), ["table", "bucket"])
+                  .filter(F.col("vec_id") != 0)
+                  .select("vec_id").distinct())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe2.explain("formatted")
+        plan2 = buf.getvalue()
+        assert "BroadcastHashJoin" in plan2, plan2
+        assert "Bucketed: true" in plan2, plan2
+        assert plan2.count("hashpartitioning") == 1, plan2
+        got2 = {r.vec_id for r in probe2.collect()}
+        assert got <= got2  # radius 2 candidates dominate radius 1
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_sig_idx_mp")
 
