@@ -92,3 +92,63 @@ def test_interval_join_matches_reference(spark, purchases, clicks):
         for ci, (ck, ct) in enumerate(clicks)
         if pk == ck and pt - 5 < ct <= pt)
     assert got == want
+
+
+# --- sliding duty cycle: explode ≡ panes ≡ independent reference ----------
+
+_duty_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),       # ts seconds
+              st.integers(min_value=0, max_value=2),        # house key
+              st.one_of(st.none(),                          # null power
+                        st.integers(min_value=0, max_value=10))),
+    min_size=1, max_size=30)
+
+
+def _ref_duty(events, w_s, s_s, thr):
+    """Independent reference: each event joins the W/S epoch-aligned
+    sliding windows containing it; duty = count(power>thr)/count(power)
+    with NULL powers excluded from both counts (c_all=0 -> None)."""
+    agg: dict = {}
+    for t, h, p in events:
+        pane = (t // s_s) * s_s
+        for k in range(w_s // s_s):
+            ws = pane - k * s_s
+            a = agg.setdefault((ws + w_s, str(h)), [0, 0])
+            if p is not None:
+                a[0] += 1
+                if p > thr:
+                    a[1] += 1
+    return sorted(
+        (te, h, (d / a) if a else None)
+        for (te, h), (a, d) in agg.items())
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(events=_duty_rows)
+def test_duty_cycle_pane_forms_match_reference(spark, events):
+    """The round-7 flagship invariance, property-based: for random event
+    sets (timestamp ties, pane boundaries, empty panes, all-NULL-power
+    windows), Spark's explode form, the pane decomposition, AND an
+    independent Python reference agree row-for-row — including the NULL
+    ratio of zero-count windows and the exact IEEE quotient (same long
+    counts divide on all three paths)."""
+    from insight_de_smart_grid_spark.operators.duty_cycle import duty_cycle
+
+    df = spark.createDataFrame(
+        [(float(t), str(h), None if p is None else float(p))
+         for t, h, p in events],
+        "tsec double, house_id string, power double"
+    ).selectExpr("timestamp_seconds(tsec) AS ts", "house_id", "power")
+
+    def run(panes):
+        return sorted(
+            (int(r.time_end.timestamp()), r.house_id, r.duty_cycle)
+            for r in duty_cycle(df, window="10 seconds",
+                                slide="2 seconds", threshold=5.0,
+                                keys=("house_id",),
+                                panes=panes).collect())
+
+    explode_form = run(False)
+    assert explode_form == run(True)
+    assert explode_form == _ref_duty(events, 10, 2, 5.0)
