@@ -16,9 +16,48 @@ from insight_de_smart_grid_spark.operators import dedup as dd
 from insight_de_smart_grid_spark.operators import multimodal as mm
 from insight_de_smart_grid_spark.operators import pipeline as pl
 from insight_de_smart_grid_spark.operators import similarity as sim
+from insight_de_smart_grid_spark.operators import sliding as sl
 from insight_de_smart_grid_spark.operators import text as tx
 from insight_de_smart_grid_spark.plans.registry import register
 from insight_de_smart_grid_spark.sources.tables import load_table
+
+
+# --- generic sliding aggregation (pane-decomposable) ------------------------
+
+_SLIDING_AGGS = (("sum_value", "sum", "value"), ("n_vals", "count", "value"),
+                 ("min_value", "min", "value"), ("max_value", "max", "value"),
+                 ("avg_value", "avg", "value"))
+
+
+def _sliding_stats(spark: SparkSession, sf_dir: str, panes) -> DataFrame:
+    out = sl.sliding_agg(load_table(spark, sf_dir, "events"),
+                         window="10 minutes", slide="2 minutes",
+                         aggs=_SLIDING_AGGS, keys=("user_id",), panes=panes)
+    # doubles rounded to 6 (repo convention): pane and explode forms fold
+    # float sums in different orders; the rounded values are identical
+    return out.select("time_end", "user_id",
+                      F.round("sum_value", 6).alias("sum_value"), "n_vals",
+                      F.round("min_value", 6).alias("min_value"),
+                      F.round("max_value", 6).alias("max_value"),
+                      F.round("avg_value", 6).alias("avg_value"))
+
+
+@register("events_sliding_stats", sl.sliding_stats_oracle_sql())
+def q_events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic sliding-window stats (sum/count/min/max/avg per 10m/2m
+    window x user) — the flagship's window shape over arbitrary algebraic
+    aggregates, explode form."""
+    return _sliding_stats(spark, sf_dir, panes=False)
+
+
+@register("events_sliding_stats_panes", sl.sliding_stats_oracle_sql())
+def q_events_sliding_stats_panes(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The SAME sliding stats through the generalized pane decomposition
+    (operators/sliding.py): min-of-pane-mins, sum-of-pane-sums, avg as
+    exact sum/count of pane partials — registered against the identical
+    oracle SQL so both forms are value-checked row-identical."""
+    return _sliding_stats(spark, sf_dir, panes=True)
 
 
 # --- text analysis ---------------------------------------------------------

@@ -54,9 +54,14 @@ HOT_SOURCE = "web-hot"
 HOT_USER = 1
 EMB_DIM = 64
 # planted ANN ground truth: base vectors with vec_id % PROBE_MOD ==
-# PROBE_RES get perturbed (not identical) copies — see module docstring
+# PROBE_RES get perturbed (not identical) copies — see module docstring.
+# A second band (PROBE_RES2) perturbs HARDER — delta = 0.046*min(copy,10),
+# cos ~ 1/sqrt(1+delta^2) spanning ~0.999 down to ~0.90 — so the recall
+# contract also binds at the cos-0.9 DESIGN POINT the auto probe radius
+# and its binomial model are derived for, not just the near-1 regime.
 PROBE_MOD = 101
 PROBE_RES = 7
+PROBE_RES2 = 13
 
 
 def build_stress_corpus(spark: SparkSession, out_dir: str,
@@ -99,17 +104,21 @@ def build_stress_corpus(spark: SparkSession, out_dir: str,
     # (1 +- 0.005*copy), sign alternating by dimension — cosine to the
     # base ~ 1 - delta^2/2 (the ± cross terms cancel), i.e. 0.99999 at
     # copy 1 down to ~0.989 at copy 30; deterministic, no RNG
-    delta = F.lit(0.005) * F.col("copy")
-    perturbed = F.transform(
-        "embedding",
-        lambda x, i: (x * (F.lit(1.0) + delta
-                           * F.when(i % 2 == 0, F.lit(1.0))
-                           .otherwise(F.lit(-1.0)))).cast("float"))
+    def perturb(delta):
+        return F.transform(
+            "embedding",
+            lambda x, i: (x * (F.lit(1.0) + delta
+                               * F.when(i % 2 == 0, F.lit(1.0))
+                               .otherwise(F.lit(-1.0)))).cast("float"))
     probe = (F.col("vec_id") % PROBE_MOD == PROBE_RES) & (F.col("copy") > 0)
+    probe2 = ((F.col("vec_id") % PROBE_MOD == PROBE_RES2)
+              & (F.col("copy") > 0))
     (emb.crossJoin(copies)
      .select((F.col("vec_id") + F.col("copy") * BIG).alias("vec_id"),
              F.when(F.pmod(F.xxhash64("vec_id", "copy"), 50) == 0, hot_vec)
-             .when(probe, perturbed)
+             .when(probe, perturb(F.lit(0.005) * F.col("copy")))
+             .when(probe2, perturb(F.lit(0.046)
+                                   * F.least(F.col("copy"), F.lit(10))))
              .otherwise(F.col("embedding")).alias("embedding"),
              F.col("label"))
      .write.mode("overwrite").parquet(str(out / "embeddings.parquet")))

@@ -65,6 +65,57 @@ def test_duty_cycle_pane_decomposition_is_invariant(spark):
         sorted(map(tuple, odd_ref.collect()))
 
 
+def test_sliding_agg_pane_invariance_and_auto(spark):
+    """The generalized pane decomposition (operators/sliding.py): sum,
+    count, min, max, avg over a sliding 10s/2s window must be
+    row-identical between the explode and pane forms — including NULL
+    values (excluded from every aggregate on both paths), all-NULL
+    windows (NULL sum/min/max/avg, count 0), min/max as pane-fold
+    semigroup ops, and avg as exact sum/count (never avg-of-avgs, which
+    uneven panes would corrupt). panes='auto' picks by the same density
+    probe; a non-divisible shape falls back to explode; a non-algebraic
+    fn raises."""
+    import pytest
+
+    from insight_de_smart_grid_spark.operators.sliding import sliding_agg
+
+    rows = [(float(t), str(t % 3),
+             None if t % 7 == 0 else float((t * 13) % 11 - 5))
+            for t in range(0, 41)]
+    rows += [(4.0, "9", None), (6.0, "9", None)]  # all-NULL key
+    df = spark.createDataFrame(
+        rows, "tsec double, user_id string, value double"
+    ).selectExpr("timestamp_seconds(tsec) AS ts", "user_id", "value")
+    aggs = (("sum_value", "sum", "value"), ("n_vals", "count", "value"),
+            ("min_value", "min", "value"), ("max_value", "max", "value"),
+            ("avg_value", "avg", "value"))
+
+    def run(**kw):
+        out = sliding_agg(df, window="10 seconds", slide="2 seconds",
+                          aggs=aggs, keys=("user_id",), **kw)
+        return sorted((r.time_end, r.user_id, r.sum_value, r.n_vals,
+                       r.min_value, r.max_value, r.avg_value)
+                      for r in out.collect())
+
+    explode_form = run(panes=False)
+    assert explode_form == run(panes=True)
+    assert explode_form == run(panes="auto")  # either pick, same rows
+    # the all-NULL key emits windows with count 0 and NULL everything else
+    null_rows = [r for r in explode_form if r[1] == "9"]
+    assert null_rows and all(
+        r[2] is None and r[3] == 0 and r[4] is None and r[6] is None
+        for r in null_rows)
+    # non-divisible slide: pane path declines, output still correct
+    odd = sliding_agg(df, window="10 seconds", slide="3 seconds",
+                      aggs=aggs, keys=("user_id",), panes=True)
+    ref = sliding_agg(df, window="10 seconds", slide="3 seconds",
+                      aggs=aggs, keys=("user_id",), panes=False)
+    assert sorted(map(tuple, odd.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    with pytest.raises(ValueError, match="algebraic"):
+        sliding_agg(df, aggs=(("m", "median", "value"),), panes=True)
+
+
 def _is_pane_plan(df) -> bool:
     """The pane plan (and only it) synthesizes window ends with
     make_interval arithmetic over exploded pane indices; the explode form

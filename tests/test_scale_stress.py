@@ -45,6 +45,7 @@ from tests.stress_corpus import (
     HOT_USER,
     PROBE_MOD,
     PROBE_RES,
+    PROBE_RES2,
     build_stress_corpus,
 )
 
@@ -376,6 +377,76 @@ def test_ann_recall_on_planted_neighbors(spark, stress_dir):
     assert sum(r_mauto) / len(r_mauto) >= 0.95
 
 
+def test_ann_recall_at_design_point_cos09(spark, stress_dir):
+    """The auto probe radius and its binomial model are derived FOR a
+    0.999 recall target at cos 0.9 — this test makes the contract bind
+    there, not just at the near-1 regime band 1 covers. Band 2 plants
+    copies at delta = 0.046*min(copy,10) (cos ~ 1/sqrt(1+delta^2),
+    spanning ~0.999 down to ~0.90); recall is measured over the planted
+    pairs at cos in [0.89, 0.98) — the regime where p^planes actually
+    bites (a single 8-plane table matches such a pair with prob ~0.29)."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    hot_vec = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    base_ids = [r.vec_id for r in spark.read.parquet(
+        f"{BASE}/embeddings.parquet")
+        .filter(F.col("vec_id") % PROBE_MOD == PROBE_RES2)
+        .orderBy("vec_id").limit(5).collect()]
+    rows = (emb.filter((F.col("vec_id") % BIG).isin(base_ids))
+            .select("vec_id", "embedding").collect())
+    by_base: dict[int, dict[int, list]] = {}
+    for r in rows:
+        by_base.setdefault(r.vec_id % BIG, {})[r.vec_id] = list(r.embedding)
+
+    import math
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u))
+                    * math.sqrt(sum(b * b for b in v)))
+
+    queries = []  # (qid, hard planted ids at cos in [0.89, 0.98))
+    for b, grp in sorted(by_base.items()):
+        if grp[b] == hot_vec:
+            continue
+        hard = [vid for vid, v in grp.items()
+                if vid != b and v != hot_vec
+                and 0.89 <= cos(grp[b], v) < 0.98]
+        if hard:
+            queries.append((b, set(hard)))
+    n_pairs = sum(len(p) for _, p in queries)
+    assert len(queries) >= 3 and n_pairs >= 8  # the band is really planted
+
+    k = MULT + 5
+
+    def recall(fn, **kw):
+        hit = tot = 0
+        for qid, planted in queries:
+            got = {r.vec_id for r in fn(emb, qid, k=k, **kw).collect()}
+            hit += len(got & planted)
+            tot += len(planted)
+        return hit / tot
+
+    r_single = recall(lsh_ann_topk, n_tables=4, n_planes=8)
+    r_mauto = recall(lsh_multiprobe_topk, n_tables=4, n_planes=8,
+                     probe_radius="auto", target_recall=0.999)
+    r_depth = recall(lsh_ann_topk, n_planes="auto")
+    TIMINGS["ann09_recall_single4x8"] = round(r_single, 4)
+    TIMINGS["ann09_recall_multiprobe_auto"] = round(r_mauto, 4)
+    TIMINGS["ann09_recall_auto_depth"] = round(r_depth, 4)
+    # the derived radius must deliver (model: >=0.999 per pair at
+    # cos>=0.9; 0.9 leaves sampling slack) and dominate single-probe
+    assert r_mauto >= 0.9
+    assert r_mauto >= r_single
+    # 16-table auto depth at cos 0.9: modeled 0.96-0.99 across sweep
+    # sizes (p^depth ~ 0.18-0.29, 16 tables); 0.85 leaves sampling slack
+    assert r_depth >= 0.85
+
+
 def test_knn_graph_wall_ratio_with_levers(spark, stress_dir):
     """The round-5 measured super-linear point, closed: knn_graph at
     MULT x data (with the planted identical-vector bucket) vs the benign
@@ -446,6 +517,8 @@ SWEEP = [
     "duty_cycle_sliding",
     "duty_cycle_sliding_panes",
     "duty_cycle_sliding_auto",
+    "events_sliding_stats",
+    "events_sliding_stats_panes",
     "rollup_1s",
     "dash_timeseries_5s",
     "streaming_rollup",
