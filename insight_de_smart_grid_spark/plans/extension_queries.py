@@ -60,6 +60,35 @@ def q_events_sliding_stats_panes(spark: SparkSession, sf_dir: str
     return _sliding_stats(spark, sf_dir, panes=True)
 
 
+@register("streaming_sliding_stats_panes", sl.sliding_stats_oracle_sql())
+def q_streaming_sliding_stats_panes(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """The generic sliding stats as a STREAMING chained-stateful pane
+    plan (streaming/sliding_stream.py): tumbling pane aggregate ->
+    sliding combine of pane partials, append mode, flush sentinel —
+    value-checked against the SAME oracle as the batch twins, closing
+    the batch≡stream contract for the generalized decomposition."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sssp_")
+    out = run_sliding_stats_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink",
+        aggs=_SLIDING_AGGS, keys=("user_id",),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    return (out.filter(F.col("user_id") != -1)
+            .select("time_end", "user_id",
+                    F.round("sum_value", 6).alias("sum_value"), "n_vals",
+                    F.round("min_value", 6).alias("min_value"),
+                    F.round("max_value", 6).alias("max_value"),
+                    F.round("avg_value", 6).alias("avg_value")))
+
+
 # --- text analysis ---------------------------------------------------------
 
 @register("text_stats", tx.TEXT_STATS_SQL)

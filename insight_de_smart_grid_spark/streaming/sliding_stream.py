@@ -1,0 +1,99 @@
+"""Generic sliding-window aggregation under Structured Streaming, with the
+pane-decomposed chained-stateful form — the streaming twin of
+``operators/sliding.py`` (round-7), completing the symmetry:
+
+    batch explode  <->  batch panes      (operators/sliding.py)
+    stream explode <->  stream panes     (this module)
+
+The pane form is two CHAINED stateful aggregations in append mode
+(Spark 3.4+ multiple stateful operators, the
+``duty_cycle_stream_panes_plan`` pattern): a tumbling slide-width pane
+aggregate ingests each event ONCE into state, then a sliding window over
+the pane's window column folds the pane partials (sum-of-sums,
+min-of-mins, count-as-sum; avg derived as exact sum/count). State input
+of the second operator is bounded by #keys x #panes — aggregated
+cardinality, not event cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators.sliding import _ALGEBRAIC
+from insight_de_smart_grid_spark.streaming.replay import (
+    replay_parquet_stream,
+)
+
+
+def sliding_agg_stream_plan(stream: DataFrame,
+                            window: str = "10 minutes",
+                            slide: str = "2 minutes",
+                            watermark: str = "2 seconds",
+                            aggs: tuple = (("sum_value", "sum", "value"),),
+                            keys: tuple = ("user_id",),
+                            time_col: str = "ts",
+                            panes: bool = True) -> DataFrame:
+    """Streaming sliding aggregation plan; ``panes=True`` = the chained
+    two-operator pane form, ``panes=False`` = the single-operator explode
+    form. Both emit (time_end, *keys, *outs) in append mode once the
+    watermark finalizes a window."""
+    needed = set()
+    for name, fn, col in aggs:
+        if fn not in _ALGEBRAIC and fn != "avg":
+            raise ValueError(f"unsupported aggregate {fn!r} for {name!r}")
+        needed.update({("sum", col), ("count", col)} if fn == "avg"
+                      else {(fn, col)})
+
+    def finals(partial_of):
+        out = []
+        for name, fn, col in aggs:
+            if fn == "avg":
+                out.append((partial_of("sum", col)
+                            / partial_of("count", col)).alias(name))
+            else:
+                out.append(partial_of(fn, col).alias(name))
+        return out
+
+    wm = stream.withWatermark(time_col, watermark)
+    if panes:
+        pane = (wm.groupBy(F.window(F.col(time_col), slide).alias("pane"),
+                           *[F.col(k) for k in keys])
+                .agg(*[_ALGEBRAIC[fn][0](F.col(col))
+                       .alias(f"__p_{fn}_{col}")
+                       for fn, col in sorted(needed)]))
+        agg = (pane.groupBy(F.window(F.col("pane"), window, slide)
+                            .alias("window"), *[F.col(k) for k in keys])
+               .agg(*[_ALGEBRAIC[fn][1](F.col(f"__p_{fn}_{col}"))
+                      .alias(f"__c_{fn}_{col}")
+                      for fn, col in sorted(needed)]))
+    else:
+        agg = (wm.groupBy(F.window(F.col(time_col), window, slide)
+                          .alias("window"), *[F.col(k) for k in keys])
+               .agg(*[_ALGEBRAIC[fn][0](F.col(col)).alias(f"__c_{fn}_{col}")
+                      for fn, col in sorted(needed)]))
+    return agg.select(
+        F.col("window.end").alias("time_end"), *keys,
+        *finals(lambda fn, col: F.col(f"__c_{fn}_{col}")))
+
+
+def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
+                             query_name: str = "sliding_stream",
+                             checkpoint_dir: str | None = None,
+                             out_dir: str | None = None,
+                             state_partitions: int | None = 8,
+                             flush_sentinel: bool = True,
+                             progress_out: "list | None" = None,
+                             **plan_kwargs) -> DataFrame:
+    """Replay an events-shaped parquet table through the streaming sliding
+    aggregation (normalizing the nanos/NTZ ts like the other replays) and
+    return the finalized append-mode result."""
+    from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
+
+    return replay_parquet_stream(
+        spark, parquet_path,
+        lambda stream: sliding_agg_stream_plan(normalize_event_ts(stream),
+                                               **plan_kwargs),
+        query_name=query_name, checkpoint_dir=checkpoint_dir,
+        out_dir=out_dir, state_partitions=state_partitions,
+        flush_sentinel=flush_sentinel, progress_out=progress_out)

@@ -529,6 +529,7 @@ SWEEP = [
     # (the 30x sweep previously recorded only streaming rollup/duty/interp)
     "streaming_sequence_detect",
     "streaming_counter_deltas",
+    "streaming_sliding_stats_panes",
 ]
 
 
