@@ -84,16 +84,38 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
                              state_partitions: int | None = 8,
                              flush_sentinel: bool = True,
                              progress_out: "list | None" = None,
+                             panes: "bool | str" = True,
                              **plan_kwargs) -> DataFrame:
     """Replay an events-shaped parquet table through the streaming sliding
     aggregation (normalizing the nanos/NTZ ts like the other replays) and
-    return the finalized append-mode result."""
+    return the finalized append-mode result. ``panes="auto"`` probes the
+    bounded replay input with the shared density probe (the ST5
+    scheduled-micro-batch mode can be probed; a live stream can't — probe
+    yesterday's history instead), same contract as the duty-cycle runner."""
     from insight_de_smart_grid_spark.sources.tables import normalize_event_ts
 
+    if panes == "auto":
+        from insight_de_smart_grid_spark.operators.duty_cycle import (
+            PANE_DENSITY_CROSSOVER,
+            _interval_seconds,
+            pane_density,
+        )
+        w_s = _interval_seconds(plan_kwargs.get("window", "10 minutes"))
+        slide = plan_kwargs.get("slide", "2 minutes")
+        s_s = _interval_seconds(slide) if slide else None
+        panes = bool(slide and w_s and s_s and w_s % s_s == 0
+                     and w_s != s_s)
+        if panes:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            panes = (pane_density(
+                normalize_event_ts(spark.read.parquet(parquet_path)),
+                s_s, time_col=plan_kwargs.get("time_col", "ts"),
+                keys=plan_kwargs.get("keys", ("user_id",)))
+                >= PANE_DENSITY_CROSSOVER)
     return replay_parquet_stream(
         spark, parquet_path,
         lambda stream: sliding_agg_stream_plan(normalize_event_ts(stream),
-                                               **plan_kwargs),
+                                               panes=panes, **plan_kwargs),
         query_name=query_name, checkpoint_dir=checkpoint_dir,
         out_dir=out_dir, state_partitions=state_partitions,
         flush_sentinel=flush_sentinel, progress_out=progress_out)

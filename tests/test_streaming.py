@@ -139,6 +139,59 @@ def test_streaming_auto_picks_form_by_density(spark, tmp_path):
     assert ops_dense == 2 and n_dense > 0  # pane plan
 
 
+def test_sliding_stats_stream_auto_and_parity(spark, tmp_path):
+    """The generic streaming sliding aggregation: panes="auto" probes the
+    replay input (sparse -> 1 state operator, dense -> 2), and the pane
+    form's finalized rows equal the batch sliding_agg's on the same data
+    (rounded like the registered twins)."""
+    from insight_de_smart_grid_spark.operators.sliding import sliding_agg
+    from insight_de_smart_grid_spark.sources.tables import load_table
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    aggs = (("sum_value", "sum", "value"), ("n_vals", "count", "value"),
+            ("min_value", "min", "value"), ("max_value", "max", "value"),
+            ("avg_value", "avg", "value"))
+
+    def run(path, panes):
+        prog = []
+        out = run_sliding_stats_stream(
+            spark, path, query_name=f"ss_{uuid.uuid4().hex[:8]}",
+            panes=panes, aggs=aggs, keys=("user_id",),
+            window="10 minutes", slide="2 minutes",
+            watermark="2 seconds", progress_out=prog)
+        rows = sorted(
+            (r.time_end, r.user_id, round(r.sum_value, 6), r.n_vals,
+             r.min_value, r.max_value, round(r.avg_value, 6))
+            for r in out.filter(F.col("user_id") != -1).collect())
+        return rows, max(len(p.get("stateOperators", [])) for p in prog)
+
+    src = f"{SF_SMOKE}/events.parquet"
+    rows_auto, ops_sparse = run(src, "auto")
+    assert ops_sparse == 1  # sparse fixture -> explode plan
+    rows_pane, ops_pane = run(src, True)
+    assert ops_pane == 2 and rows_pane == rows_auto
+
+    batch = sliding_agg(load_table(spark, SF_SMOKE, "events"),
+                        window="10 minutes", slide="2 minutes",
+                        aggs=aggs, keys=("user_id",), panes=True)
+    want = sorted(
+        (r.time_end, r.user_id, round(r.sum_value, 6), r.n_vals,
+         r.min_value, r.max_value, round(r.avg_value, 6))
+        for r in batch.collect())
+    assert rows_pane == want and len(want) > 0
+
+    dense_dir = str(tmp_path / "dense")
+    (spark.range(600).selectExpr(
+        "id AS event_id", "timestamp_seconds(1704067200 + id) AS ts",
+        "id % 2 AS user_id", "'click' AS event_type",
+        "cast(id % 7 as double) AS value", "'{}' AS props")
+     .write.mode("overwrite").parquet(dense_dir))
+    _, ops_dense = run(dense_dir, "auto")
+    assert ops_dense == 2  # dense corpus -> pane plan
+
+
 def test_watermark_drops_late_rows_across_restarts(spark):
     """ST1: a row arriving after the watermark passed its window is dropped.
     Two availableNow runs share a checkpoint; the second run's input is
