@@ -51,20 +51,34 @@ def is_ingest_regression(now_rate: float, base_rate: float) -> bool:
 
 
 def round_number(repo: str) -> int:
-    """Current build round, inferred from the driver's committed
-    artifacts: one past the highest CORRECTNESS_r{N}/BENCH_r{N} on disk
-    (the driver writes round N's files AFTER the round's bench runs).
-    ``SPARK_GRAFT_ROUND`` overrides."""
+    """Current build round. ``SPARK_GRAFT_ROUND`` overrides; otherwise
+    prefer the round of a CORRECTNESS file written in THIS session — the
+    driver runs correctness before bench, so when the newest
+    CORRECTNESS_r{N}.json postdates the newest BENCH_r{M}.json, this bench
+    run belongs to round N (round-8 fix: the old max+1 rule numbered the
+    driver's round-7 snapshot r08). With no fresher correctness artifact
+    (the builder's own in-round runs), it is one past the highest
+    committed CORRECTNESS/BENCH round."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env and env.isdigit():
         return int(env)
     import re
-    best = 0
-    for p in Path(repo).glob("*_r[0-9]*.json"):
-        m = re.match(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p.name)
-        if m:
-            best = max(best, int(m.group(1)))
-    return best + 1
+
+    def highest(prefix: str) -> int:
+        best = 0
+        for p in Path(repo).glob(f"{prefix}_r[0-9]*.json"):
+            m = re.match(rf"{prefix}_r(\d+)\.json$", p.name)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
+
+    corr, bench = highest("CORRECTNESS"), highest("BENCH")
+    # CORRECTNESS ahead of BENCH = the driver wrote this round's
+    # correctness artifact earlier in the same session; this bench run is
+    # the same round. Equal highs = a builder session inside the next round.
+    if corr > bench:
+        return corr
+    return max(corr, bench) + 1
 
 
 def confirmed_regressions(timings: dict, base: dict, remeasure) -> dict:
@@ -161,6 +175,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # embedded so a snapshot is self-identifying even if the filename
+        # inference and the driver's artifact numbering ever disagree
+        "round": round_number(REPO),
     }
     if n_events and flagship > 0:
         # reference baseline headline is >=100k msg/s sustained ingest
@@ -235,7 +252,7 @@ def main() -> None:
     # artifact keeps only a 2,000-char stdout tail, losing most per-query
     # timings; this committed file preserves the complete measurement.
     try:
-        full = Path(REPO) / f"BENCH_FULL_r{round_number(REPO):02d}.json"
+        full = Path(REPO) / f"BENCH_FULL_r{out['round']:02d}.json"
         full.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     except OSError as exc:
         print(f"bench: could not write full snapshot: {exc}",

@@ -48,6 +48,21 @@ def _interval_seconds(spec: str) -> "int | None":
 PANE_DENSITY_CROSSOVER = 4.0
 
 
+def probe_kwargs(plan_fn, plan_kwargs: dict,
+                 names: tuple[str, ...] = ("window", "slide", "time_col",
+                                           "keys")) -> dict:
+    """Resolve the probe's view of ``names`` from ``plan_kwargs``, falling
+    back to ``plan_fn``'s OWN signature defaults — round-8 advisory: the
+    streaming runners used to re-duplicate the plan functions' default
+    window/slide literals, so a changed plan default would silently make
+    the ``panes="auto"`` probe measure density for a different pane width
+    than the plan executes."""
+    import inspect
+
+    params = inspect.signature(plan_fn).parameters
+    return {n: plan_kwargs.get(n, params[n].default) for n in names}
+
+
 def pane_density(readings: DataFrame, slide_seconds: int,
                  time_col: str = "ts",
                  keys: tuple[str, ...] = ("house_id", "appliance_id")

@@ -741,12 +741,18 @@ def lsh_multiprobe_auto_oracle_sql(query_vec_id: int, k: int = 10,
                                    target_recall: float = 0.95,
                                    at_cos: float = 0.9,
                                    max_radius: int = 3) -> str:
-    """DuckDB twin of ``lsh_multiprobe_topk(probe_radius="auto")``: the
-    radius CTE derives the exact ``auto_probe_radius`` rule in SQL —
-    per-table Hamming-<=r match probability as the binomial sum over
-    flipped planes, overall recall as 1-(1-P)^tables, smallest radius
-    clearing the target — then probes every bucket whose XOR mask has
-    popcount <= radius."""
+    """DuckDB twin of ``lsh_multiprobe_topk(probe_radius="auto")``.
+
+    The radius is derived ONCE in Python (the engine's own
+    ``auto_probe_radius``) and inlined as a literal — round-8 advisory:
+    the previous in-SQL derivation (factorial-division doubles, a
+    different summation order than ``math.comb``) could resolve a
+    different radius when a recall target lands within a few ulps of a
+    radius boundary. The ``radius_check`` CTE keeps the SQL derivation
+    as an unreferenced cross-check a human can SELECT by hand; the query
+    itself probes with the engine-identical literal."""
+    r_lit = auto_probe_radius(n_tables, n_planes, target_recall, at_cos,
+                              max_radius)
     return f"""
 WITH {_sigs_ctes(n_tables, n_planes, dim)},
 pp AS (SELECT 1.0 - acos({at_cos}) / pi() AS p),
@@ -761,9 +767,12 @@ ptab AS (
   CROSS JOIN pp
   GROUP BY r.r
 ),
-radius AS (
+radius_check AS (
   SELECT coalesce(min(r), {max_radius}) AS r
   FROM ptab WHERE 1.0 - power(1.0 - pt, {n_tables}) >= {target_recall}
+),
+radius AS (
+  SELECT {r_lit} AS r
 ),
 masks AS (
   SELECT g.m AS m

@@ -332,14 +332,18 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
             # the same path misses the stale cache. Content-hashing the
             # files would be exact but costs a full re-read per session;
             # size+mtime_ns is the same contract filesystems/rsync use.
+            # determinism comes from sorting the fully-exhausted walk list
+            # (mutating `dirs` after sorted() has drained the generator
+            # cannot reorder anything — round-8 advisory removed it); the
+            # NUL terminator makes the fold injective even for pathological
+            # filenames containing '|'
             for root, dirs, files in sorted(os.walk(path)):
-                dirs.sort()
                 for name in sorted(files):
                     fp = os.path.join(root, name)
                     try:
                         st = os.stat(fp)
                         h.update(f"{os.path.relpath(fp, path)}|{st.st_size}"
-                                 f"|{st.st_mtime_ns}".encode())
+                                 f"|{st.st_mtime_ns}".encode() + b"\x00")
                     except OSError:
                         continue
         key_src = "|".join((

@@ -161,19 +161,20 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
             PANE_DENSITY_CROSSOVER,
             _interval_seconds,
             pane_density,
+            probe_kwargs,
         )
-        w_s = _interval_seconds(plan_kwargs.get("window", "10 minutes"))
-        slide = plan_kwargs.get("slide", "2 minutes")
-        s_s = _interval_seconds(slide) if slide else None
-        panes = bool(slide and w_s and s_s and w_s % s_s == 0
+        # fallbacks come from the pane plan's OWN signature defaults, so a
+        # changed plan default can never desynchronize the probe (advisory)
+        pk = probe_kwargs(duty_cycle_stream_panes_plan, plan_kwargs)
+        w_s = _interval_seconds(pk["window"])
+        s_s = _interval_seconds(pk["slide"]) if pk["slide"] else None
+        panes = bool(pk["slide"] and w_s and s_s and w_s % s_s == 0
                      and w_s != s_s)
         if panes:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             readings = to_readings(spark.read.parquet(parquet_path))
             panes = (pane_density(
-                readings, s_s,
-                time_col=plan_kwargs.get("time_col", "ts"),
-                keys=plan_kwargs.get("keys", ("house_id", "appliance_id")))
+                readings, s_s, time_col=pk["time_col"], keys=pk["keys"])
                 >= PANE_DENSITY_CROSSOVER)
     plan = duty_cycle_stream_panes_plan if panes else duty_cycle_stream_plan
     return replay_parquet_stream(

@@ -99,18 +99,20 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
             PANE_DENSITY_CROSSOVER,
             _interval_seconds,
             pane_density,
+            probe_kwargs,
         )
-        w_s = _interval_seconds(plan_kwargs.get("window", "10 minutes"))
-        slide = plan_kwargs.get("slide", "2 minutes")
-        s_s = _interval_seconds(slide) if slide else None
-        panes = bool(slide and w_s and s_s and w_s % s_s == 0
+        # fallbacks from the plan's own signature defaults (advisory): the
+        # probe always measures the pane width the plan will execute
+        pk = probe_kwargs(sliding_agg_stream_plan, plan_kwargs)
+        w_s = _interval_seconds(pk["window"])
+        s_s = _interval_seconds(pk["slide"]) if pk["slide"] else None
+        panes = bool(pk["slide"] and w_s and s_s and w_s % s_s == 0
                      and w_s != s_s)
         if panes:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             panes = (pane_density(
                 normalize_event_ts(spark.read.parquet(parquet_path)),
-                s_s, time_col=plan_kwargs.get("time_col", "ts"),
-                keys=plan_kwargs.get("keys", ("user_id",)))
+                s_s, time_col=pk["time_col"], keys=pk["keys"])
                 >= PANE_DENSITY_CROSSOVER)
     return replay_parquet_stream(
         spark, parquet_path,

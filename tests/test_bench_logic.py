@@ -78,14 +78,22 @@ def test_ingest_gate_fires_on_synthetic_slowdown():
 
 
 def test_round_number_from_artifacts(tmp_path, monkeypatch):
-    """BENCH_FULL_r{N} self-numbers from the committed driver artifacts:
-    one past the highest CORRECTNESS/BENCH round on disk, env override
+    """BENCH_FULL_r{N} self-numbers from the committed driver artifacts.
+    Round-8 rule: a CORRECTNESS round AHEAD of the highest BENCH round
+    means the driver wrote this round's correctness artifact earlier in
+    the same session — the bench run belongs to THAT round (the round-7
+    off-by-one wrote BENCH_FULL_r08 during the round-7 driver session).
+    Equal highs = a builder session inside the next round. Env override
     wins."""
     monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
     assert round_number(str(tmp_path)) == 1  # bare repo -> round 1
     (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
     (tmp_path / "BENCH_r05.json").write_text("{}")
     (tmp_path / "BENCH_r2_local.json").write_text("{}")  # non-driver: skip
+    # driver session: round-6 correctness already on disk, bench is round 6
+    assert round_number(str(tmp_path)) == 6
+    # driver then writes BENCH_r06 -> a later (builder) session is round 7
+    (tmp_path / "BENCH_r06.json").write_text("{}")
     assert round_number(str(tmp_path)) == 7
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
     assert round_number(str(tmp_path)) == 12
