@@ -5,16 +5,39 @@ algebraic aggregate.
 
 Spark's sliding ``window()`` explodes every event into window/slide
 copies before the partial aggregate. Any aggregate that is a semigroup
-fold (sum, count, min, max — and avg as sum/count) decomposes over
-epoch-aligned slide-width PANES ("No pane, no gain", Li et al. SIGMOD
-Record '05): one tumbling pane aggregate touches each event once, then
-the explode runs over the aggregated pane cardinality (bounded by
-#keys x #panes) and a tiny combine folds window/slide pane partials per
-window. Pane [b, b+S) lies wholly inside each of its windows, so
-min-of-pane-mins IS the window min, sum-of-pane-sums the window sum —
-row-identical to the explode form (floating-point sums are combined in a
-different order, which is why the registered queries round like every
-other double aggregate in this repo).
+fold decomposes over epoch-aligned slide-width PANES ("No pane, no
+gain", Li et al. SIGMOD Record '05): one tumbling pane aggregate touches
+each event once, then the explode runs over the aggregated pane
+cardinality (bounded by #keys x #panes) and a tiny combine folds
+window/slide pane partials per window. Pane [b, b+S) lies wholly inside
+each of its windows, so min-of-pane-mins IS the window min,
+sum-of-pane-sums the window sum — row-identical to the explode form
+(floating-point sums are combined in a different order, which is why the
+registered queries round like every other double aggregate in this repo).
+
+Round-8 extends the decomposable algebra beyond sum/count/min/max/avg to
+every remaining mergeable-partial aggregate the repo ships:
+
+- ``var_samp`` / ``stddev_samp`` — sum-of-squares partials
+  (sum, sum(x^2), count are each semigroup folds; the final combine is
+  the textbook (ss - s^2/n)/(n-1), identical in both forms and stated
+  verbatim in the DuckDB oracle);
+- ``kmv_distinct`` — K-minimum-values distinct count
+  (``operators/sketches.py`` family): a pane's k smallest distinct
+  portable md5 hashes merge by union->distinct->k-smallest, and any
+  window-distinct hash among the k smallest of its window is among the
+  k smallest of its pane, so the pane merge is EXACT — pane and explode
+  forms are bit-identical, and the md5 hash family makes the *estimate
+  itself* value-checkable in DuckDB;
+- ``approx_distinct`` — Apache DataSketches HLL (build
+  ``hll_sketch_agg``, merge ``hll_union_agg``, read
+  ``hll_sketch_estimate``). Sketch union is a register merge, so the
+  pane form is the scale path for a sliding COUNT(DISTINCT) at 1 Hz
+  meter density; the ESTIMATE of a union can differ from the estimate
+  of a directly-built sketch (DataSketches switches estimators after a
+  merge), so HLL sliding queries register with the exact-twin-in-plan
+  ``within_tol`` pattern (``rollup_hll_distinct``), never a raw-value
+  oracle.
 
 ``panes="auto"`` reuses the duty-cycle density probe
 (``duty_cycle.pane_density``): pane form above the measured crossover,
@@ -23,7 +46,7 @@ explode below.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators.duty_cycle import (
@@ -32,13 +55,137 @@ from insight_de_smart_grid_spark.operators.duty_cycle import (
     pane_density,
 )
 
-# fn name -> (pane partial builder, final combiner over partials)
-_ALGEBRAIC = {
+SLIDING_KMV_K = 64     # k-minimum-values sketch size for kmv_distinct
+SLIDING_HLL_LGK = 12   # DataSketches lg_k for approx_distinct
+_KMV_SCALE = float(2 ** 60)  # 60-bit md5 hashes normalized to [0, 1)
+
+
+def _kmv_hash(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 — bit-identical in
+    DuckDB (``CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)``),
+    the same family as ``operators/sketches.py``."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+
+
+def _kmv_partial(col: Column) -> Column:
+    """k smallest distinct hashes within the group. Per-group state is the
+    group's distinct-hash set — bounded by pane size in the pane form
+    (a 2-minute pane holds <= 120 events at the reference's 1 Hz), which
+    is what makes this safe as a STREAMING pane partial too."""
+    return F.slice(F.array_sort(F.collect_set(_kmv_hash(col))),
+                   1, SLIDING_KMV_K)
+
+
+def _kmv_combine(partial: Column) -> Column:
+    """Merge pane sketches: union -> distinct -> k smallest. Exact: any
+    hash among a window's k smallest is among its own pane's k smallest
+    (panes partition the window), so nothing the merge needs was pruned."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(partial)))),
+        1, SLIDING_KMV_K)
+
+
+# partial kind -> (pane/window partial builder, pane-merge combiner).
+# Each partial is a semigroup fold; the combiner merges pane partials
+# into the window partial of the same kind.
+_PARTIALS = {
     "sum": (F.sum, F.sum),
     "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    "sumsq": (lambda c: F.sum(c.cast("double") * c.cast("double")), F.sum),
+    "kmv": (_kmv_partial, _kmv_combine),
+    # string-cast so any column type sketches (hll_sketch_agg accepts only
+    # int/bigint/string/binary); casts are injective on distinct values
+    "hll": (lambda c: F.hll_sketch_agg(c.cast("string"),
+                                       F.lit(SLIDING_HLL_LGK)),
+            F.hll_union_agg),
 }
+
+# user-facing aggregate -> the partial kinds it needs
+_DERIVED = {
+    "sum": ("sum",),
+    "count": ("count",),
+    "min": ("min",),
+    "max": ("max",),
+    "avg": ("sum", "count"),
+    "var_samp": ("sum", "sumsq", "count"),
+    "stddev_samp": ("sum", "sumsq", "count"),
+    "kmv_distinct": ("kmv",),
+    "approx_distinct": ("hll",),
+}
+
+# kept for round-7 call sites / docs: the original four plus their merge
+_ALGEBRAIC = {k: _PARTIALS[k] for k in ("sum", "count", "min", "max")}
+
+
+def _var_expr(partial_of, col: str) -> Column:
+    """Sample variance from (sum, sumsq, count) partials: the combine is
+    float, so both forms (and the oracle) state the identical formula —
+    (ss - s*s/n) / (n - 1), NULL when n <= 1."""
+    n = partial_of("count", col).cast("double")
+    s = partial_of("sum", col)
+    ss = partial_of("sumsq", col)
+    return F.when(n > 1, (ss - s * s / n) / (n - F.lit(1.0)))
+
+
+def _final_expr(fn: str, partial_of, col: str) -> Column:
+    if fn == "avg":
+        return partial_of("sum", col) / partial_of("count", col)
+    if fn == "var_samp":
+        return _var_expr(partial_of, col)
+    if fn == "stddev_samp":
+        # greatest(., 0) absorbs a few-ulp negative from cancellation; the
+        # n>1 guard keeps the single-sample result NULL (greatest would
+        # otherwise swallow the NULL — Spark's greatest skips nulls)
+        n = partial_of("count", col)
+        return F.when(n > 1,
+                      F.sqrt(F.greatest(_var_expr(partial_of, col),
+                                        F.lit(0.0))))
+    if fn == "kmv_distinct":
+        kmv = partial_of("kmv", col)
+        k = SLIDING_KMV_K
+        return (F.when(F.size(kmv) < k, F.size(kmv).cast("double"))
+                .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE)
+                           / F.element_at(kmv, k).cast("double")))
+    if fn == "approx_distinct":
+        return F.hll_sketch_estimate(partial_of("hll", col))
+    return partial_of(fn, col)
+
+
+def expand_needed(aggs: tuple) -> list:
+    """Distinct (kind, col) partials the requested aggregates need,
+    deterministically ordered. Raises on an aggregate with no algebraic
+    decomposition (median, exact percentile, ...)."""
+    needed = set()
+    for name, fn, col in aggs:
+        if fn not in _DERIVED:
+            raise ValueError(f"unsupported aggregate {fn!r} for {name!r} — "
+                             "pane decomposition needs an algebraic fold "
+                             f"({'/'.join(sorted(_DERIVED))})")
+        needed.update((kind, col) for kind in _DERIVED[fn])
+    return sorted(needed)
+
+
+def partial_exprs(needed: list, alias: str = "__p") -> list:
+    """Pane/window partial aggregate expressions, one per (kind, col)."""
+    return [_PARTIALS[kind][0](F.col(col)).alias(f"{alias}_{kind}_{col}")
+            for kind, col in needed]
+
+
+def combine_exprs(needed: list, src: str = "__p",
+                  alias: str = "__c") -> list:
+    """Pane-merge aggregate expressions over the partial columns."""
+    return [_PARTIALS[kind][1](F.col(f"{src}_{kind}_{col}"))
+            .alias(f"{alias}_{kind}_{col}") for kind, col in needed]
+
+
+def final_exprs(aggs: tuple, alias: str = "__c") -> list:
+    """Output expressions over the combined partials."""
+    partial_of = lambda kind, col: F.col(f"{alias}_{kind}_{col}")  # noqa: E731
+    return [_final_expr(fn, partial_of, col).alias(name)
+            for name, fn, col in aggs]
 
 
 def sliding_agg(df: DataFrame,
@@ -49,9 +196,11 @@ def sliding_agg(df: DataFrame,
                 time_col: str = "ts",
                 panes: "bool | str" = False) -> DataFrame:
     """Sliding aggregation over ``aggs`` = ((out_name, fn, col), ...) with
-    fn in {sum, count, min, max, avg}. Returns (time_end, *keys, *outs);
-    ``avg`` is derived as exact sum/count of the SAME pane partials (never
-    an average of averages)."""
+    fn in ``_DERIVED`` (sum/count/min/max/avg, var_samp/stddev_samp,
+    kmv_distinct/approx_distinct). Returns (time_end, *keys, *outs);
+    every derived final (avg, variance, the distinct estimates) is
+    computed from the SAME partials in both forms (never an average of
+    averages / variance of variances)."""
     w_s = _interval_seconds(window)
     s_s = _interval_seconds(slide) if slide else None
     decomposable = (slide is not None and w_s and s_s
@@ -60,38 +209,16 @@ def sliding_agg(df: DataFrame,
         panes = bool(decomposable) and (
             pane_density(df, s_s, time_col, keys)
             >= PANE_DENSITY_CROSSOVER)
-    for name, fn, col in aggs:
-        if fn not in _ALGEBRAIC and fn != "avg":
-            raise ValueError(f"unsupported aggregate {fn!r} for {name!r} — "
-                             "pane decomposition needs an algebraic fold "
-                             "(sum/count/min/max/avg)")
-
-    def finals(partial_of):
-        """Final-combine expressions given partial_of(kind, col) -> Column."""
-        out = []
-        for name, fn, col in aggs:
-            if fn == "avg":
-                out.append((partial_of("sum", col)
-                            / partial_of("count", col)).alias(name))
-            else:
-                out.append(partial_of(fn, col).alias(name))
-        return out
+    needed = expand_needed(aggs)
 
     if panes and decomposable:
-        # pane partials: one entry per distinct (kind, col) an output needs
-        needed = set()
-        for name, fn, col in aggs:
-            needed.update({("sum", col), ("count", col)} if fn == "avg"
-                          else {(fn, col)})
-        partials = [(f"__p_{fn}_{col}", fn, col) for fn, col in sorted(needed)]
         pane = (df.groupBy(F.window(F.col(time_col), slide).alias("pane"),
                            *[F.col(k) for k in keys])
-                .agg(*[_ALGEBRAIC[fn][0](F.col(col)).alias(p)
-                       for p, fn, col in partials]))
+                .agg(*partial_exprs(needed)))
         n_panes = w_s // s_s
         exploded = (pane
                     .select(F.col("pane.start").alias("pane_start"), *keys,
-                            *[p for p, _, _ in partials],
+                            *[f"__p_{kind}_{col}" for kind, col in needed],
                             F.explode(F.sequence(
                                 F.lit(0), F.lit(n_panes - 1))).alias("k"))
                     .select((F.col("pane_start")
@@ -99,39 +226,27 @@ def sliding_agg(df: DataFrame,
                              - F.col("k")
                              * F.expr(f"make_interval(0,0,0,0,0,0, {s_s})"))
                             .alias("time_end"),
-                            *keys, *[p for p, _, _ in partials]))
-        combined = {(fn, col): _ALGEBRAIC[fn][1](F.col(f"__p_{fn}_{col}"))
-                    for _, fn, col in partials}
+                            *keys,
+                            *[f"__p_{kind}_{col}" for kind, col in needed]))
         agg = (exploded.groupBy("time_end", *[F.col(k) for k in keys])
-               .agg(*[c.alias(f"__c_{fn}_{col}")
-                      for (fn, col), c in combined.items()]))
-        return agg.select(
-            "time_end", *keys,
-            *finals(lambda fn, col: F.col(f"__c_{fn}_{col}")))
+               .agg(*combine_exprs(needed)))
+        return agg.select("time_end", *keys, *final_exprs(aggs))
 
     win = (F.window(F.col(time_col), window, slide) if slide
            else F.window(F.col(time_col), window))
-    direct = {fn: _ALGEBRAIC[fn][0] for fn in ("sum", "count", "min", "max")}
-    needed = set()
-    for name, fn, col in aggs:
-        needed.update({("sum", col), ("count", col)} if fn == "avg"
-                      else {(fn, col)})
+    # explode form: the window group IS the whole window, so the partial
+    # builders produce the combined value directly (alias them __c)
     agg = (df.groupBy(win.alias("window"), *[F.col(k) for k in keys])
-           .agg(*[direct[fn](F.col(col)).alias(f"__c_{fn}_{col}")
-                  for fn, col in sorted(needed)]))
+           .agg(*partial_exprs(needed, alias="__c")))
     return agg.select(
-        F.col("window.end").alias("time_end"), *keys,
-        *finals(lambda fn, col: F.col(f"__c_{fn}_{col}")))
+        F.col("window.end").alias("time_end"), *keys, *final_exprs(aggs))
 
 
-def sliding_stats_oracle_sql(window_seconds: int = 600,
-                             slide_seconds: int = 120) -> str:
-    """DuckDB twin of the registered events sliding-stats query: the
-    generate_series window-starts join (the ``_SLIDING_ORACLE`` pattern),
-    with doubles rounded to 6 like every double aggregate in this repo
-    (pane and explode forms fold float sums in different orders)."""
+def _sliding_starts_sql(window_seconds: int, slide_seconds: int) -> str:
+    """Shared DuckDB CTE prologue: every slide-aligned window start that
+    could contain an event (the generate_series sliding-oracle pattern)."""
     return f"""
-WITH bounds AS (
+bounds AS (
   SELECT time_bucket(INTERVAL '{slide_seconds} seconds', min(ts))
            - INTERVAL '{window_seconds} seconds' AS lo,
          max(ts) AS hi
@@ -141,7 +256,17 @@ starts AS (
   SELECT unnest(generate_series(lo, hi,
                 INTERVAL '{slide_seconds} seconds')) AS ws
   FROM bounds
-)
+)"""
+
+
+def sliding_stats_oracle_sql(window_seconds: int = 600,
+                             slide_seconds: int = 120) -> str:
+    """DuckDB twin of the registered events sliding-stats query: the
+    generate_series window-starts join (the ``_SLIDING_ORACLE`` pattern),
+    with doubles rounded to 6 like every double aggregate in this repo
+    (pane and explode forms fold float sums in different orders)."""
+    return f"""
+WITH {_sliding_starts_sql(window_seconds, slide_seconds)}
 SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
        e.user_id,
        round(sum(e.value), 6) AS sum_value,
@@ -149,6 +274,84 @@ SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
        round(min(e.value), 6) AS min_value,
        round(max(e.value), 6) AS max_value,
        round(sum(e.value) / count(e.value), 6) AS avg_value
+FROM events e
+JOIN starts s ON e.ts >= s.ws
+             AND e.ts < s.ws + INTERVAL '{window_seconds} seconds'
+GROUP BY 1, 2
+"""
+
+
+def sliding_distinct_oracle_sql(window_seconds: int = 600,
+                                slide_seconds: int = 120,
+                                k: int = SLIDING_KMV_K) -> str:
+    """DuckDB twin of the sliding KMV distinct-count: identical 60-bit md5
+    hashes, identical k-smallest cut, identical estimator arithmetic
+    ((k-1) * 2^60 / kmv[k] — one exact multiply then one divide on
+    identical operands), so the ESTIMATE itself is value-checked, not
+    just a tolerance band."""
+    scale = int(_KMV_SCALE)
+    return f"""
+WITH {_sliding_starts_sql(window_seconds, slide_seconds)},
+win AS (
+  SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
+         e.event_type,
+         (list_sort(list(DISTINCT
+            CAST(concat('0x', substring(md5(CAST(e.user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT))))[1:{k}] AS kmv,
+         count(e.user_id) AS n_vals
+  FROM events e
+  JOIN starts s ON e.ts >= s.ws
+               AND e.ts < s.ws + INTERVAL '{window_seconds} seconds'
+  GROUP BY 1, 2
+)
+SELECT time_end, event_type,
+       round(CASE WHEN len(kmv) < {k} THEN CAST(len(kmv) AS DOUBLE)
+                  ELSE CAST({k - 1} AS DOUBLE) * {scale}.0
+                       / CAST(kmv[{k}] AS DOUBLE) END, 6) AS approx_users,
+       n_vals
+FROM win
+"""
+
+
+def sliding_stddev_oracle_sql(window_seconds: int = 600,
+                              slide_seconds: int = 120) -> str:
+    """DuckDB twin of the sliding variance/stddev: the SAME
+    sum-of-squares combine the engine's pane form runs —
+    (ss - s*s/n)/(n-1), NULL at n<=1, sqrt over greatest(.,0) — stated
+    verbatim rather than DuckDB's own var_samp (whose Welford/Youngs-
+    Cramer update order differs)."""
+    var = ("(sum(e.value * e.value) - sum(e.value) * sum(e.value)"
+           " / count(e.value)) / (count(e.value) - 1)")
+    return f"""
+WITH {_sliding_starts_sql(window_seconds, slide_seconds)}
+SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
+       e.user_id,
+       round(CASE WHEN count(e.value) > 1 THEN {var} END, 6) AS var_value,
+       round(CASE WHEN count(e.value) > 1
+                  THEN sqrt(greatest({var}, 0)) END, 6) AS sd_value,
+       count(e.value) AS n_vals
+FROM events e
+JOIN starts s ON e.ts >= s.ws
+             AND e.ts < s.ws + INTERVAL '{window_seconds} seconds'
+GROUP BY 1, 2
+"""
+
+
+def sliding_hll_within_tol_oracle_sql(window_seconds: int = 600,
+                                      slide_seconds: int = 120) -> str:
+    """Oracle for the HLL sliding distinct (exact-twin-in-plan pattern,
+    ``rollup_hll_distinct``): the oracle states the EXACT sliding distinct
+    count; the engine emits the same exact count from an explode-form
+    countDistinct twin in the same plan plus ``within_tol`` asserting the
+    pane-form HLL estimate sits within 5% — a broken sketch/union/estimate
+    path flips the boolean and fails the hash check against the constant
+    TRUE."""
+    return f"""
+WITH {_sliding_starts_sql(window_seconds, slide_seconds)}
+SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
+       e.event_type,
+       count(DISTINCT e.user_id) AS exact_distinct,
+       TRUE AS within_tol
 FROM events e
 JOIN starts s ON e.ts >= s.ws
              AND e.ts < s.ws + INTERVAL '{window_seconds} seconds'

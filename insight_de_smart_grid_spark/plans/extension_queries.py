@@ -89,6 +89,154 @@ def q_streaming_sliding_stats_panes(spark: SparkSession, sf_dir: str
                     F.round("avg_value", 6).alias("avg_value")))
 
 
+# --- sliding distinct-count / variance (round-8 pane algebra) ---------------
+
+_SLIDING_DISTINCT_AGGS = (("approx_users", "kmv_distinct", "user_id"),
+                          ("n_vals", "count", "user_id"))
+_SLIDING_STDDEV_AGGS = (("var_value", "var_samp", "value"),
+                        ("sd_value", "stddev_samp", "value"),
+                        ("n_vals", "count", "value"))
+
+
+def _sliding_distinct(spark: SparkSession, sf_dir: str, panes) -> DataFrame:
+    out = sl.sliding_agg(load_table(spark, sf_dir, "events"),
+                         window="10 minutes", slide="2 minutes",
+                         aggs=_SLIDING_DISTINCT_AGGS, keys=("event_type",),
+                         panes=panes)
+    return out.select("time_end", "event_type",
+                      F.round("approx_users", 6).alias("approx_users"),
+                      "n_vals")
+
+
+@register("events_sliding_distinct", sl.sliding_distinct_oracle_sql())
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT(DISTINCT user) per (10m/2m window, event_type) via a
+    K-minimum-values sketch (portable md5 hash family) — the ESTIMATE is
+    value-checked against a DuckDB twin running the identical estimator,
+    not just a tolerance band. Explode form."""
+    return _sliding_distinct(spark, sf_dir, panes=False)
+
+
+@register("events_sliding_distinct_panes", sl.sliding_distinct_oracle_sql())
+def q_events_sliding_distinct_panes(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """The SAME sliding distinct through the pane decomposition: a pane's
+    k smallest distinct hashes merge by union->distinct->k-smallest, which
+    is EXACT (panes partition the window), so this registers against the
+    identical oracle SQL — the one aggregate class that was still
+    explode-only before round 8, now bit-identical in both forms."""
+    return _sliding_distinct(spark, sf_dir, panes=True)
+
+
+@register("streaming_sliding_distinct_panes", sl.sliding_distinct_oracle_sql())
+def q_streaming_sliding_distinct_panes(spark: SparkSession, sf_dir: str
+                                       ) -> DataFrame:
+    """Sliding distinct-count as a STREAMING chained-stateful pane plan:
+    the tumbling pane aggregate folds each event's hash once into a
+    bounded KMV sketch, the second stateful operator merges pane sketches
+    — state input bounded by #keys x #panes, never event cardinality (the
+    1 Hz sliding-distinct shape VERDICT r7 ranked the top miss)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="ssdp_")
+    out = run_sliding_stats_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink",
+        aggs=_SLIDING_DISTINCT_AGGS, keys=("event_type",),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    # no marker filter needed: the sentinel's own windows end past the
+    # final watermark and are never emitted (replay.py contract); keyed by
+    # event_type there is no -1 marker column to filter anyway
+    return out.select("time_end", "event_type",
+                      F.round("approx_users", 6).alias("approx_users"),
+                      "n_vals")
+
+
+def _sliding_stddev(spark: SparkSession, sf_dir: str, panes) -> DataFrame:
+    out = sl.sliding_agg(load_table(spark, sf_dir, "events"),
+                         window="10 minutes", slide="2 minutes",
+                         aggs=_SLIDING_STDDEV_AGGS, keys=("user_id",),
+                         panes=panes)
+    return out.select("time_end", "user_id",
+                      F.round("var_value", 6).alias("var_value"),
+                      F.round("sd_value", 6).alias("sd_value"), "n_vals")
+
+
+@register("events_sliding_stddev", sl.sliding_stddev_oracle_sql())
+def q_events_sliding_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding sample variance/stddev per (10m/2m window, user) — the
+    sum-of-squares decomposition; the oracle states the identical
+    (ss - s*s/n)/(n-1) combine rather than DuckDB's own var_samp (whose
+    streaming update order differs). Explode form."""
+    return _sliding_stddev(spark, sf_dir, panes=False)
+
+
+@register("events_sliding_stddev_panes", sl.sliding_stddev_oracle_sql())
+def q_events_sliding_stddev_panes(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """The SAME sliding variance through the pane decomposition: sum,
+    sum-of-squares and count partials per pane, summed per window — same
+    oracle SQL, value-identical after the repo's round-6 convention."""
+    return _sliding_stddev(spark, sf_dir, panes=True)
+
+
+@register("streaming_sliding_stddev_panes", sl.sliding_stddev_oracle_sql())
+def q_streaming_sliding_stddev_panes(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    """Sliding variance as the STREAMING chained-stateful pane plan —
+    three algebraic pane partials (sum, sumsq, count) into the bounded
+    second operator, value-checked against the same oracle as the batch
+    twins."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="ssvp_")
+    out = run_sliding_stats_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink",
+        aggs=_SLIDING_STDDEV_AGGS, keys=("user_id",),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    return (out.filter(F.col("user_id") != -1)
+            .select("time_end", "user_id",
+                    F.round("var_value", 6).alias("var_value"),
+                    F.round("sd_value", 6).alias("sd_value"), "n_vals"))
+
+
+@register("events_sliding_hll_panes", sl.sliding_hll_within_tol_oracle_sql())
+def q_events_sliding_hll_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct via DataSketches HLL in the pane form (build per
+    pane, ``hll_union_agg`` per window) validated by the exact-twin-in-plan
+    pattern (``rollup_hll_distinct``): the plan also computes the exact
+    explode-form countDistinct and emits ``within_tol`` — the estimate of
+    a UNIONED sketch can differ from a directly-built one (DataSketches
+    switches estimators after merge), so HLL registers with the tolerance
+    contract, unlike the bit-exact KMV twin."""
+    ev = load_table(spark, sf_dir, "events")
+    est = sl.sliding_agg(
+        ev, window="10 minutes", slide="2 minutes",
+        aggs=(("approx_users", "approx_distinct", "user_id"),),
+        keys=("event_type",), panes=True)
+    exact = (ev.groupBy(F.window("ts", "10 minutes", "2 minutes")
+                        .alias("window"), "event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct"))
+             .select(F.col("window.end").alias("time_end"), "event_type",
+                     "exact_distinct"))
+    return (est.join(exact, ["time_end", "event_type"])
+            .select("time_end", "event_type", "exact_distinct",
+                    (F.abs(F.col("approx_users") - F.col("exact_distinct"))
+                     <= F.lit(0.05) * F.col("exact_distinct"))
+                    .alias("within_tol")))
+
+
 # --- text analysis ---------------------------------------------------------
 
 @register("text_stats", tx.TEXT_STATS_SQL)

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_de_smart_grid_spark.operators.sliding import _ALGEBRAIC
+from insight_de_smart_grid_spark.operators.sliding import (
+    combine_exprs,
+    expand_needed,
+    final_exprs,
+    partial_exprs,
+)
 from insight_de_smart_grid_spark.streaming.replay import (
     replay_parquet_stream,
 )
@@ -37,44 +42,27 @@ def sliding_agg_stream_plan(stream: DataFrame,
     """Streaming sliding aggregation plan; ``panes=True`` = the chained
     two-operator pane form, ``panes=False`` = the single-operator explode
     form. Both emit (time_end, *keys, *outs) in append mode once the
-    watermark finalizes a window."""
-    needed = set()
-    for name, fn, col in aggs:
-        if fn not in _ALGEBRAIC and fn != "avg":
-            raise ValueError(f"unsupported aggregate {fn!r} for {name!r}")
-        needed.update({("sum", col), ("count", col)} if fn == "avg"
-                      else {(fn, col)})
-
-    def finals(partial_of):
-        out = []
-        for name, fn, col in aggs:
-            if fn == "avg":
-                out.append((partial_of("sum", col)
-                            / partial_of("count", col)).alias(name))
-            else:
-                out.append(partial_of(fn, col).alias(name))
-        return out
-
+    watermark finalizes a window. The aggregate surface is the full
+    ``operators.sliding._DERIVED`` algebra (round-8): variance/stddev
+    via sum-of-squares partials, sliding COUNT(DISTINCT) via KMV
+    (bit-exact pane merge) or DataSketches HLL (register-merge union) —
+    the second stateful operator's state input stays bounded by
+    #keys x #panes for every one of them."""
+    needed = expand_needed(aggs)
     wm = stream.withWatermark(time_col, watermark)
     if panes:
         pane = (wm.groupBy(F.window(F.col(time_col), slide).alias("pane"),
                            *[F.col(k) for k in keys])
-                .agg(*[_ALGEBRAIC[fn][0](F.col(col))
-                       .alias(f"__p_{fn}_{col}")
-                       for fn, col in sorted(needed)]))
+                .agg(*partial_exprs(needed)))
         agg = (pane.groupBy(F.window(F.col("pane"), window, slide)
                             .alias("window"), *[F.col(k) for k in keys])
-               .agg(*[_ALGEBRAIC[fn][1](F.col(f"__p_{fn}_{col}"))
-                      .alias(f"__c_{fn}_{col}")
-                      for fn, col in sorted(needed)]))
+               .agg(*combine_exprs(needed)))
     else:
         agg = (wm.groupBy(F.window(F.col(time_col), window, slide)
                           .alias("window"), *[F.col(k) for k in keys])
-               .agg(*[_ALGEBRAIC[fn][0](F.col(col)).alias(f"__c_{fn}_{col}")
-                      for fn, col in sorted(needed)]))
+               .agg(*partial_exprs(needed, alias="__c")))
     return agg.select(
-        F.col("window.end").alias("time_end"), *keys,
-        *finals(lambda fn, col: F.col(f"__c_{fn}_{col}")))
+        F.col("window.end").alias("time_end"), *keys, *final_exprs(aggs))
 
 
 def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,

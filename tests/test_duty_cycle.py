@@ -116,6 +116,69 @@ def test_sliding_agg_pane_invariance_and_auto(spark):
         sliding_agg(df, aggs=(("m", "median", "value"),), panes=True)
 
 
+def test_sliding_agg_extended_algebra_pane_invariance(spark):
+    """Round-8 algebra: variance/stddev (sum-of-squares partials), KMV
+    distinct-count (k-smallest-hash merge), and DataSketches HLL must all
+    agree between explode and pane forms. KMV is bit-exact by
+    construction (panes partition the window, so a window's k smallest
+    distinct hashes all survive their pane's k-cut); variance matches
+    after the repo's round-6 convention (float partials fold in a
+    different order); HLL's pane-union ESTIMATE may legitimately differ
+    from the direct sketch (DataSketches switches estimators after
+    merge), so it is asserted within the 5% contract against exact, not
+    equal. NULL handling: an all-NULL group must yield NULL variance and
+    a 0.0 distinct estimate, identically in both forms."""
+    from pyspark.sql import functions as F
+
+    from insight_de_smart_grid_spark.operators.sliding import sliding_agg
+
+    rows = [(float(t), str(t % 3),
+             None if t % 7 == 0 else float((t * 13) % 11 - 5))
+            for t in range(0, 41)]
+    rows += [(4.0, "9", None), (6.0, "9", None)]  # all-NULL key
+    df = spark.createDataFrame(
+        rows, "tsec double, user_id string, value double"
+    ).selectExpr("timestamp_seconds(tsec) AS ts", "user_id", "value")
+
+    aggs = (("var_value", "var_samp", "value"),
+            ("sd_value", "stddev_samp", "value"),
+            ("kmv_users", "kmv_distinct", "value"),
+            ("n_vals", "count", "value"))
+
+    def run(panes):
+        out = sliding_agg(df, window="10 seconds", slide="2 seconds",
+                          aggs=aggs, keys=("user_id",), panes=panes)
+        return sorted((r.time_end, r.user_id,
+                       None if r.var_value is None
+                       else round(r.var_value, 6),
+                       None if r.sd_value is None
+                       else round(r.sd_value, 6),
+                       r.kmv_users, r.n_vals)
+                      for r in out.collect())
+
+    explode_form = run(False)
+    assert explode_form == run(True)
+    # all-NULL key: NULL var/sd, 0.0 distinct estimate, count 0
+    null_rows = [r for r in explode_form if r[1] == "9"]
+    assert null_rows and all(
+        r[2] is None and r[3] is None and r[4] == 0.0 and r[5] == 0
+        for r in null_rows)
+    # single-sample windows exist in this fixture and must be NULL var
+    assert any(r[5] == 1 and r[2] is None for r in explode_form)
+    # HLL: pane-union estimate within the 5% contract of exact distinct
+    hll = sliding_agg(df, window="10 seconds", slide="2 seconds",
+                      aggs=(("est", "approx_distinct", "value"),),
+                      keys=("user_id",), panes=True)
+    exact = (df.groupBy(F.window("ts", "10 seconds", "2 seconds")
+                        .alias("window"), "user_id")
+             .agg(F.countDistinct("value").alias("exact"))
+             .select(F.col("window.end").alias("time_end"), "user_id",
+                     "exact"))
+    joined = hll.join(exact, ["time_end", "user_id"]).collect()
+    assert joined and all(
+        abs(r.est - r.exact) <= max(1.0, 0.05 * r.exact) for r in joined)
+
+
 def _is_pane_plan(df) -> bool:
     """The pane plan (and only it) synthesizes window ends with
     make_interval arithmetic over exploded pane indices; the explode form
