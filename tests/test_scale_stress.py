@@ -292,6 +292,90 @@ def test_duty_cycle_auto_form_selection(spark, stress_dir):
     assert is_pane_plan(auto_dense) and not is_pane_plan(auto_sparse)
 
 
+def test_sampled_pane_density_agrees_on_both_regimes(spark, stress_dir):
+    """Round-8: the sampled probe (Bernoulli row sample + Poisson
+    inversion, ``pane_density(sample_fraction=...)``) must agree with the
+    full probe on WHICH SIDE of the crossover both measured regimes sit —
+    the dense stress corpus (~19 events/cell) and the sparse base fixture
+    (~1). The timing pair is the SCALE.md evidence that the probe's
+    aggregation cost stops scaling with corpus size; a sample smaller
+    than min_sample_rows must fall back to the (exact) full probe."""
+    from insight_de_smart_grid_spark.operators.duty_cycle import (
+        PANE_DENSITY_CROSSOVER,
+        pane_density,
+    )
+    from insight_de_smart_grid_spark.sources.tables import readings_view
+
+    dense = readings_view(spark, str(stress_dir))
+    sparse = readings_view(spark, BASE)
+
+    full_dense = _timed("probe_full_dense",
+                        lambda: pane_density(dense, 120), spark)
+    samp_dense = _timed(
+        "probe_sampled_dense",
+        lambda: pane_density(dense, 120, sample_fraction=0.1,
+                             min_sample_rows=1_000), spark)
+    full_sparse = pane_density(sparse, 120)
+    samp_sparse = pane_density(sparse, 120, sample_fraction=0.1,
+                               min_sample_rows=500)
+    TIMINGS["probe_density_full_dense"] = round(full_dense, 2)
+    TIMINGS["probe_density_sampled_dense"] = round(samp_dense, 2)
+    # same side of the crossover in both regimes
+    assert (full_dense >= PANE_DENSITY_CROSSOVER) == \
+        (samp_dense >= PANE_DENSITY_CROSSOVER)
+    assert (full_sparse >= PANE_DENSITY_CROSSOVER) == \
+        (samp_sparse >= PANE_DENSITY_CROSSOVER)
+    # the inversion is quantitatively close in the dense regime (the
+    # decision margin regime; Poisson model + HLL rse bound ~20%)
+    assert abs(samp_dense - full_dense) <= 0.25 * full_dense
+    # under-threshold sample -> exact full-probe value
+    assert pane_density(sparse, 120, sample_fraction=0.001,
+                        min_sample_rows=10_000) == full_sparse
+
+
+def test_sliding_pane_combine_under_timestamp_flood(spark, stress_dir):
+    """Round-8 planted hazard: a duplicate-timestamp FLOOD — 1 in 20 of
+    the hot user's events re-stamped to one fixed instant, so a single
+    (key, pane) cell holds thousands of rows while every other cell stays
+    at the corpus density. The pane form's exposure is its FIRST
+    aggregation's hot group; partial (map-side) aggregation collapses the
+    flood to at most one partial row per shuffle partition before the
+    exchange, so the hot cell costs a local fold, not a shuffle skew —
+    this test pins that the pane and explode forms stay row-identical
+    under the flood and records both timings (the x30 full sweep is the
+    SCALE.md growth evidence). The KMV pane partial's collect_set state
+    is also exercised: its per-group state is the cell's DISTINCT value
+    count, which the flood maximizes for its pane."""
+    from insight_de_smart_grid_spark.operators.sliding import sliding_agg
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    ev = load_table(spark, str(stress_dir), "events")
+    flood = ev.withColumn(
+        "ts",
+        F.when((F.col("user_id") == HOT_USER)
+               & (F.pmod(F.xxhash64("event_id"), 20) == 0),
+               F.to_timestamp(F.lit("2024-01-05 00:01:30")))
+        .otherwise(F.col("ts")))
+    n_flood = flood.filter(
+        F.col("ts") == F.to_timestamp(F.lit("2024-01-05 00:01:30"))).count()
+    TIMINGS["flood_rows_in_one_pane"] = n_flood
+    assert n_flood > 500  # the hazard is actually planted
+
+    aggs = (("sum_value", "sum", "value"), ("n_vals", "count", "value"),
+            ("kmv_users", "kmv_distinct", "user_id"))
+
+    def run(tag, panes):
+        out = _timed(f"sliding_flood_{tag}", lambda: sorted(
+            (r.time_end, r.user_id,
+             None if r.sum_value is None else round(r.sum_value, 6),
+             r.n_vals, r.kmv_users)
+            for r in sliding_agg(flood, aggs=aggs, keys=("user_id",),
+                                 panes=panes).collect()), spark)
+        return out
+
+    assert run("explode", False) == run("panes", True)
+
+
 def test_ann_recall_on_planted_neighbors(spark, stress_dir):
     """Round-7 ANN recall contract: the corpus plants PERTURBED copies
     (cos ~0.989..0.99999 to their base, vs ~0.75 max unrelated cross-cos)
@@ -530,6 +614,15 @@ SWEEP = [
     "streaming_sequence_detect",
     "streaming_counter_deltas",
     "streaming_sliding_stats_panes",
+    # round-8: the extended pane algebra (sliding distinct via KMV, sliding
+    # variance via sum-of-squares) — explode vs pane growth on the dense
+    # corpus is the SCALE.md evidence for the new decompositions
+    "events_sliding_distinct",
+    "events_sliding_distinct_panes",
+    "events_sliding_stddev",
+    "events_sliding_stddev_panes",
+    "streaming_sliding_distinct_panes",
+    "streaming_sliding_stddev_panes",
 ]
 
 
