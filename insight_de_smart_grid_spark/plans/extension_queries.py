@@ -362,6 +362,34 @@ def q_sim_ann_multiprobe_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    target_recall=0.999)
 
 
+@register("sim_ann_index_append", sim.lsh_ann_topk_oracle_sql(0, 10,
+                                                              n_planes=8))
+def q_sim_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 incremental index maintenance, value-checked end to end:
+    build the persisted signature index from an 80% hash slice of the
+    corpus, APPEND the remaining two 10% slices as deltas (the append
+    path signature-computes only the delta — the index and historical
+    corpus are never read), compact the accumulated file sets, then
+    query top-k through the pushed-down bucket probe. The result must
+    equal a from-scratch index over the full corpus, so it registers
+    against the SAME oracle as ``sim_ann_lsh_topk``
+    (`operators/ann_index.py`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = pl._hash_bucket(F.col("vec_id").cast("string"))
+    path = tempfile.mkdtemp(prefix="annidx_")
+    ai.build_signature_index(emb.filter(b < 80), path,
+                             n_tables=16, n_planes=8)
+    ai.append_signatures(emb.filter((b >= 80) & (b < 90)), path)
+    ai.append_signatures(emb.filter(b >= 90), path)
+    ai.compact_signature_index(spark, path)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ai.query_index_topk(spark, path, qv, k=10, exclude_id=0)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

@@ -333,6 +333,47 @@ def test_sampled_pane_density_agrees_on_both_regimes(spark, stress_dir):
                         min_sample_rows=10_000) == full_sparse
 
 
+def test_ann_index_append_cost_tracks_delta_not_corpus(
+        spark, stress_dir, tmp_path):
+    """Round-8 index-maintenance sweep point: appending a FIXED-size
+    delta must cost the same whether the index behind it holds the base
+    corpus or the mult-x stress corpus — the append path never reads the
+    index or re-counts history (plan-asserted in test_ann_index.py; this
+    is the measured twin). Also pins result correctness at stress scale:
+    index+append answers a probe query identically to a from-scratch
+    index over the same union."""
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    small = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    big = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    # fixed delta: the base corpus re-keyed out of both id spaces
+    delta = small.withColumn("vec_id", F.col("vec_id") + F.lit(10 ** 12))
+
+    p_small, p_big = str(tmp_path / "s"), str(tmp_path / "b")
+    ai.build_signature_index(small, p_small, n_tables=4, n_planes=8)
+    ai.build_signature_index(big, p_big, n_tables=4, n_planes=8)
+    _timed("ann_append_onto_base_idx",
+           lambda: ai.append_signatures(delta, p_small), spark)
+    _timed("ann_append_onto_stress_idx",
+           lambda: ai.append_signatures(delta, p_big), spark)
+    t_s = TIMINGS["ann_append_onto_base_idx"]
+    t_b = TIMINGS["ann_append_onto_stress_idx"]
+    # same delta, same work — corpus size must not leak into append cost
+    # (generous 2x bound absorbs JVM noise at these sub-second walls)
+    assert t_b <= 2.0 * max(t_s, 0.5)
+
+    # correctness at stress scale: (big + delta) index == rebuild
+    rebuilt = str(tmp_path / "r")
+    ai.build_signature_index(big.unionByName(delta), rebuilt,
+                             n_tables=4, n_planes=8)
+    qv = small.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    got = sorted((r.vec_id, r.cos_sim) for r in ai.query_index_topk(
+        spark, p_big, qv, k=10, exclude_id=0).collect())
+    want = sorted((r.vec_id, r.cos_sim) for r in ai.query_index_topk(
+        spark, rebuilt, qv, k=10, exclude_id=0).collect())
+    assert got == want
+
+
 def test_sliding_pane_combine_under_timestamp_flood(spark, stress_dir):
     """Round-8 planted hazard: a duplicate-timestamp FLOOD — 1 in 20 of
     the hot user's events re-stamped to one fixed instant, so a single
