@@ -81,6 +81,109 @@ def round_number(repo: str) -> int:
     return max(corr, bench) + 1
 
 
+def previous_round_tip(repo: str) -> "str | None":
+    """Commit hash of the previous round's tip: the commit that last
+    touched the highest committed BENCH_r{N}.json (the driver commits a
+    round's artifacts together at the round boundary). None in a repo
+    with no committed bench artifact or no git history."""
+    import re
+    import subprocess
+
+    best, best_name = 0, None
+    for p in Path(repo).glob("BENCH_r[0-9]*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json$", p.name)
+        if m and int(m.group(1)) > best:
+            best, best_name = int(m.group(1)), p.name
+    if not best_name:
+        return None
+    try:
+        out = subprocess.run(
+            ["git", "log", "-n", "1", "--format=%H", "--", best_name],
+            cwd=repo, capture_output=True, text=True, timeout=30)
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _subprocess_measure(worktree: str, names: list, sf_dir: str) -> dict:
+    """Run the previous tip's OWN bench methodology (its run_query, its
+    registry, one warmup + median-of-3 / 1-for-streaming) in a fresh
+    interpreter rooted at the worktree; returns {name: seconds}. A name
+    the old tree doesn't know (query added this round) is skipped — a
+    brand-new query has no cross-tree baseline to attribute against."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import json, sys, time
+wt, sf_dir = sys.argv[1], sys.argv[2]
+names = json.loads(sys.argv[3])
+sys.path.insert(0, wt)
+from insight_de_smart_grid_spark.session import get_spark
+from bench import run_query
+from insight_de_smart_grid_spark.plans.registry import QUERIES
+spark = get_spark(app_name="bench_ab")
+res = {}
+for name in names:
+    if name not in QUERIES:
+        continue
+    try:
+        run_query(spark, name, sf_dir)  # warmup
+        runs = []
+        for _ in range(1 if name.startswith("streaming_") else 3):
+            t0 = time.perf_counter()
+            run_query(spark, name, sf_dir)
+            runs.append(time.perf_counter() - t0)
+        res[name] = round(sorted(runs)[len(runs) // 2], 3)
+    except Exception as exc:
+        print(f"ab: {name} failed on prev tip: {exc}", file=sys.stderr)
+print("AB_RESULT " + json.dumps(res))
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", code, worktree, sf_dir,
+         json.dumps(list(names))],
+        cwd=worktree, capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("AB_RESULT "):
+            return json.loads(line[len("AB_RESULT "):])
+    print(f"ab: no result from prev-tip run (rc={out.returncode}): "
+          f"{out.stderr[-500:]}", file=sys.stderr)
+    return {}
+
+
+def crosstree_measure(repo: str, commit: str, names: list, sf_dir: str,
+                      runner=_subprocess_measure) -> dict:
+    """Measure ``names`` on ``commit`` in a throwaway ``git worktree`` —
+    the automated form of the round-7 text_winnow_fingerprint triage
+    (SCALE.md): same measurement, same machine, same session, previous
+    round's code. The worktree is always removed, even on failure."""
+    import subprocess
+    import tempfile
+
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        subprocess.run(["git", "worktree", "add", "--detach", "--force",
+                        wt, commit], cwd=repo, check=True,
+                       capture_output=True, timeout=120)
+        return runner(wt, names, sf_dir)
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=repo, capture_output=True, timeout=120)
+
+
+def ab_verdict(prev_time: "float | None", baseline: float) -> str:
+    """Attribute a confirmed regression by how the PREVIOUS tip measures
+    right now on the same host: if the old code is just as slow against
+    the frozen baseline, the slowdown travels with the machine
+    (host_drift); if the old code still hits its baseline, the slowdown
+    travels with the code (code_regression). No measurement -> the flag
+    stands unattributed rather than guessed."""
+    if prev_time is None or prev_time <= 0:
+        return "unattributed"
+    return "host_drift" if is_regression(prev_time, baseline) \
+        else "code_regression"
+
+
 def confirmed_regressions(timings: dict, base: dict, remeasure) -> dict:
     """Flags from the first pass, kept only if a fresh measurement minutes
     later still crosses the line. A transient allocator/GC stall can push
@@ -223,10 +326,29 @@ def main() -> None:
 
         regressions = confirmed_regressions(timings, base, remeasure)
         if regressions:
+            # round-8: automated cross-tree A/B — a flag that survives the
+            # in-session confirm is re-measured on the PREVIOUS round's tip
+            # in a throwaway worktree and attributed code_regression vs
+            # host_drift (the manual SCALE.md:503 triage, folded in)
+            prev_times = {}
+            try:
+                prev = previous_round_tip(REPO)
+                if prev:
+                    prev_times = crosstree_measure(
+                        REPO, prev, sorted(regressions), sf_dir)
+                    out["ab_prev_tip"] = prev
+            except Exception as exc:
+                print(f"bench: cross-tree A/B failed: {exc}",
+                      file=sys.stderr)
+            for name, r in regressions.items():
+                r["prev_tip_sec"] = prev_times.get(name)
+                r["verdict"] = ab_verdict(prev_times.get(name),
+                                          r["baseline"])
             out["regressions"] = regressions
             for name, r in sorted(regressions.items()):
                 print(f"bench: REGRESSION {name}: {r['now']}s vs baseline "
-                      f"{r['baseline']}s", file=sys.stderr)
+                      f"{r['baseline']}s -> {r['verdict']}"
+                      f" (prev tip: {r['prev_tip_sec']}s)", file=sys.stderr)
         # ingest gate (round-7 advisory): same drop-with-in-session-confirm
         # logic as the query gate, against the frozen rows/sec headline. The
         # rate is n_events / flagship-median, so the confirm pass is one

@@ -15,9 +15,12 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from bench import (  # noqa: E402
+    ab_verdict,
     confirmed_regressions,
+    crosstree_measure,
     is_ingest_regression,
     is_regression,
+    previous_round_tip,
     round_number,
 )
 
@@ -114,3 +117,67 @@ def test_run_query_releases_staged_blocks(spark):
     before = pinned_rdd_ids(spark)
     run_query(spark, "sim_knn_graph", SF_ORACLE)
     assert pinned_rdd_ids(spark) - before == set()
+
+
+def test_ab_verdict_attribution():
+    """A synthetic slowdown that the previous tip does NOT show is a code
+    regression; one the previous tip shows equally is host drift; a
+    failed cross-tree measurement leaves the flag unattributed rather
+    than guessed. Thresholds are the same is_regression line the flag
+    itself crossed."""
+    baseline = 0.9
+    assert ab_verdict(0.95, baseline) == "code_regression"   # prev fast
+    assert ab_verdict(1.41, baseline) == "host_drift"        # prev slow too
+    assert ab_verdict(None, baseline) == "unattributed"
+    assert ab_verdict(-1.0, baseline) == "unattributed"      # failed run
+    # the round-7 manual triage (SCALE.md:503) as data: 1.40s now vs
+    # 0.883 frozen, 1.414s on the round-6 tip -> host drift
+    assert ab_verdict(1.414, 0.883) == "host_drift"
+
+
+def test_previous_round_tip_resolves_bench_commit():
+    """In the real repo the previous tip is the commit that last touched
+    the highest BENCH_r{N}.json — a driver round-boundary commit that
+    exists and is an ancestor of HEAD."""
+    import subprocess
+
+    tip = previous_round_tip(str(REPO))
+    assert tip and len(tip) == 40
+    rc = subprocess.run(["git", "merge-base", "--is-ancestor", tip, "HEAD"],
+                        cwd=REPO)
+    assert rc.returncode == 0
+    assert previous_round_tip("/tmp") is None  # no artifacts -> no tip
+
+
+def test_crosstree_measure_checks_out_and_cleans_up():
+    """crosstree_measure hands the runner a real worktree of the requested
+    commit (the previous tip's bench.py is present) and removes it even
+    when the runner raises."""
+    import subprocess
+
+    tip = previous_round_tip(str(REPO))
+    seen = {}
+
+    def fake_runner(wt, names, sf_dir):
+        seen["wt"] = wt
+        seen["head"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=wt,
+            capture_output=True, text=True).stdout.strip()
+        assert (Path(wt) / "bench.py").exists()
+        return {n: 0.5 for n in names}
+
+    out = crosstree_measure(str(REPO), tip, ["q1"], "unused",
+                            runner=fake_runner)
+    assert out == {"q1": 0.5} and seen["head"] == tip
+    assert not Path(seen["wt"]).exists()
+
+    def raising_runner(wt, names, sf_dir):
+        seen["wt2"] = wt
+        raise RuntimeError("boom")
+
+    try:
+        crosstree_measure(str(REPO), tip, ["q1"], "unused",
+                          runner=raising_runner)
+    except RuntimeError:
+        pass
+    assert not Path(seen["wt2"]).exists()
