@@ -431,6 +431,24 @@ def q_range_join_clicks_before_purchase(spark: SparkSession,
     return clicks_before_purchases(ev, lookback="4 hours")
 
 
+@register("range_join_clicks_bucketed",
+          clicks_before_purchases_oracle_sql("4 HOUR"))
+def q_range_join_clicks_bucketed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Round-8 bucketed twin of the interval join: the lookback folded
+    into the equi key as epoch buckets (one bucket per left row, <=2
+    exploded per right row), so per-pair work is bounded by time-proximate
+    same-user events instead of the user's full history — the hot-user
+    quadratic the plain SMJ form pays on the skewed stress corpus. Same
+    oracle SQL; `operators/interval_join.py::interval_join_bucketed`."""
+    from insight_de_smart_grid_spark.operators.interval_join import (
+        clicks_before_purchases_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return clicks_before_purchases_bucketed(ev, lookback="4 hours")
+
+
 # ---------------------------------------------------------------------------
 # Stream-stream self-join (watermarked, append mode): an INNER join emits
 # matches in the micro-batch they occur (the watermark only bounds state),

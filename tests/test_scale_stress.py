@@ -333,6 +333,32 @@ def test_sampled_pane_density_agrees_on_both_regimes(spark, stress_dir):
                         min_sample_rows=10_000) == full_sparse
 
 
+def test_bucketed_interval_join_matches_plain_under_hot_key(
+        spark, stress_dir):
+    """Round-8: the time-bucketed interval join must produce exactly the
+    plain form's rows on the SKEWED corpus (30% of events on one user —
+    the regime where bucket-boundary mistakes would show as missing or
+    duplicated pairs). The paired timings are the growth evidence: plain
+    pays hot-clicks x hot-purchases, bucketed pays only time-proximate
+    pairs."""
+    from insight_de_smart_grid_spark.operators.interval_join import (
+        clicks_before_purchases,
+        clicks_before_purchases_bucketed,
+    )
+    from insight_de_smart_grid_spark.sources.tables import load_table
+
+    ev = load_table(spark, str(stress_dir), "events")
+
+    def rows(tag, fn):
+        return _timed(f"range_join_{tag}", lambda: sorted(
+            (r.user_id, r.purchase_id, r.n_clicks, r.last_click_ts)
+            for r in fn(ev, lookback="4 hours").collect()), spark)
+
+    plain = rows("plain_collect", clicks_before_purchases)
+    bucketed = rows("bucketed_collect", clicks_before_purchases_bucketed)
+    assert plain and plain == bucketed
+
+
 def test_ann_index_append_cost_tracks_delta_not_corpus(
         spark, stress_dir, tmp_path):
     """Round-8 index-maintenance sweep point: appending a FIXED-size
@@ -664,6 +690,11 @@ SWEEP = [
     "events_sliding_stddev_panes",
     "streaming_sliding_distinct_panes",
     "streaming_sliding_stddev_panes",
+    # round-8: interval join, plain (per-key candidates — quadratic in the
+    # 30% hot user) vs time-bucketed (per-(key, bucket) candidates); the
+    # growth gap on this corpus is the SCALE.md evidence
+    "range_join_clicks_before_purchase",
+    "range_join_clicks_bucketed",
 ]
 
 
