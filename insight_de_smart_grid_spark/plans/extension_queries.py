@@ -60,6 +60,18 @@ def q_events_sliding_stats_panes(spark: SparkSession, sf_dir: str
     return _sliding_stats(spark, sf_dir, panes=True)
 
 
+@register("events_sliding_stats_auto", sl.sliding_stats_oracle_sql())
+def q_events_sliding_stats_auto(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The generic sliding stats with the density probe choosing the
+    form (round-8, closing the probe-everywhere lever): explode below
+    the measured crossover, pane decomposition above — same oracle SQL
+    as both pinned twins, so whichever plan the probe picks is
+    value-checked. The explicit panes=True/False registrations stay as
+    the deliberate both-forms contract."""
+    return _sliding_stats(spark, sf_dir, panes="auto")
+
+
 @register("streaming_sliding_stats_panes", sl.sliding_stats_oracle_sql())
 def q_streaming_sliding_stats_panes(spark: SparkSession, sf_dir: str
                                     ) -> DataFrame:
@@ -126,6 +138,16 @@ def q_events_sliding_distinct_panes(spark: SparkSession, sf_dir: str
     identical oracle SQL — the one aggregate class that was still
     explode-only before round 8, now bit-identical in both forms."""
     return _sliding_distinct(spark, sf_dir, panes=True)
+
+
+@register("events_sliding_distinct_auto", sl.sliding_distinct_oracle_sql())
+def q_events_sliding_distinct_auto(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Sliding KMV distinct with the probe picking the form — the two
+    forms are bit-identical by construction, so the probe's choice can
+    never change the rows; this registers the choice itself against the
+    shared oracle."""
+    return _sliding_distinct(spark, sf_dir, panes="auto")
 
 
 @register("streaming_sliding_distinct_panes", sl.sliding_distinct_oracle_sql())
