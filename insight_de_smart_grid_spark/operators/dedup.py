@@ -381,14 +381,22 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, ngram: int = 3,
     return sh.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (rows = n_hashes/bands), bucket-join per band,
-    dedupe candidate pairs across bands. The bucket key packs pairs of
-    31-bit minhash values into single 62-bit longs (shift + add — exact,
-    no re-hash): candidacy stays bit-for-bit reproducible by an external
-    oracle, and the join keys remain fixed-width scalars, which an array
-    or re-hashed key would either slow down or make collision-fuzzy."""
+def packed_band_width(n_hashes: int, bands: int) -> int:
+    """Packed 62-bit key columns per band: pairs of 31-bit minhashes."""
+    return (n_hashes // bands + 1) // 2
+
+
+def banded_signatures(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Long-format band buckets (id, band_idx, p0..p{w-1}): the signature
+    banded (rows = n_hashes/bands) with pairs of 31-bit minhash values
+    packed into single 62-bit longs (shift + add — exact, no re-hash), so
+    candidacy stays bit-for-bit reproducible by an external oracle and the
+    join keys remain fixed-width scalars, which an array or re-hashed key
+    would either slow down or make collision-fuzzy. Shared by the inline
+    candidate join (``lsh_candidate_pairs``) and the persisted dedup index
+    (``operators/dedup_index.py``), so an index probe and an inline run
+    band identically."""
     if n_hashes % bands:
         raise ValueError(
             f"n_hashes ({n_hashes}) must divide evenly into bands "
@@ -405,15 +413,23 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
             else:
                 out.append(cols[i])
         return out
-    n_packed = (rows + 1) // 2
+    n_packed = packed_band_width(n_hashes, bands)
     # long format: (doc_id, band_idx, packed band key)
     stack = F.explode(F.array(*[
         F.struct(F.lit(b).alias("band_idx"),
                  *[p.alias(f"p{j}") for j, p in enumerate(packed(b))])
         for b in range(bands)])).alias("e")
-    longf = sig.select(F.col(id_col), stack).select(
+    return sig.select(F.col(id_col), stack).select(
         F.col(id_col), F.col("e.band_idx"),
         *[F.col(f"e.p{j}") for j in range(n_packed)])
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature, bucket-join per band, dedupe candidate pairs
+    across bands (banding/packing: ``banded_signatures``)."""
+    n_packed = packed_band_width(n_hashes, bands)
+    longf = banded_signatures(sig, n_hashes, bands, id_col)
     a = longf.alias("a")
     b2 = longf.alias("b")
     cond = (F.col("a.band_idx") == F.col("b.band_idx")) \
@@ -426,6 +442,25 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
                 F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+
+
+def signature_shingle_sets(docs: DataFrame, n_hashes: int = 32,
+                           ngram: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, shingles, mh0..mh{n-1}) in ONE aggregation pass: the doc's
+    distinct 60-bit shingle hashes (the exact-Jaccard verify set) and its
+    minhash signature over those same hashes — one shuffle, one scan of
+    the shingle stream, two outputs. Shared by the inline near-dup
+    pipeline and the persisted dedup index build/append
+    (``operators/dedup_index.py``)."""
+    sh = (word_ngrams(docs, ngram, text_col, id_col)
+          .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
+    x = F.col("gh") % F.lit(_MINHASH_P)
+    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
+    return (sh.groupBy(id_col)
+            .agg(F.collect_set("gh").alias("shingles"), *mins))
 
 
 def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
@@ -444,14 +479,8 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     Signature and shingle set come out of ONE aggregation pass (minhashes
     computed over the 60-bit portable shingle hash, not the string): one
     shuffle, one scan of the shingle stream, two outputs."""
-    sh = (word_ngrams(docs, ngram, text_col, id_col)
-          .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
-    x = F.col("gh") % F.lit(_MINHASH_P)
-    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
-            .alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
-    sig_sets = (sh.groupBy(id_col)
-                .agg(F.collect_set("gh").alias("shingles"), *mins))
+    sig_sets = signature_shingle_sets(docs, n_hashes, ngram, text_col,
+                                      id_col)
     cands = lsh_candidate_pairs(sig_sets, n_hashes, bands, id_col)
     sa = sig_sets.select(F.col(id_col).alias("doc_a"),
                          F.col("shingles").alias("sh_a"))

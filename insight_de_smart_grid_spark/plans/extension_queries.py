@@ -303,6 +303,65 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.5)
 
 
+@register("dedup_index_append", dd.minhash_lsh_oracle_sql(32, 8, 3, 0.5))
+def q_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 persisted dedup index, value-checked end to end: build the
+    MinHash band index from an 80% hash slice of the corpus, APPEND the
+    remaining two 10% slices as deltas (the append path shingles only the
+    delta — the index and historical corpus are never re-read), compact
+    the accumulated file sets, then run the full verified near-dup pair
+    query over the persisted tables. The result must equal the inline
+    pipeline over the full corpus, so it registers against the SAME
+    oracle as ``dedup_minhash_lsh`` (`operators/dedup_index.py`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = pl._hash_bucket(F.col("doc_id").cast("string"))
+    path = tempfile.mkdtemp(prefix="dedupidx_")
+    di.build_dedup_index(docs.filter(b < 80), path)
+    di.append_dedup_index(docs.filter((b >= 80) & (b < 90)), path)
+    di.append_dedup_index(docs.filter(b >= 90), path)
+    di.compact_dedup_index(spark, path)
+    return di.index_near_dup_pairs(spark, path)
+
+
+_IDX_BASE_PCT = 80  # hash-slice split shared by engine query and oracle
+
+
+def _dedup_index_incremental_sql() -> str:
+    """Oracle twin of the incremental-ingest query: the full-corpus mpairs
+    CTE chain (identical hashes/banding/verify), filtered to pairs that
+    SPAN the base/delta hash split — exactly the pairs a delta-vs-index
+    probe can produce (base-base pairs are already in the index's history;
+    delta-delta pairs belong to the in-batch dedup pass)."""
+    span = " <> ".join(
+        f"({pl._hash_bucket_sql(f'CAST({c} AS VARCHAR)')} "
+        f"< {_IDX_BASE_PCT})" for c in ("doc_a", "doc_b"))
+    return ("WITH " + dd._minhash_pairs_ctes(32, 8, 3, 0.5)
+            + f"\nSELECT doc_a, doc_b, jaccard FROM mpairs\nWHERE {span}")
+
+
+@register("dedup_index_incremental", _dedup_index_incremental_sql())
+def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest shape a continuously-curated corpus runs
+    daily: near-dup-check a 20% delta against the persisted index of the
+    other 80% — the delta's band buckets broadcast against the pruned
+    index scan (no index-side shuffle), exact-Jaccard verify from the
+    index's stored shingle sets (`operators/dedup_index.py`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = pl._hash_bucket(F.col("doc_id").cast("string"))
+    path = tempfile.mkdtemp(prefix="dedupidx_")
+    di.build_dedup_index(docs.filter(b < _IDX_BASE_PCT), path)
+    return di.dedup_new_against_index(spark, path,
+                                      docs.filter(b >= _IDX_BASE_PCT))
+
+
 @register("dedup_simhash", dd.simhash_oracle_sql(3))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(load_table(spark, sf_dir, "documents"),
