@@ -242,6 +242,62 @@ def sliding_agg(df: DataFrame,
         F.col("window.end").alias("time_end"), *keys, *final_exprs(aggs))
 
 
+def sliding_topk(df: DataFrame,
+                 window: str = "10 minutes",
+                 slide: str = "2 minutes",
+                 keys: tuple = ("event_type",),
+                 item: str = "user_id",
+                 k: int = 3,
+                 time_col: str = "ts",
+                 panes: "bool | str" = False) -> DataFrame:
+    """Sliding top-k items by occurrence count per (window, *keys) — the
+    pane algebra extended to a RANKED aggregate. The per-item count is a
+    sliding SUM of pane counts, so the decomposition applies verbatim with
+    ``keys + (item,)`` as the grouping; the rank runs over the combined
+    EXACT counts, so pane and explode forms are row-identical (integer
+    counts — no float fold order in play). Ties break deterministically
+    (count desc, item asc). The rank itself is cheap at scale: its input
+    is the aggregated (window, keys, item) cardinality, never the event
+    stream — the same property that makes Druid's topN-on-rollup shape
+    work, and the reason the streaming twin can rank the finalized
+    append-mode output as a batch post-pass."""
+    from pyspark.sql import Window
+
+    counted = sliding_agg(df, window, slide,
+                          aggs=(("cnt", "count", item),),
+                          keys=tuple(keys) + (item,),
+                          time_col=time_col, panes=panes)
+    w = (Window.partitionBy("time_end", *keys)
+         .orderBy(F.desc("cnt"), F.asc(item)))
+    return (counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def sliding_topk_oracle_sql(window_seconds: int = 600,
+                            slide_seconds: int = 120,
+                            k: int = 3) -> str:
+    """DuckDB twin of ``sliding_topk``: the generate_series window-starts
+    join, per-item counts, row_number with the identical deterministic
+    tie-break. Integer counts — no rounding needed anywhere."""
+    return f"""
+WITH {_sliding_starts_sql(window_seconds, slide_seconds)},
+counted AS (
+  SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
+         e.event_type, e.user_id, count(e.user_id) AS cnt
+  FROM events e
+  JOIN starts s ON e.ts >= s.ws
+               AND e.ts < s.ws + INTERVAL '{window_seconds} seconds'
+  GROUP BY 1, 2, 3
+)
+SELECT time_end, event_type, user_id, cnt, rk FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY time_end, event_type
+           ORDER BY cnt DESC, user_id ASC) AS rk
+  FROM counted)
+WHERE rk <= {k}
+"""
+
+
 def _sliding_starts_sql(window_seconds: int, slide_seconds: int) -> str:
     """Shared DuckDB CTE prologue: every slide-aligned window start that
     could contain an event (the generate_series sliding-oracle pattern)."""

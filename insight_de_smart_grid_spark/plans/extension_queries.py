@@ -259,6 +259,63 @@ def q_events_sliding_hll_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("within_tol")))
 
 
+@register("events_sliding_topk", sl.sliding_topk_oracle_sql())
+def q_events_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding top-3 users by event count per (10m/2m window, event_type)
+    — the pane algebra extended to a RANKED aggregate (the Druid
+    topN-on-rollup shape). Explode form; integer counts, deterministic
+    tie-break, so no rounding anywhere."""
+    return sl.sliding_topk(load_table(spark, sf_dir, "events"),
+                           keys=("event_type",), item="user_id", k=3,
+                           panes=False)
+
+
+@register("events_sliding_topk_panes", sl.sliding_topk_oracle_sql())
+def q_events_sliding_topk_panes(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The SAME sliding top-k through the pane decomposition: per-item
+    counts are sliding sums of pane counts (exact integers), the rank
+    runs over the combined counts — row-identical to the explode form,
+    same oracle SQL."""
+    return sl.sliding_topk(load_table(spark, sf_dir, "events"),
+                           keys=("event_type",), item="user_id", k=3,
+                           panes=True)
+
+
+@register("streaming_sliding_topk_panes", sl.sliding_topk_oracle_sql())
+def q_streaming_sliding_topk_panes(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Sliding top-k as the STREAMING chained-stateful pane plan: the two
+    stateful operators maintain the per-(window, event_type, user) counts
+    (state input bounded by #keys x #items x #panes — aggregated
+    cardinality, never the event stream); the rank is an output-side
+    batch pass over the watermark-finalized append rows, exactly how a
+    Druid topN consumes its ingested rollup — ranking inside the stream
+    would buffer whole windows for no benefit."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sstk_")
+    out = run_sliding_stats_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink",
+        aggs=(("cnt", "count", "user_id"),),
+        keys=("event_type", "user_id"),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    w = (Window.partitionBy("time_end", "event_type")
+         .orderBy(F.desc("cnt"), F.asc("user_id")))
+    return (out.filter(F.col("user_id") != -1)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("time_end", "event_type", "user_id", "cnt", "rk"))
+
+
 # --- text analysis ---------------------------------------------------------
 
 @register("text_stats", tx.TEXT_STATS_SQL)

@@ -179,6 +179,58 @@ def test_sliding_agg_extended_algebra_pane_invariance(spark):
         abs(r.est - r.exact) <= max(1.0, 0.05 * r.exact) for r in joined)
 
 
+def test_sliding_topk_pane_invariance_and_ties(spark):
+    """Round-8 ranked aggregate: sliding top-k by count must be
+    row-identical between explode and pane forms (integer counts — no
+    float fold order), the rank never exceeds k, exactly-tied counts
+    break by item ascending on both paths, and a group with fewer than k
+    items emits all of them (row_number, not a padded top-k)."""
+    from insight_de_smart_grid_spark.operators.sliding import sliding_topk
+
+    # user u0 twice per 4s, u1 once per 2s, u2 once per 8s -> stable
+    # ordering; group "b" has a single item (under-full top-k)
+    rows = []
+    for t in range(0, 41):
+        if t % 4 == 0:
+            rows += [(float(t), "a", "u0"), (float(t) + 0.5, "a", "u0")]
+        if t % 2 == 0:
+            rows.append((float(t), "a", "u1"))
+        if t % 8 == 0:
+            rows.append((float(t), "a", "u2"))
+        if t % 16 == 0:
+            rows.append((float(t), "b", "only"))
+    # exact tie inside group "t": u8 and u9 equal counts -> item asc wins
+    rows += [(1.0, "t", "u9"), (3.0, "t", "u8")]
+    df = spark.createDataFrame(
+        rows, "tsec double, event_type string, user_id string"
+    ).selectExpr("timestamp_seconds(tsec) AS ts", "event_type", "user_id")
+
+    def run(panes):
+        out = sliding_topk(df, window="8 seconds", slide="2 seconds",
+                           keys=("event_type",), item="user_id", k=2,
+                           panes=panes)
+        return sorted((r.time_end, r.event_type, r.user_id, r.cnt, r.rk)
+                      for r in out.collect())
+
+    explode_form = run(False)
+    assert explode_form == run(True)
+    assert all(r[4] <= 2 for r in explode_form)
+    # under-full group emits its single item at rank 1
+    b_rows = [r for r in explode_form if r[1] == "b"]
+    assert b_rows and all(r[2] == "only" and r[4] == 1 for r in b_rows)
+    # tie in group "t": equal counts, u8 (item asc) ranks above u9
+    t_tied = [r for r in explode_form
+              if r[1] == "t" and {"u8", "u9"} <= {x[2] for x in explode_form
+                                                  if x[0] == r[0]
+                                                  and x[1] == "t"}]
+    assert t_tied
+    for te in {r[0] for r in t_tied}:
+        pair = sorted(r for r in t_tied if r[0] == te)
+        if len(pair) == 2 and pair[0][3] == pair[1][3]:
+            by_rank = sorted(pair, key=lambda r: r[4])
+            assert by_rank[0][2] == "u8" and by_rank[1][2] == "u9"
+
+
 def _is_pane_plan(df) -> bool:
     """The pane plan (and only it) synthesizes window ends with
     make_interval arithmetic over exploded pane indices; the explode form

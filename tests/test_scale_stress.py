@@ -400,6 +400,43 @@ def test_ann_index_append_cost_tracks_delta_not_corpus(
     assert got == want
 
 
+def test_dedup_index_append_cost_tracks_delta_not_corpus(
+        spark, stress_dir, tmp_path):
+    """Round-8 index-maintenance sweep point, dedup side: appending a
+    FIXED-size document delta must cost the same whether the index behind
+    it holds the base corpus or the mult-x stress corpus — the append
+    path shingles only the delta (plan-asserted in test_dedup_index.py;
+    this is the measured twin). Correctness at stress scale: the
+    incremental probe of a re-keyed base-corpus delta against the stress
+    index must find a near-dup partner for >=75% of delta docs (every
+    delta doc has mult near-identical copies already in the index — the
+    same recall contract the inline MinHash sweep pins)."""
+    from insight_de_smart_grid_spark.operators import dedup_index as di
+
+    small = spark.read.parquet(f"{BASE}/documents.parquet")
+    big = spark.read.parquet(f"{stress_dir}/documents.parquet")
+    delta = small.withColumn("doc_id", F.col("doc_id") + F.lit(10 ** 12))
+
+    p_small, p_big = str(tmp_path / "s"), str(tmp_path / "b")
+    di.build_dedup_index(small, p_small)
+    di.build_dedup_index(big, p_big)
+    _timed("dedup_idx_append_onto_base",
+           lambda: di.append_dedup_index(delta, p_small), spark)
+    _timed("dedup_idx_append_onto_stress",
+           lambda: di.append_dedup_index(delta, p_big), spark)
+    t_s = TIMINGS["dedup_idx_append_onto_base"]
+    t_b = TIMINGS["dedup_idx_append_onto_stress"]
+    # same delta, same work — corpus size must not leak into append cost
+    assert t_b <= 2.0 * max(t_s, 0.5)
+
+    matched = _timed("dedup_idx_incremental_probe", lambda: (
+        di.dedup_new_against_index(spark, p_big, delta)
+        .select("doc_b").distinct().count()), spark)
+    n_delta = delta.count()
+    TIMINGS["dedup_idx_delta_docs_matched"] = matched
+    assert matched >= 0.75 * n_delta
+
+
 def test_sliding_pane_combine_under_timestamp_flood(spark, stress_dir):
     """Round-8 planted hazard: a duplicate-timestamp FLOOD — 1 in 20 of
     the hot user's events re-stamped to one fixed instant, so a single
@@ -441,6 +478,20 @@ def test_sliding_pane_combine_under_timestamp_flood(spark, stress_dir):
         return out
 
     assert run("explode", False) == run("panes", True)
+
+    # the ranked aggregate through the same flood: the hot (event_type,
+    # user, pane) cell maximizes one count; rank over exact integer counts
+    # must stay form-invariant (ties broken by item asc on both paths)
+    from insight_de_smart_grid_spark.operators.sliding import sliding_topk
+
+    def run_topk(tag, panes):
+        return _timed(f"sliding_flood_topk_{tag}", lambda: sorted(
+            (r.time_end, r.event_type, r.user_id, r.cnt, r.rk)
+            for r in sliding_topk(flood, keys=("event_type",),
+                                  item="user_id", k=3,
+                                  panes=panes).collect()), spark)
+
+    assert run_topk("explode", False) == run_topk("panes", True)
 
 
 def test_ann_recall_on_planted_neighbors(spark, stress_dir):
@@ -695,6 +746,16 @@ SWEEP = [
     # growth gap on this corpus is the SCALE.md evidence
     "range_join_clicks_before_purchase",
     "range_join_clicks_bucketed",
+    # round-8: the persisted dedup index lifecycle (build 80% + two appends
+    # + compact + full pair query) and the incremental delta-vs-index probe
+    # through the planted duplicate mass
+    "dedup_index_append",
+    "dedup_index_incremental",
+    # round-8: the ranked pane aggregate — per-item counts through the hot
+    # (event_type, user, pane) cells, rank over the aggregated cardinality
+    "events_sliding_topk",
+    "events_sliding_topk_panes",
+    "streaming_sliding_topk_panes",
 ]
 
 
