@@ -481,6 +481,16 @@ def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     shuffle, one scan of the shingle stream, two outputs."""
     sig_sets = signature_shingle_sets(docs, n_hashes, ngram, text_col,
                                       id_col)
+    return minhash_pairs_from_sigs(sig_sets, n_hashes, bands, threshold,
+                                   id_col)
+
+
+def minhash_pairs_from_sigs(sig_sets: DataFrame, n_hashes: int = 32,
+                            bands: int = 8, threshold: float = 0.5,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Candidate + verify stage over a precomputed ``(id, shingles,
+    mh0..)`` frame — lets a caller that already paid the shingle pass
+    (the scheduled-ingest loop, ``operators/dedup_index.py``) reuse it."""
     cands = lsh_candidate_pairs(sig_sets, n_hashes, bands, id_col)
     sa = sig_sets.select(F.col(id_col).alias("doc_a"),
                          F.col("shingles").alias("sh_a"))

@@ -156,6 +156,64 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
                for _ in Path(path, sub).rglob("*.parquet"))
 
 
+def scheduled_ingest_dedup(spark: SparkSession, docs: DataFrame,
+                           base_dir: str, n_batches: int = 4,
+                           threshold: float = 0.5,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The index's whole lifecycle as one scheduled-ingest loop — the
+    reference's Airflow-triggered micro-batch mode
+    (``airflow_schedule/`` DAGs; SURVEY ST5) recast as corpus curation.
+    The corpus arrives as ``n_batches`` deterministic hash slices,
+    replayed in order; each batch is near-dup-checked (a) WITHIN itself
+    via the inline MinHash pipeline and (b) against the index of
+    everything ingested before it, then appended to the index for the
+    next batch. Each batch's pairs are materialized to a parquet sink
+    when the batch runs (a real scheduled job commits its output — and
+    lazy probes would otherwise re-read the index AFTER later appends,
+    double-counting cross-batch pairs).
+
+    The union over batches is EXACTLY the full-corpus pair set — a pair
+    within one slice comes from (a), a pair spanning two slices from (b)
+    when the later slice arrives — so the loop registers against the same
+    DuckDB oracle as the inline full-corpus pipeline: nothing is lost or
+    duplicated by incremental ingest."""
+    from insight_de_smart_grid_spark.operators.dedup import (
+        minhash_pairs_from_sigs,
+    )
+    from insight_de_smart_grid_spark.operators.pipeline import _hash_bucket
+
+    idx_path = f"{base_dir}/index"
+    pairs_dir = f"{base_dir}/pairs"
+    bucket = _hash_bucket(F.col(id_col).cast("string"))
+    meta = {"n_hashes": 32, "bands": 8, "ngram": 3,
+            "text_col": text_col, "id_col": id_col,
+            "n_packed": packed_band_width(32, 8)}
+    step = 100 // n_batches
+    for i in range(n_batches):
+        lo, hi = i * step, (i + 1) * step if i < n_batches - 1 else 100
+        batch = docs.filter((bucket >= lo) & (bucket < hi))
+        # ONE shingle pass per batch serves all three consumers: the
+        # in-batch pair check, the probe against the standing index, and
+        # the batch's own append
+        sig = signature_shingle_sets(batch, meta["n_hashes"],
+                                     meta["ngram"], text_col, id_col)
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (minhash_pairs_from_sigs(sig, meta["n_hashes"], meta["bands"],
+                                     threshold, id_col)
+             .write.mode("append").parquet(pairs_dir))
+            if i:
+                (_probe_with_sigs(spark, idx_path, sig, threshold, meta)
+                 .write.mode("append").parquet(pairs_dir))
+            _write_tables(sig, idx_path, meta,
+                          "append" if i else "overwrite")
+        finally:
+            sig.unpersist()
+    Path(idx_path, _META).write_text(json.dumps(meta, indent=1) + "\n")
+    return spark.read.parquet(pairs_dir)
+
+
 def _verify_pairs(cand: DataFrame, docs_a: DataFrame, docs_b: DataFrame,
                   threshold: float, id_col: str) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs from the
@@ -209,12 +267,20 @@ def dedup_new_against_index(spark: SparkSession, path: str,
     returned (least, greatest)-normalized so the output matches the
     inline pipeline's ``doc_a < doc_b`` convention."""
     meta = _read_meta(path)
-    id_col = meta["id_col"]
     # lazily recomputed for the bands and the verify sets (two uses), like
     # the inline pipeline's sig_sets — the function stays pure-lazy so the
     # caller decides whether the delta pass is worth persisting
     sig = signature_shingle_sets(new_docs, meta["n_hashes"], meta["ngram"],
                                  meta["text_col"], meta["id_col"])
+    return _probe_with_sigs(spark, path, sig, threshold, meta)
+
+
+def _probe_with_sigs(spark: SparkSession, path: str, sig: DataFrame,
+                     threshold: float, meta: dict) -> DataFrame:
+    """The probe body over a precomputed delta ``(id, shingles, mh..)``
+    frame — shared by the one-shot probe and the scheduled-ingest loop
+    (which pays the delta's shingle pass once for probe + append)."""
+    id_col = meta["id_col"]
     delta_bands = (banded_signatures(sig, meta["n_hashes"], meta["bands"],
                                      id_col)
                    .withColumnRenamed(id_col, "new_id"))

@@ -419,6 +419,25 @@ def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       docs.filter(b >= _IDX_BASE_PCT))
 
 
+@register("dedup_index_ingest_loop", dd.minhash_lsh_oracle_sql(32, 8, 3, 0.5))
+def q_dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's whole lifecycle as a scheduled-ingest loop
+    (the reference's Airflow micro-batch mode recast as corpus curation):
+    four hash-slice batches arrive in order, each near-dup-checked within
+    itself AND against the index of everything before it, then appended.
+    The union of every batch's committed pairs must be EXACTLY the
+    full-corpus pair set — same oracle as the inline pipeline — proving
+    incremental ingest neither loses nor duplicates a pair
+    (`operators/dedup_index.py`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import dedup_index as di
+
+    return di.scheduled_ingest_dedup(
+        spark, load_table(spark, sf_dir, "documents"),
+        tempfile.mkdtemp(prefix="dedupingest_"), n_batches=4)
+
+
 @register("dedup_simhash", dd.simhash_oracle_sql(3))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(load_table(spark, sf_dir, "documents"),

@@ -111,6 +111,25 @@ def test_incremental_probe_broadcasts_the_delta(spark, docs, tmp_path):
     assert out.count() >= 0  # executes
 
 
+def test_scheduled_ingest_loop_is_exactly_the_full_pair_set(
+        spark, docs, tmp_path):
+    """The scheduled-ingest loop's committed pairs == the inline
+    full-corpus pipeline, for two different batchings (3 and 4 slices):
+    incremental ingest neither loses a cross-batch pair nor duplicates
+    one (a spanning pair is found exactly once — when its later doc
+    arrives), independent of how the corpus is sliced."""
+    want = _pairs(dd.minhash_lsh_near_dups(docs, threshold=0.5))
+    assert want
+    for n in (3, 4):
+        got = di.scheduled_ingest_dedup(
+            spark, docs, str(tmp_path / f"loop{n}"), n_batches=n)
+        assert _pairs(got) == want, f"n_batches={n}"
+    # the loop leaves a complete, usable index behind: its standing state
+    # answers the one-shot pair query identically
+    assert _pairs(di.index_near_dup_pairs(
+        spark, str(tmp_path / "loop4" / "index"))) == want
+
+
 def test_geometry_is_frozen_at_creation(spark, docs, tmp_path):
     """meta.json freezes the banding geometry; appends reuse it verbatim
     (buckets from different geometries never collide, so a drifting
