@@ -298,6 +298,136 @@ WHERE rk <= {k}
 """
 
 
+SLIDING_QUANTILE_BINS = 64  # fixed-width histogram resolution
+
+
+def sliding_quantile(df: DataFrame,
+                     window: str = "10 minutes",
+                     slide: str = "2 minutes",
+                     keys: tuple = ("user_id",),
+                     col: str = "value",
+                     q: float = 0.95,
+                     bins: int = SLIDING_QUANTILE_BINS,
+                     time_col: str = "ts",
+                     panes: "bool | str" = False) -> DataFrame:
+    """Sliding q-quantile estimate from a fixed-width binned histogram —
+    the pane algebra extended to QUANTILES. An exact sliding percentile
+    needs every raw value as state; the histogram needs ``bins`` integer
+    counts per (key, pane), and bin counts are sliding SUMs of pane
+    counts, so the decomposition applies verbatim with the bin as an
+    extra grouping key. The estimate (cumulative-count scan to the bin
+    containing rank q*n, linear interpolation within it) derives ONLY
+    from integer counts plus the corpus min/max, so pane, explode and
+    streaming forms are bit-identical, the error is bounded by one bin
+    width of the nearest-rank percentile (the selected bin contains the
+    ceil(q*n)-th order statistic), and the estimate itself is
+    value-checkable in DuckDB (``sliding_quantile_oracle_sql``) — the
+    KMV property, for quantiles.
+
+    The corpus (lo, hi) bin range comes from one narrow min/max aggregate
+    broadcast as a single-row scalar (the repo's verified scalar-subquery
+    pattern); at cluster scale that's catalog column stats. Returns
+    (time_end, *keys, est, n_vals) with NULL-``col`` rows excluded (a
+    group with no non-NULL values emits nothing, same as the oracle)."""
+    stats = df.filter(F.col(col).isNotNull()).agg(
+        F.min(col).cast("double").alias("__lo"),
+        F.max(col).cast("double").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    binned = (df.filter(F.col(col).isNotNull())
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__width", width)
+              .withColumn(
+                  "__bin",
+                  F.when(F.col("__width") == 0, F.lit(0)).otherwise(
+                      F.least(
+                          F.floor((F.col(col) - F.col("__lo"))
+                                  / F.col("__width")).cast("int"),
+                          F.lit(bins - 1)))))
+    hist = sliding_agg(binned, window, slide,
+                       aggs=(("cnt", "count", col),),
+                       keys=tuple(keys) + ("__bin", "__lo", "__width"),
+                       time_col=time_col, panes=panes)
+    return quantile_fold(hist, keys, q)
+
+
+def quantile_fold(hist: DataFrame, keys: tuple, q: float) -> DataFrame:
+    """Histogram -> quantile: cumulative-count scan to the bin holding
+    rank q*n, linear interpolation within it. Input is (time_end, *keys,
+    __bin, __lo, __width, cnt); its cost is the aggregated histogram
+    cardinality (#groups x bins), never the event stream — which is why
+    the streaming twin can run this as an output-side batch pass over the
+    watermark-finalized histogram rows."""
+    from pyspark.sql import Window
+
+    grp = Window.partitionBy("time_end", *keys)
+    run = grp.orderBy("__bin").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    # materialize n/cum BEFORE the filter and derive est from the
+    # materialized columns — referencing the window expressions after the
+    # filter would re-evaluate them over the filtered (single-row)
+    # partition and silently shift the interpolation
+    r = F.lit(q) * F.col("__n").cast("double")
+    frac = (r - (F.col("__cum") - F.col("cnt")).cast("double")) \
+        / F.col("cnt")
+    est = F.col("__lo") + (F.col("__bin") + frac) * F.col("__width")
+    return (hist
+            .withColumn("__n", F.sum("cnt").over(grp))
+            .withColumn("__cum", F.sum("cnt").over(run))
+            .filter(((F.col("__cum") - F.col("cnt")).cast("double") < r)
+                    & (r <= F.col("__cum").cast("double")))
+            .select("time_end", *keys, F.round(est, 6).alias("est"),
+                    F.col("__n").alias("n_vals")))
+
+
+def sliding_quantile_oracle_sql(window_seconds: int = 600,
+                                slide_seconds: int = 120,
+                                q: float = 0.95,
+                                bins: int = SLIDING_QUANTILE_BINS) -> str:
+    """DuckDB twin of ``sliding_quantile``: identical binning (corpus
+    min/max scalar, same clamp), identical integer cumulative counts,
+    identical interpolation arithmetic on identical operands — the
+    ESTIMATE is value-checked, not a tolerance band."""
+    return f"""
+WITH {_sliding_starts_sql(window_seconds, slide_seconds)},
+stats AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo,
+         (CAST(max(value) AS DOUBLE) - CAST(min(value) AS DOUBLE))
+           / {bins} AS w
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT s.ws + INTERVAL '{window_seconds} seconds' AS time_end,
+         e.user_id,
+         CASE WHEN t.w = 0 THEN 0
+              ELSE LEAST(CAST(floor((e.value - t.lo) / t.w) AS INT),
+                         {bins - 1}) END AS bin,
+         count(e.value) AS cnt,
+         any_value(t.lo) AS lo, any_value(t.w) AS w
+  FROM events e
+  JOIN starts s ON e.ts >= s.ws
+               AND e.ts < s.ws + INTERVAL '{window_seconds} seconds'
+  CROSS JOIN stats t
+  WHERE e.value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+scanned AS (
+  SELECT time_end, user_id, bin, cnt, lo, w,
+         sum(cnt) OVER (PARTITION BY time_end, user_id) AS n,
+         sum(cnt) OVER (PARTITION BY time_end, user_id ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+)
+SELECT time_end, user_id,
+       round(lo + (bin + ({q} * CAST(n AS DOUBLE)
+                          - CAST(cum - cnt AS DOUBLE)) / cnt) * w,
+             6) AS est,
+       CAST(n AS BIGINT) AS n_vals
+FROM scanned
+WHERE CAST(cum - cnt AS DOUBLE) < {q} * CAST(n AS DOUBLE)
+  AND {q} * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)
+"""
+
+
 def _sliding_starts_sql(window_seconds: int, slide_seconds: int) -> str:
     """Shared DuckDB CTE prologue: every slide-aligned window start that
     could contain an event (the generate_series sliding-oracle pattern)."""

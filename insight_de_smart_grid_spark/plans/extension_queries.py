@@ -316,6 +316,79 @@ def q_streaming_sliding_topk_panes(spark: SparkSession, sf_dir: str
             .select("time_end", "event_type", "user_id", "cnt", "rk"))
 
 
+@register("events_sliding_p95", sl.sliding_quantile_oracle_sql())
+def q_events_sliding_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding p95 of value per (10m/2m window, user) from a fixed-width
+    binned histogram — the pane algebra extended to QUANTILES. The
+    estimate derives only from integer bin counts plus the corpus
+    min/max, so the ESTIMATE itself is value-checked in DuckDB (the KMV
+    property, for quantiles), with error bounded by one bin width.
+    Explode form."""
+    return sl.sliding_quantile(load_table(spark, sf_dir, "events"),
+                               keys=("user_id",), col="value", q=0.95,
+                               panes=False)
+
+
+@register("events_sliding_p95_panes", sl.sliding_quantile_oracle_sql())
+def q_events_sliding_p95_panes(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The SAME sliding p95 through the pane decomposition: bin counts
+    are sliding sums of pane counts (the bin is just an extra grouping
+    key), the interpolation runs over the combined exact integers —
+    bit-identical to the explode form, same oracle SQL. This is the
+    scale path: exact sliding percentile state is every raw value;
+    histogram state is <= bins integers per (key, pane)."""
+    return sl.sliding_quantile(load_table(spark, sf_dir, "events"),
+                               keys=("user_id",), col="value", q=0.95,
+                               panes=True)
+
+
+@register("streaming_sliding_p95_panes", sl.sliding_quantile_oracle_sql())
+def q_streaming_sliding_p95_panes(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Sliding p95 as the STREAMING chained-stateful pane plan: the bin
+    projection is a stateless pre-transform (its (lo, width) literals
+    come from static stats — a bounded-replay batch pass here, catalog
+    column stats at cluster scale), the two stateful operators maintain
+    per-(window, user, bin) counts, and the interpolation folds the
+    watermark-finalized histogram rows output-side, like the top-k
+    rank."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("value").cast("double"),
+                    F.max("value").cast("double")).head()
+    bins = sl.SLIDING_QUANTILE_BINS
+    width = (hi - lo) / float(bins)
+
+    def pre(s):
+        return (s.filter(F.col("value").isNotNull())
+                .withColumn("__lo", F.lit(lo))
+                .withColumn("__width", F.lit(width))
+                .withColumn(
+                    "__bin",
+                    F.lit(0) if width == 0 else
+                    F.least(F.floor((F.col("value") - F.lit(lo))
+                                    / F.lit(width)).cast("int"),
+                            F.lit(bins - 1))))
+
+    base = tempfile.mkdtemp(prefix="ssqp_")
+    out = run_sliding_stats_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink", pre=pre,
+        aggs=(("cnt", "count", "value"),),
+        keys=("user_id", "__bin", "__lo", "__width"),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    return sl.quantile_fold(out.filter(F.col("user_id") != -1),
+                            ("user_id",), 0.95)
+
+
 # --- text analysis ---------------------------------------------------------
 
 @register("text_stats", tx.TEXT_STATS_SQL)

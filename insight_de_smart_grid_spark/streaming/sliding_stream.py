@@ -73,6 +73,7 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
                              flush_sentinel: bool = True,
                              progress_out: "list | None" = None,
                              panes: "bool | str" = True,
+                             pre=None,
                              **plan_kwargs) -> DataFrame:
     """Replay an events-shaped parquet table through the streaming sliding
     aggregation (normalizing the nanos/NTZ ts like the other replays) and
@@ -99,13 +100,20 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
         if panes:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             panes = (pane_density(
-                normalize_event_ts(spark.read.parquet(parquet_path)),
+                (pre or (lambda s: s))(
+                    normalize_event_ts(spark.read.parquet(parquet_path))),
                 s_s, time_col=pk["time_col"], keys=pk["keys"])
                 >= PANE_DENSITY_CROSSOVER)
+    # ``pre``: optional narrow (stateless) transform applied between ts
+    # normalization and the stateful plan — e.g. the quantile family's
+    # bin projection, whose (lo, width) literals come from static stats
+    # (a bounded-replay batch pass here; catalog column stats at cluster
+    # scale). Must not add stateful operators.
     return replay_parquet_stream(
         spark, parquet_path,
-        lambda stream: sliding_agg_stream_plan(normalize_event_ts(stream),
-                                               panes=panes, **plan_kwargs),
+        lambda stream: sliding_agg_stream_plan(
+            (pre or (lambda s: s))(normalize_event_ts(stream)),
+            panes=panes, **plan_kwargs),
         query_name=query_name, checkpoint_dir=checkpoint_dir,
         out_dir=out_dir, state_partitions=state_partitions,
         flush_sentinel=flush_sentinel, progress_out=progress_out)

@@ -231,6 +231,75 @@ def test_sliding_topk_pane_invariance_and_ties(spark):
             assert by_rank[0][2] == "u8" and by_rank[1][2] == "u9"
 
 
+def test_sliding_quantile_pane_invariance_and_error_bound(spark):
+    """Round-8 quantile algebra: the binned-histogram sliding p95 must be
+    bit-identical between explode and pane forms (the estimate derives
+    only from integer counts + corpus min/max), within one bin width of
+    the exact interpolated percentile over the same window, and collapse
+    gracefully when the corpus is a single repeated value (width 0 ->
+    est == that value). NULL values never reach a bin; an all-NULL key
+    emits nothing."""
+    from pyspark.sql import functions as F
+
+    from insight_de_smart_grid_spark.operators.sliding import (
+        SLIDING_QUANTILE_BINS,
+        sliding_quantile,
+    )
+
+    rows = [(float(t), str(t % 3),
+             None if t % 7 == 0 else float((t * 37) % 101))
+            for t in range(0, 41)]
+    rows += [(4.0, "9", None), (6.0, "9", None)]  # all-NULL key
+    df = spark.createDataFrame(
+        rows, "tsec double, user_id string, value double"
+    ).selectExpr("timestamp_seconds(tsec) AS ts", "user_id", "value")
+
+    def run(panes):
+        out = sliding_quantile(df, window="10 seconds", slide="2 seconds",
+                               keys=("user_id",), col="value", q=0.95,
+                               panes=panes)
+        return sorted((r.time_end, r.user_id, r.est, r.n_vals)
+                      for r in out.collect())
+
+    explode_form = run(False)
+    assert explode_form == run(True)
+    assert not [r for r in explode_form if r[1] == "9"]  # all-NULL: no row
+
+    # error bound: the estimate lives in the bin holding the
+    # NEAREST-RANK percentile (the ceil(q*n)-th smallest value — the
+    # first bin whose cumulative count reaches q*n contains exactly that
+    # order statistic), so |est - x_(ceil(q*n))| <= one bin width.
+    # (Interpolated percentile() is a different definition: it can land
+    # anywhere inside a sparse-data gap between order stats, so no
+    # per-bin bound exists against it.)
+    lo, hi = df.agg(F.min("value"), F.max("value")).head()
+    width = (hi - lo) / SLIDING_QUANTILE_BINS
+    exact = {(r.time_end, r.user_id): r.p for r in
+             (df.filter(F.col("value").isNotNull())
+              .groupBy(F.window("ts", "10 seconds", "2 seconds")
+                       .alias("w"), "user_id")
+              .agg(F.expr(
+                  "element_at(array_sort(collect_list(value)),"
+                  " cast(ceil(0.95 * count(value)) as int))").alias("p"))
+              .select(F.col("w.end").alias("time_end"), "user_id", "p")
+              .collect())}
+    assert exact
+    for time_end, uid, est, _n in explode_form:
+        assert abs(est - exact[(time_end, uid)]) <= width + 1e-9, \
+            (time_end, uid, est, exact[(time_end, uid)])
+
+    # degenerate corpus: one repeated value -> width 0 -> est == value
+    one = spark.createDataFrame(
+        [(2.0, "u", 7.5), (5.0, "u", 7.5)],
+        "tsec double, user_id string, value double"
+    ).selectExpr("timestamp_seconds(tsec) AS ts", "user_id", "value")
+    for panes in (False, True):
+        got = sliding_quantile(one, window="10 seconds",
+                               slide="2 seconds", keys=("user_id",),
+                               panes=panes).collect()
+        assert got and all(r.est == 7.5 for r in got)
+
+
 def _is_pane_plan(df) -> bool:
     """The pane plan (and only it) synthesizes window ends with
     make_interval arithmetic over exploded pane indices; the explode form

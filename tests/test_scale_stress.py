@@ -756,6 +756,13 @@ SWEEP = [
     "events_sliding_topk",
     "events_sliding_topk_panes",
     "streaming_sliding_topk_panes",
+    # round-8: the quantile algebra — binned-histogram sliding p95, bin
+    # counts as pane sums; bounded state vs exact percentile's raw values
+    "events_sliding_p95",
+    "events_sliding_p95_panes",
+    "streaming_sliding_p95_panes",
+    # round-8: the persisted-index lifecycle as a scheduled-ingest loop
+    "dedup_index_ingest_loop",
 ]
 
 
