@@ -259,6 +259,46 @@ def q_events_sliding_hll_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("within_tol")))
 
 
+@register("streaming_sliding_hll_panes", sl.sliding_hll_within_tol_oracle_sql())
+def q_streaming_sliding_hll_panes(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Sliding HLL distinct as the STREAMING chained-stateful pane plan —
+    the last sketch family gets its streaming twin: the tumbling pane
+    operator folds each value once into a DataSketches HLL register set,
+    the second stateful operator merges pane sketches via
+    ``hll_union_agg`` (binary sketch state through both operators), so
+    the event-ingesting state is bounded by #keys x #panes sketches. The
+    finalized estimates join the batch exact countDistinct output-side
+    into the same ``within_tol`` contract as the batch pane form (a
+    UNIONED sketch's estimate can legitimately differ from a direct
+    build, so HLL never registers a raw-value oracle)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sshp_")
+    est = run_sliding_stats_stream(
+        spark, f"{sf_dir}/events.parquet",
+        query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink",
+        aggs=(("approx_users", "approx_distinct", "user_id"),),
+        keys=("event_type",),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    ev = load_table(spark, sf_dir, "events")
+    exact = (ev.groupBy(F.window("ts", "10 minutes", "2 minutes")
+                        .alias("window"), "event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct"))
+             .select(F.col("window.end").alias("time_end"), "event_type",
+                     "exact_distinct"))
+    return (est.join(exact, ["time_end", "event_type"])
+            .select("time_end", "event_type", "exact_distinct",
+                    (F.abs(F.col("approx_users") - F.col("exact_distinct"))
+                     <= F.lit(0.05) * F.col("exact_distinct"))
+                    .alias("within_tol")))
+
+
 @register("events_sliding_topk", sl.sliding_topk_oracle_sql())
 def q_events_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding top-3 users by event count per (10m/2m window, event_type)
