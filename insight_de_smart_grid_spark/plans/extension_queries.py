@@ -233,6 +233,16 @@ def q_streaming_sliding_stddev_panes(spark: SparkSession, sf_dir: str
                     F.round("sd_value", 6).alias("sd_value"), "n_vals"))
 
 
+@register("events_sliding_stddev_auto", sl.sliding_stddev_oracle_sql())
+def q_events_sliding_stddev_auto(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Sliding variance with the density probe picking the form — the
+    two forms register identical rounded values, so the probe's choice
+    can never change the rows; completes the probe-everywhere contract
+    for the variance family."""
+    return _sliding_stddev(spark, sf_dir, panes="auto")
+
+
 @register("events_sliding_hll_panes", sl.sliding_hll_within_tol_oracle_sql())
 def q_events_sliding_hll_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding distinct via DataSketches HLL in the pane form (build per
@@ -322,6 +332,18 @@ def q_events_sliding_topk_panes(spark: SparkSession, sf_dir: str
                            panes=True)
 
 
+@register("events_sliding_topk_auto", sl.sliding_topk_oracle_sql())
+def q_events_sliding_topk_auto(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Sliding top-k with the density probe picking the count stage's
+    form (density measured per (event_type, user, pane) — exactly the
+    pane grouping the count runs); the rank is form-invariant over exact
+    integers, so the probe's choice can never change the rows."""
+    return sl.sliding_topk(load_table(spark, sf_dir, "events"),
+                           keys=("event_type",), item="user_id", k=3,
+                           panes="auto")
+
+
 @register("streaming_sliding_topk_panes", sl.sliding_topk_oracle_sql())
 def q_streaming_sliding_topk_panes(spark: SparkSession, sf_dir: str
                                    ) -> DataFrame:
@@ -381,6 +403,18 @@ def q_events_sliding_p95_panes(spark: SparkSession, sf_dir: str
     return sl.sliding_quantile(load_table(spark, sf_dir, "events"),
                                keys=("user_id",), col="value", q=0.95,
                                panes=True)
+
+
+@register("events_sliding_p95_auto", sl.sliding_quantile_oracle_sql())
+def q_events_sliding_p95_auto(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Sliding p95 with the density probe picking the histogram stage's
+    form (density per (user, bin, pane) — the histogram's own pane
+    grouping); the interpolation is bit-identical either way, so the
+    probe's choice can never change the rows."""
+    return sl.sliding_quantile(load_table(spark, sf_dir, "events"),
+                               keys=("user_id",), col="value", q=0.95,
+                               panes="auto")
 
 
 @register("streaming_sliding_p95_panes", sl.sliding_quantile_oracle_sql())
