@@ -125,33 +125,49 @@ def compact_signature_index(spark: SparkSession, path: str) -> int:
 
 
 def query_buckets(query_vec, n_tables: int, n_planes: int,
-                  dim: int) -> list[tuple[int, int]]:
-    """The (table, bucket) pairs one query probes — driver-side numpy over
-    the same md5-derived plane matrix the index was built with (a single
-    matvec; no corpus job just to hash one vector)."""
+                  dim: int, probe_radius: int = 0
+                  ) -> list[tuple[int, list[int]]]:
+    """The (table, [buckets]) probe list for one query — driver-side numpy
+    over the same md5-derived plane matrix the index was built with (a
+    single matvec; no corpus job just to hash one vector).
+    ``probe_radius`` expands each table's bucket to its Hamming-<=r flip
+    neighborhood (the multiprobe lever, ``similarity._probe_masks``):
+    extra probes buy the recall extra TABLES would, at the same persisted
+    index footprint."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        _probe_masks,
+    )
+
     planes = _portable_planes(n_tables, n_planes, dim)
     qv = np.asarray(query_vec, dtype=np.float64)
     bits = (planes @ qv > 0).reshape(n_tables, n_planes)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
-    return [(t, int(b)) for t, b in enumerate((bits * weights).sum(axis=1))]
+    masks = _probe_masks(n_planes, probe_radius)
+    return [(t, [int(b) ^ m for m in masks])
+            for t, b in enumerate((bits * weights).sum(axis=1))]
 
 
 def query_index_topk(spark: SparkSession, path: str, query_vec,
-                     k: int = 10, exclude_id: "int | None" = None
-                     ) -> DataFrame:
+                     k: int = 10, exclude_id: "int | None" = None,
+                     probe_radius: int = 0) -> DataFrame:
     """Top-k by exact cosine over the index's candidates for one query
     vector. The probe is a pushed-down disjunction of n_tables
-    (table = t AND bucket = b) terms — partition pruning picks the table
-    directories, row-group stats skip non-matching buckets; the corpus
-    itself is never scanned (the index stores the vectors). Row-identical
-    to ``lsh_ann_topk`` at the same geometry over the same vectors."""
+    (table = t AND bucket IN (...)) terms — partition pruning picks the
+    table directories, row-group stats skip non-matching buckets; the
+    corpus itself is never scanned (the index stores the vectors).
+    ``probe_radius=0`` is row-identical to ``lsh_ann_topk`` at the same
+    geometry; ``probe_radius=r`` probes each table's Hamming-<=r flip
+    neighborhood and is row-identical to ``lsh_multiprobe_topk`` — the
+    round-7 recall lever running against the round-8 persisted index
+    (still a filter + pruned scan, never an index-side join or
+    shuffle)."""
     meta = _read_meta(path)
     sig = spark.read.parquet(f"{path}/{_SIG}")
     probes = query_buckets(query_vec, meta["n_tables"], meta["n_planes"],
-                           meta["dim"])
+                           meta["dim"], probe_radius)
     pred = reduce(lambda a, b: a | b,
-                  [(F.col("table") == t) & (F.col("bucket") == b)
-                   for t, b in probes])
+                  [(F.col("table") == t) & (F.col("bucket").isin(bs))
+                   for t, bs in probes])
     id_col = meta["id_col"]
     cands = sig.filter(pred)
     if exclude_id is not None:

@@ -160,7 +160,8 @@ def scheduled_ingest_dedup(spark: SparkSession, docs: DataFrame,
                            base_dir: str, n_batches: int = 4,
                            threshold: float = 0.5,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           compact_every: "int | None" = None) -> DataFrame:
     """The index's whole lifecycle as one scheduled-ingest loop — the
     reference's Airflow-triggered micro-batch mode
     (``airflow_schedule/`` DAGs; SURVEY ST5) recast as corpus curation.
@@ -177,7 +178,13 @@ def scheduled_ingest_dedup(spark: SparkSession, docs: DataFrame,
     within one slice comes from (a), a pair spanning two slices from (b)
     when the later slice arrives — so the loop registers against the same
     DuckDB oracle as the inline full-corpus pipeline: nothing is lost or
-    duplicated by incremental ingest."""
+    duplicated by incremental ingest.
+
+    ``compact_every=k`` folds maintenance into the schedule: after every
+    k-th batch the accumulated per-append file sets are rewritten to one
+    sorted set per band partition (atomic swap) — results are invariant
+    (pinned in tests), only the file count changes, which is the policy a
+    real daily-ingest job runs so probe-side file listings stay flat."""
     from insight_de_smart_grid_spark.operators.dedup import (
         minhash_pairs_from_sigs,
     )
@@ -208,9 +215,13 @@ def scheduled_ingest_dedup(spark: SparkSession, docs: DataFrame,
                  .write.mode("append").parquet(pairs_dir))
             _write_tables(sig, idx_path, meta,
                           "append" if i else "overwrite")
+            if i == 0:
+                Path(idx_path, _META).write_text(
+                    json.dumps(meta, indent=1) + "\n")
         finally:
             sig.unpersist()
-    Path(idx_path, _META).write_text(json.dumps(meta, indent=1) + "\n")
+        if compact_every and (i + 1) % compact_every == 0:
+            compact_dedup_index(spark, idx_path)
     return spark.read.parquet(pairs_dir)
 
 

@@ -694,6 +694,29 @@ def q_sim_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ai.query_index_topk(spark, path, qv, k=10, exclude_id=0)
 
 
+@register("sim_ann_index_multiprobe",
+          sim.lsh_multiprobe_topk_oracle_sql(0, 10))
+def q_sim_ann_index_multiprobe(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Multiprobe through the PERSISTED index: the round-7 recall lever
+    (Hamming-1 flip probes buy the recall extra tables would) running
+    against the round-8 maintained signature table — the probe stays a
+    pushed-down (table, bucket IN ...) filter over the pruned scan, so
+    one stored 4-table index answers with 4x(8+1)-probe recall at 1/9 of
+    the footprint. Registers against the SAME oracle as the inline
+    ``sim_ann_multiprobe_topk`` (`operators/ann_index.py`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="annidx_mp_")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ai.query_index_topk(spark, path, qv, k=10, exclude_id=0,
+                               probe_radius=1)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

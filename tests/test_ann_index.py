@@ -113,6 +113,42 @@ def test_append_plan_reads_only_the_delta(spark, emb, tmp_path):
     assert n_after == n_before + delta.count() * meta["n_tables"]
 
 
+def test_multiprobe_through_persisted_index(spark, emb, tmp_path):
+    """probe_radius=r against the persisted index == the inline
+    ``lsh_multiprobe_topk`` at the same geometry (round-7 lever x round-8
+    index); radius 1 candidates strictly contain radius 0's (mask-set
+    inclusion), and the probe stays a join-free pushed-down filter."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+
+    got = ai.query_index_topk(spark, path, qv, k=10, exclude_id=0,
+                              probe_radius=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Scan parquet") == 1
+    want = lsh_multiprobe_topk(emb, query_vec_id=0, k=10, n_tables=4,
+                               n_planes=8, probe_radius=1)
+    assert (sorted((r.vec_id, r.cos_sim) for r in got.collect())
+            == sorted((r.vec_id, r.cos_sim) for r in want.collect()))
+
+    # candidate growth is monotone in the radius
+    def n_cands(r):
+        probes = ai.query_buckets(qv, 4, 8, 64, probe_radius=r)
+        from functools import reduce
+        pred = reduce(lambda a, b: a | b,
+                      [(F.col("table") == t) & (F.col("bucket").isin(bs))
+                       for t, bs in probes])
+        return (spark.read.parquet(f"{path}/signatures").filter(pred)
+                .select("vec_id").distinct().count())
+
+    assert n_cands(0) <= n_cands(1) <= n_cands(2)
+    assert n_cands(1) > n_cands(0)  # the fixture really expands reach
+
+
 def test_probe_is_pushed_down(spark, emb, tmp_path):
     """The query probe is a filter over the partitioned signature table —
     no join to build candidates, partition pruning on the LSH table dirs

@@ -124,6 +124,15 @@ def test_scheduled_ingest_loop_is_exactly_the_full_pair_set(
         got = di.scheduled_ingest_dedup(
             spark, docs, str(tmp_path / f"loop{n}"), n_batches=n)
         assert _pairs(got) == want, f"n_batches={n}"
+    # mid-loop compaction is result-invariant: same pairs, fewer files
+    got_c = di.scheduled_ingest_dedup(
+        spark, docs, str(tmp_path / "loopc"), n_batches=4,
+        compact_every=2)
+    assert _pairs(got_c) == want
+    files = lambda d: sum(1 for s in ("docs", "bands")  # noqa: E731
+                          for _ in Path(tmp_path, d, "index", s)
+                          .rglob("*.parquet"))
+    assert files("loopc") < files("loop4")
     # the loop leaves a complete, usable index behind: its standing state
     # answers the one-shot pair query identically
     assert _pairs(di.index_near_dup_pairs(
