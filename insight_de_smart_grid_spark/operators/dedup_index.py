@@ -225,6 +225,75 @@ def scheduled_ingest_dedup(spark: SparkSession, docs: DataFrame,
     return spark.read.parquet(pairs_dir)
 
 
+def streaming_ingest_dedup(spark: SparkSession, docs: DataFrame,
+                           base_dir: str, n_files: int = 4,
+                           threshold: float = 0.5,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """``scheduled_ingest_dedup`` driven by REAL Structured Streaming
+    micro-batches: the corpus is staged as ``n_files`` parquet files, a
+    file-source stream with ``maxFilesPerTrigger=1`` delivers one file
+    per micro-batch under ``availableNow``, and ``foreachBatch`` runs the
+    same single-shingle-pass batch body (in-batch pairs, probe against
+    the standing index, append). The first non-empty batch creates the
+    index.
+
+    Correctness does NOT depend on which docs land in which micro-batch:
+    the committed union is the full-corpus pair set for ANY disjoint
+    slicing (the two-batchings contract pinned in tests), which is what
+    makes a file-source's unspecified file->batch assignment safe to
+    register against the same DuckDB oracle as the inline pipeline.
+    Per-batch pair output lands in its own ``b{batch_id}`` directory with
+    overwrite, so a replayed pairs write is idempotent; a crash BETWEEN
+    the pairs write and the index append is the one non-idempotent window
+    — on a real deployment the index append is a transactional MERGE
+    (Delta/Iceberg), same as the ``upsert_compaction_stream`` note."""
+    from insight_de_smart_grid_spark.operators.dedup import (
+        minhash_pairs_from_sigs,
+    )
+
+    staging = f"{base_dir}/staged"
+    idx_path = f"{base_dir}/index"
+    pairs_dir = f"{base_dir}/pairs"
+    docs.repartition(n_files).write.mode("overwrite").parquet(staging)
+    meta = {"n_hashes": 32, "bands": 8, "ngram": 3,
+            "text_col": text_col, "id_col": id_col,
+            "n_packed": packed_band_width(32, 8)}
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig = signature_shingle_sets(batch_df, meta["n_hashes"],
+                                     meta["ngram"], text_col, id_col)
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            batch_pairs = minhash_pairs_from_sigs(
+                sig, meta["n_hashes"], meta["bands"], threshold, id_col)
+            first = not Path(idx_path, _META).exists()
+            if not first:
+                batch_pairs = batch_pairs.unionByName(
+                    _probe_with_sigs(spark, idx_path, sig, threshold,
+                                     meta))
+            (batch_pairs.write.mode("overwrite")
+             .parquet(f"{pairs_dir}/b{batch_id}"))
+            _write_tables(sig, idx_path, meta,
+                          "overwrite" if first else "append")
+            if first:
+                Path(idx_path, _META).write_text(
+                    json.dumps(meta, indent=1) + "\n")
+        finally:
+            sig.unpersist()
+
+    schema = spark.read.parquet(staging).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1").load(staging))
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", f"{base_dir}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{pairs_dir}/b*")
+
+
 def _verify_pairs(cand: DataFrame, docs_a: DataFrame, docs_b: DataFrame,
                   threshold: float, id_col: str) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs from the

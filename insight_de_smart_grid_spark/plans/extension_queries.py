@@ -585,6 +585,27 @@ def q_dedup_index_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="dedupingest_"), n_batches=4)
 
 
+@register("streaming_dedup_index_ingest",
+          dd.minhash_lsh_oracle_sql(32, 8, 3, 0.5))
+def q_streaming_dedup_index_ingest(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """The ingest-dedup loop under REAL Structured Streaming: a
+    file-source stream delivers one staged corpus file per micro-batch
+    (availableNow + maxFilesPerTrigger=1) and foreachBatch runs the same
+    shingle-once batch body against the standing index. Registers against
+    the inline full-corpus oracle because the committed pair union is
+    slicing-invariant — the contract that makes a file source's
+    unspecified file->batch assignment safe
+    (`operators/dedup_index.py::streaming_ingest_dedup`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import dedup_index as di
+
+    return di.streaming_ingest_dedup(
+        spark, load_table(spark, sf_dir, "documents"),
+        tempfile.mkdtemp(prefix="dedupstream_"), n_files=4)
+
+
 @register("dedup_simhash", dd.simhash_oracle_sql(3))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dups(load_table(spark, sf_dir, "documents"),

@@ -137,6 +137,14 @@ def test_scheduled_ingest_loop_is_exactly_the_full_pair_set(
     # answers the one-shot pair query identically
     assert _pairs(di.index_near_dup_pairs(
         spark, str(tmp_path / "loop4" / "index"))) == want
+    # the REAL Structured-Streaming drive (foreachBatch over a one-file-
+    # per-micro-batch availableNow source) commits the same pair set,
+    # and ITS standing index is equivalent too
+    got_s = di.streaming_ingest_dedup(
+        spark, docs, str(tmp_path / "stream"), n_files=3)
+    assert _pairs(got_s) == want
+    assert _pairs(di.index_near_dup_pairs(
+        spark, str(tmp_path / "stream" / "index"))) == want
 
 
 def test_geometry_is_frozen_at_creation(spark, docs, tmp_path):

@@ -761,8 +761,10 @@ SWEEP = [
     "events_sliding_p95",
     "events_sliding_p95_panes",
     "streaming_sliding_p95_panes",
-    # round-8: the persisted-index lifecycle as a scheduled-ingest loop
+    # round-8: the persisted-index lifecycle as a scheduled-ingest loop,
+    # and the same loop driven by real Structured-Streaming micro-batches
     "dedup_index_ingest_loop",
+    "streaming_dedup_index_ingest",
 ]
 
 
