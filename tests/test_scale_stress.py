@@ -765,6 +765,8 @@ SWEEP = [
     # and the same loop driven by real Structured-Streaming micro-batches
     "dedup_index_ingest_loop",
     "streaming_dedup_index_ingest",
+    # round-8: multiprobe recall lever through the persisted ANN index
+    "sim_ann_index_multiprobe",
 ]
 
 
