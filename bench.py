@@ -83,26 +83,33 @@ def round_number(repo: str) -> int:
 
 def previous_round_tip(repo: str) -> "str | None":
     """Commit hash of the previous round's tip: the commit that last
-    touched the highest committed BENCH_r{N}.json (the driver commits a
-    round's artifacts together at the round boundary). None in a repo
-    with no committed bench artifact or no git history."""
+    touched the highest BENCH_r{N}.json *with committed history*. In a
+    driver session the driver writes this round's BENCH_r{N}.json BEFORE
+    the round-boundary commit, so the newest artifact on disk is
+    untracked and ``git log -- <it>`` is empty (the round-8 bug: that
+    empty answer was returned as None instead of falling back to the
+    newest COMMITTED artifact). Walk the artifacts newest-first and
+    return the first one git knows about. None in a repo with no
+    committed bench artifact or no git history."""
     import re
     import subprocess
 
-    best, best_name = 0, None
+    rounds = []
     for p in Path(repo).glob("BENCH_r[0-9]*.json"):
         m = re.match(r"BENCH_r(\d+)\.json$", p.name)
-        if m and int(m.group(1)) > best:
-            best, best_name = int(m.group(1)), p.name
-    if not best_name:
-        return None
-    try:
-        out = subprocess.run(
-            ["git", "log", "-n", "1", "--format=%H", "--", best_name],
-            cwd=repo, capture_output=True, text=True, timeout=30)
-        return out.stdout.strip() or None
-    except Exception:
-        return None
+        if m:
+            rounds.append((int(m.group(1)), p.name))
+    for _, name in sorted(rounds, reverse=True):
+        try:
+            out = subprocess.run(
+                ["git", "log", "-n", "1", "--format=%H", "--", name],
+                cwd=repo, capture_output=True, text=True, timeout=30)
+        except Exception:
+            return None
+        tip = out.stdout.strip()
+        if tip:
+            return tip
+    return None
 
 
 def _subprocess_measure(worktree: str, names: list, sf_dir: str) -> dict:
@@ -160,6 +167,14 @@ def crosstree_measure(repo: str, commit: str, names: list, sf_dir: str,
     import subprocess
     import tempfile
 
+    if not commit:
+        # no committed bench artifact to attribute against (fresh repo, or
+        # previous_round_tip found nothing) — the flag stands unattributed;
+        # never hand None to `git worktree add` (round-8 TypeError)
+        print("ab: no previous-tip commit to measure against",
+              file=sys.stderr)
+        return {}
+
     wt = tempfile.mkdtemp(prefix="bench_ab_")
     try:
         subprocess.run(["git", "worktree", "add", "--detach", "--force",
@@ -171,17 +186,174 @@ def crosstree_measure(repo: str, commit: str, names: list, sf_dir: str,
                        cwd=repo, capture_output=True, timeout=120)
 
 
-def ab_verdict(prev_time: "float | None", baseline: float) -> str:
+def ab_verdict(prev_time: "float | None", baseline: float,
+               cur_time: "float | None" = None) -> str:
     """Attribute a confirmed regression by how the PREVIOUS tip measures
     right now on the same host: if the old code is just as slow against
     the frozen baseline, the slowdown travels with the machine
     (host_drift); if the old code still hits its baseline, the slowdown
     travels with the code (code_regression). No measurement -> the flag
-    stands unattributed rather than guessed."""
+    stands unattributed rather than guessed.
+
+    ``cur_time`` (round-9): the CURRENT tree's median from the SAME
+    interleaved window as ``prev_time``. Host drift oscillating on
+    ~tens-of-minutes timescales can make the prev tree read fast in a
+    window minutes after the flag fired (the round-8 star_stats_agg
+    misattribution, SCALE.md "Bench-drift note") — so code_regression
+    additionally requires the current tree to still be slow in that same
+    window. Prev fast AND cur fast -> the drift resolved -> host_drift."""
     if prev_time is None or prev_time <= 0:
         return "unattributed"
-    return "host_drift" if is_regression(prev_time, baseline) \
-        else "code_regression"
+    if is_regression(prev_time, baseline):
+        return "host_drift"
+    if (cur_time is not None and cur_time > 0
+            and not is_regression(cur_time, baseline)):
+        return "host_drift"
+    return "code_regression"
+
+
+def interleaved_measure(names: list, prev_once, cur_once,
+                        rounds: int = 3) -> dict:
+    """Per-tree medians from STRICTLY interleaved single runs: for each
+    name, alternate prev, cur, prev, cur ... so both trees sample the
+    same host-load window and oscillating drift cannot flip the verdict.
+    ``prev_once(name) -> float | None`` (None = old tree can't run it),
+    ``cur_once(name) -> float``. Streaming replays run one pair (each
+    invocation replays full state). Returns
+    ``{name: {"prev": median | None, "cur": median}}``."""
+    out = {}
+    for name in names:
+        reps = 1 if name.startswith("streaming_") else rounds
+        prev_runs, cur_runs = [], []
+        for _ in range(reps):
+            p = prev_once(name)
+            if p is not None and p > 0:
+                prev_runs.append(p)
+            try:
+                cur_runs.append(cur_once(name))
+            except Exception as exc:
+                print(f"ab: {name} failed on current tree: {exc}",
+                      file=sys.stderr)
+        out[name] = {
+            "prev": (round(sorted(prev_runs)[len(prev_runs) // 2], 3)
+                     if prev_runs else None),
+            "cur": (round(sorted(cur_runs)[len(cur_runs) // 2], 3)
+                    if cur_runs else None),
+        }
+    return out
+
+
+_AB_WORKER_CODE = r"""
+import sys, time
+wt, sf_dir = sys.argv[1], sys.argv[2]
+sys.path.insert(0, wt)
+from insight_de_smart_grid_spark.session import get_spark
+from bench import run_query
+from insight_de_smart_grid_spark.plans.registry import QUERIES
+spark = get_spark(app_name="bench_ab")
+print("AB_READY", flush=True)
+warmed = set()
+for line in sys.stdin:
+    name = line.strip()
+    if not name or name == "EXIT":
+        break
+    if name not in QUERIES:
+        print("AB_SKIP " + name, flush=True)
+        continue
+    try:
+        if name not in warmed and not name.startswith("streaming_"):
+            run_query(spark, name, sf_dir)
+            warmed.add(name)
+        t0 = time.perf_counter()
+        run_query(spark, name, sf_dir)
+        print("AB_T %s %.6f" % (name, time.perf_counter() - t0), flush=True)
+    except Exception as exc:
+        print("AB_ERR %s %s" % (name, exc), flush=True)
+spark.stop()
+"""
+
+
+class _PrevTipWorker:
+    """Long-lived subprocess running the previous tip's own bench loop in
+    its worktree; the parent requests ONE timed run per line, which is
+    what lets prev/cur runs interleave in the same window instead of the
+    round-8 shape (all prev runs in one block minutes after the flag)."""
+
+    def __init__(self, worktree: str, sf_dir: str, timeout: float = 600):
+        import subprocess
+        import sys as _sys
+
+        self.timeout = timeout
+        self.proc = subprocess.Popen(
+            [_sys.executable, "-c", _AB_WORKER_CODE, worktree, sf_dir],
+            cwd=worktree, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True)
+        if self._read_until("AB_READY") is None:
+            raise RuntimeError("ab worker failed to start")
+
+    def _read_until(self, prefix: str) -> "str | None":
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                return None
+            if line.startswith(prefix):
+                return line.strip()
+
+    def measure_once(self, name: str) -> "float | None":
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+        except Exception:
+            return None
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                return None
+            if line.startswith(f"AB_T {name} "):
+                return float(line.split()[2])
+            if line.startswith(("AB_SKIP", "AB_ERR")):
+                return None
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+        except Exception:
+            pass
+        try:
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def crosstree_interleaved(repo: str, commit: "str | None", names: list,
+                          sf_dir: str, cur_once, rounds: int = 3) -> dict:
+    """Same worktree plumbing as crosstree_measure, but measurements of
+    the previous tip and the current tree alternate run-by-run in the
+    same window (round-9: the star_stats_agg lesson). Returns
+    ``{name: {"prev": sec | None, "cur": sec | None}}``; empty dict when
+    there is no commit to measure against."""
+    import subprocess
+    import tempfile
+
+    if not commit:
+        print("ab: no previous-tip commit to measure against",
+              file=sys.stderr)
+        return {}
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        subprocess.run(["git", "worktree", "add", "--detach", "--force",
+                        wt, commit], cwd=repo, check=True,
+                       capture_output=True, timeout=120)
+        worker = _PrevTipWorker(wt, sf_dir)
+        try:
+            return interleaved_measure(names, worker.measure_once,
+                                       cur_once, rounds=rounds)
+        finally:
+            worker.close()
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=repo, capture_output=True, timeout=120)
 
 
 def confirmed_regressions(timings: dict, base: dict, remeasure) -> dict:
@@ -326,29 +498,40 @@ def main() -> None:
 
         regressions = confirmed_regressions(timings, base, remeasure)
         if regressions:
-            # round-8: automated cross-tree A/B — a flag that survives the
-            # in-session confirm is re-measured on the PREVIOUS round's tip
-            # in a throwaway worktree and attributed code_regression vs
+            # round-8/9: automated cross-tree A/B — a flag that survives
+            # the in-session confirm is re-measured on the PREVIOUS round's
+            # tip in a throwaway worktree, with prev/cur runs INTERLEAVED
+            # in the same window (round-9: oscillating host drift flipped
+            # the round-8 star_stats_agg verdict when the prev block ran
+            # minutes after the flag), and attributed code_regression vs
             # host_drift (the manual SCALE.md:503 triage, folded in)
-            prev_times = {}
+            def cur_once(name: str) -> float:
+                t0 = time.perf_counter()
+                run_query(spark, name, sf_dir)
+                return time.perf_counter() - t0
+
+            ab = {}
             try:
                 prev = previous_round_tip(REPO)
+                ab = crosstree_interleaved(
+                    REPO, prev, sorted(regressions), sf_dir, cur_once)
                 if prev:
-                    prev_times = crosstree_measure(
-                        REPO, prev, sorted(regressions), sf_dir)
                     out["ab_prev_tip"] = prev
             except Exception as exc:
                 print(f"bench: cross-tree A/B failed: {exc}",
                       file=sys.stderr)
             for name, r in regressions.items():
-                r["prev_tip_sec"] = prev_times.get(name)
-                r["verdict"] = ab_verdict(prev_times.get(name),
-                                          r["baseline"])
+                m = ab.get(name, {})
+                r["prev_tip_sec"] = m.get("prev")
+                r["same_window_cur_sec"] = m.get("cur")
+                r["verdict"] = ab_verdict(m.get("prev"), r["baseline"],
+                                          cur_time=m.get("cur"))
             out["regressions"] = regressions
             for name, r in sorted(regressions.items()):
                 print(f"bench: REGRESSION {name}: {r['now']}s vs baseline "
                       f"{r['baseline']}s -> {r['verdict']}"
-                      f" (prev tip: {r['prev_tip_sec']}s)", file=sys.stderr)
+                      f" (same window: prev tip {r['prev_tip_sec']}s, "
+                      f"cur {r['same_window_cur_sec']}s)", file=sys.stderr)
         # ingest gate (round-7 advisory): same drop-with-in-session-confirm
         # logic as the query gate, against the frozen rows/sec headline. The
         # rate is n_events / flagship-median, so the confirm pass is one

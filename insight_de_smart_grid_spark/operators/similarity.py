@@ -545,6 +545,42 @@ LIMIT {k}
 """
 
 
+def lsh_ann_batch_topk_oracle_sql(query_vec_ids: "list[int]", k: int = 10,
+                                  n_tables: int = 16, n_planes: int = 4,
+                                  dim: int = 64) -> str:
+    """DuckDB twin of ``ann_index.query_index_batch_topk`` (radius 0)
+    over corpus-member query vectors: the single-query oracle
+    generalized to a set — per-query candidates from shared buckets,
+    exact cosine re-rank, ``row_number`` top-k per query id. Ties beyond
+    (cos_sim, vec_id) cannot occur (vec_id is unique), so the ranking is
+    deterministic cross-engine."""
+    ids = ", ".join(str(int(q)) for q in query_vec_ids)
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+qsig AS (SELECT vec_id AS query_id, tbl, bucket FROM sigs
+         WHERE vec_id IN ({ids})),
+cands AS (
+  SELECT DISTINCT q.query_id, s.vec_id
+  FROM sigs s JOIN qsig q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id != q.query_id
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT c.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec), 6)
+         AS cos_sim
+  FROM cands c JOIN embeddings e USING (vec_id)
+  JOIN qv ON qv.query_id = c.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def lsh_ann_auto_topk_oracle_sql(query_vec_id: int, k: int = 10,
                                  n_tables: int = 16,
                                  auto_occupancy: int = 32,

@@ -738,6 +738,32 @@ def q_sim_ann_index_multiprobe(spark: SparkSession, sf_dir: str
                                probe_radius=1)
 
 
+@register("sim_ann_index_batch_probe",
+          sim.lsh_ann_batch_topk_oracle_sql([0, 7, 23], 10, n_tables=4,
+                                            n_planes=8))
+def q_sim_ann_index_batch_probe(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Round-9 batched multi-query ANN probe (VERDICT r8 item 3): a
+    delta of Q query vectors is answered in ONE job — the delta is
+    signatured with the index's frozen geometry, its (table, bucket)
+    probe set broadcast against the pruned bands scan, the matched
+    candidates broadcast into the single-copy ``vectors/`` table for the
+    exact cosine re-rank, ``row_number``-ranked per query. Per query id
+    the rows equal the per-query ``query_index_topk`` loop (pinned in
+    test_ann_index.py); the DuckDB twin generalizes
+    ``lsh_ann_topk_oracle_sql`` to the id set
+    (`operators/ann_index.py:query_index_batch_topk`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="annidx_bp_")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8)
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 23]))
+    return ai.query_index_batch_topk(spark, path, queries, k=10)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

@@ -1,7 +1,8 @@
 """Incremental ANN signature index (operators/ann_index.py): the
 maintenance contracts the registered ``sim_ann_index_append`` oracle row
 can't see — creation-time depth freeze, delta-only append plans,
-compaction invariance, and probe pushdown shape."""
+compaction invariance, probe pushdown + broadcast shape, the round-9
+store-vectors-once footprint, and the batched multi-query probe."""
 
 from __future__ import annotations
 
@@ -27,12 +28,21 @@ def _topk(spark, path, emb, qid=0, k=10):
                                       exclude_id=qid).collect())
 
 
+def _live_files(path):
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        live_segments,
+    )
+    return sum(1 for t in ("bands", "vectors")
+               for seg in live_segments(path, t)
+               for _ in Path(seg).rglob("*.parquet"))
+
+
 def test_append_equals_rebuild_and_compaction_invariant(
         spark, emb, tmp_path):
     """(index built on 80% + two appended deltas) answers queries
     identically to a from-scratch index over the full corpus, before AND
-    after compaction; compaction reduces the file count (each append adds
-    a file set) back to one sorted set per LSH table."""
+    after compaction; compaction reduces the live file count (each append
+    adds a segment pair) back to one sorted segment per table."""
     inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
     b = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), 100)
     ai.build_signature_index(emb.filter(b < 80), inc,
@@ -42,15 +52,70 @@ def test_append_equals_rebuild_and_compaction_invariant(
     ai.build_signature_index(emb, full, n_tables=4, n_planes=6)
 
     want = _topk(spark, full, emb)
-    files_before = sum(1 for _ in Path(inc, "signatures")
-                       .rglob("*.parquet"))
+    files_before = _live_files(inc)
     assert _topk(spark, inc, emb) == want
     files_after = ai.compact_signature_index(spark, inc)
     assert files_after < files_before
     assert _topk(spark, inc, emb) == want
-    # row multiset survives compaction exactly
-    n_full = spark.read.parquet(f"{full}/signatures").count()
-    assert spark.read.parquet(f"{inc}/signatures").count() == n_full
+    # row multisets survive compaction exactly, per table
+    for t in ("bands", "vectors"):
+        assert (ai._read_table(spark, inc, t).count()
+                == ai._read_table(spark, full, t).count())
+    # compaction GC'd the superseded segments: one live segment per table
+    # and no unreferenced seg-* directories left on disk
+    for t in ("bands", "vectors"):
+        on_disk = {p.name for p in Path(inc, t).iterdir()
+                   if p.name.startswith("seg-")}
+        assert len(on_disk) == 1
+
+
+def test_vectors_stored_once(spark, emb, tmp_path):
+    """Round-9 footprint contract (VERDICT r8 item 2): the split layout
+    stores each embedding ONCE, so the index is ~1/n_tables of the
+    round-8 long format that persisted (id, v, table, bucket) verbatim.
+    Measured: live index bytes <= long-format bytes / (n_tables/2), and
+    the vectors table holds exactly one row per corpus vector while
+    bands holds n_tables."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+
+    n_tables = 16
+    path = str(tmp_path / "idx")
+    # at sf0.01 the corpus is small enough that parquet per-file overhead
+    # masks payload ratios — replicate it 32x with perturbed vectors so
+    # vector bytes dominate, the regime the footprint claim is about
+    big = (emb.crossJoin(spark.range(32).select(F.col("id").alias("rep")))
+           .select((F.col("vec_id") * 32 + F.col("rep")).alias("vec_id"),
+                   F.transform(
+                       F.col("embedding"),
+                       lambda x, i: x + (F.col("rep") * (i + 1)) / 1e6)
+                   .alias("embedding")))
+    ai.build_signature_index(big, path, n_tables=n_tables, n_planes=6)
+    # the round-8 layout, materialized for comparison only — the exact
+    # round-8 _write_sigs shape: partitionBy(table) puts each table's
+    # full vector copy in its own file set (adjacent-row compression
+    # can't merge copies across files, which is why the old layout
+    # really paid ~n_tables x on disk)
+    legacy = str(tmp_path / "legacy_long")
+    (hyperplane_signatures(big, n_tables, 6, 64)
+     .repartition("table").sortWithinPartitions("table", "bucket")
+     .write.partitionBy("table").parquet(legacy))
+    legacy_bytes = sum(f.stat().st_size
+                       for f in Path(legacy).rglob("*.parquet"))
+    assert ai.index_bytes(path) <= legacy_bytes / (n_tables / 2)
+
+    n = big.count()
+    assert ai._read_table(spark, path, "vectors").count() == n
+    assert ai._read_table(spark, path, "bands").count() == n * n_tables
+    # and the split layout still answers identically to the inline form
+    from insight_de_smart_grid_spark.operators.similarity import (
+        lsh_ann_topk,
+    )
+    want = sorted((r.vec_id, r.cos_sim) for r in
+                  lsh_ann_topk(big, query_vec_id=0, k=10,
+                               n_tables=n_tables, n_planes=6).collect())
+    assert _topk(spark, path, big) == want
 
 
 def test_auto_depth_freezes_at_creation(spark, emb, tmp_path):
@@ -81,7 +146,7 @@ def test_auto_depth_freezes_at_creation(spark, emb, tmp_path):
     meta2 = json.loads(Path(path, "meta.json").read_text())
     assert meta2["n_planes"] == d_created
     # appended buckets live in the creation-depth bucket space
-    mx = (spark.read.parquet(f"{path}/signatures")
+    mx = (ai._read_table(spark, path, "bands")
           .agg(F.max("bucket")).head()[0])
     assert mx < 2 ** d_created
 
@@ -107,9 +172,9 @@ def test_append_plan_reads_only_the_delta(spark, emb, tmp_path):
     assert plan.count("Scan parquet") == 1  # exactly the delta's scan
     assert "Exchange" not in plan      # signature compute is shuffle-free
 
-    n_before = spark.read.parquet(f"{path}/signatures").count()
+    n_before = ai._read_table(spark, path, "bands").count()
     ai.append_signatures(delta, path)
-    n_after = spark.read.parquet(f"{path}/signatures").count()
+    n_after = ai._read_table(spark, path, "bands").count()
     assert n_after == n_before + delta.count() * meta["n_tables"]
 
 
@@ -117,7 +182,8 @@ def test_multiprobe_through_persisted_index(spark, emb, tmp_path):
     """probe_radius=r against the persisted index == the inline
     ``lsh_multiprobe_topk`` at the same geometry (round-7 lever x round-8
     index); radius 1 candidates strictly contain radius 0's (mask-set
-    inclusion), and the probe stays a join-free pushed-down filter."""
+    inclusion), and the probe stays a pushed-down filter + broadcast
+    candidate fetch — no shuffle touches an index-sized frame."""
     from insight_de_smart_grid_spark.operators.similarity import (
         lsh_multiprobe_topk,
     )
@@ -129,7 +195,8 @@ def test_multiprobe_through_persisted_index(spark, emb, tmp_path):
     got = ai.query_index_topk(spark, path, qv, k=10, exclude_id=0,
                               probe_radius=1)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan and plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     want = lsh_multiprobe_topk(emb, query_vec_id=0, k=10, n_tables=4,
                                n_planes=8, probe_radius=1)
     assert (sorted((r.vec_id, r.cos_sim) for r in got.collect())
@@ -142,7 +209,7 @@ def test_multiprobe_through_persisted_index(spark, emb, tmp_path):
         pred = reduce(lambda a, b: a | b,
                       [(F.col("table") == t) & (F.col("bucket").isin(bs))
                        for t, bs in probes])
-        return (spark.read.parquet(f"{path}/signatures").filter(pred)
+        return (ai._read_table(spark, path, "bands").filter(pred)
                 .select("vec_id").distinct().count())
 
     assert n_cands(0) <= n_cands(1) <= n_cands(2)
@@ -150,16 +217,64 @@ def test_multiprobe_through_persisted_index(spark, emb, tmp_path):
 
 
 def test_probe_is_pushed_down(spark, emb, tmp_path):
-    """The query probe is a filter over the partitioned signature table —
-    no join to build candidates, partition pruning on the LSH table dirs
-    (PartitionFilters carries the table terms of the disjunction)."""
+    """The query probe is a filter over the partitioned bands table —
+    partition pruning on the LSH table dirs (PartitionFilters carries the
+    table terms of the disjunction) — and the candidate fetch broadcasts
+    the k-bounded id list into the vectors scan: exactly two parquet
+    scans (bands + vectors), both shuffle-free (the only Exchanges sit
+    over the candidate-bounded distinct)."""
     path = str(tmp_path / "idx")
     ai.build_signature_index(emb, path, n_tables=4, n_planes=6)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     out = ai.query_index_topk(spark, path, qv, k=5, exclude_id=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert plan.count("Scan parquet") == 1
-    assert "PartitionFilters: [" in plan and "table" in plan.split(
-        "PartitionFilters:")[1][:200]
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the BANDS scan carries the table terms of the disjunction as
+    # partition filters (the vectors scan's list is legitimately empty)
+    assert any("table" in part[:200]
+               for part in plan.split("PartitionFilters:")[1:])
+    assert out.count() > 0
+
+
+def test_batch_probe_equals_per_query_loops(spark, emb, tmp_path):
+    """VERDICT r8 item 3: the batched multi-query probe answers a delta
+    of Q query vectors in ONE job with rows equal, per query id, to the
+    per-query ``query_index_topk`` loop (and therefore to the inline
+    forms those are pinned against) — at radius 0 AND at radius 1."""
+    path = str(tmp_path / "idx")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+
+    for radius in (0, 1):
+        got = ai.query_index_batch_topk(spark, path, queries, k=10,
+                                        probe_radius=radius)
+        got_rows = sorted((r.query_id, r.vec_id, r.cos_sim)
+                          for r in got.collect())
+        want = []
+        for qid in qids:
+            qv = (emb.filter(F.col("vec_id") == qid)
+                  .select("embedding").head()[0])
+            want += [(qid, r.vec_id, r.cos_sim) for r in
+                     ai.query_index_topk(spark, path, qv, k=10,
+                                         exclude_id=qid,
+                                         probe_radius=radius).collect()]
+        assert got_rows == sorted(want), f"radius={radius}"
+
+
+def test_batch_probe_has_no_index_side_shuffle(spark, emb, tmp_path):
+    """The batched probe's plan: the delta-bounded probe set and the
+    candidate pairs are the BROADCAST sides; both index scans (bands,
+    vectors) stream through BroadcastHashJoins — no SortMergeJoin or
+    ShuffledHashJoin anywhere, so no index-sized frame is ever
+    shuffled."""
+    path = str(tmp_path / "idx")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ai.query_index_batch_topk(spark, path, queries, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert out.count() > 0

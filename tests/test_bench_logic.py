@@ -17,7 +17,9 @@ if str(REPO) not in sys.path:
 from bench import (  # noqa: E402
     ab_verdict,
     confirmed_regressions,
+    crosstree_interleaved,
     crosstree_measure,
+    interleaved_measure,
     is_ingest_regression,
     is_regression,
     previous_round_tip,
@@ -133,6 +135,98 @@ def test_ab_verdict_attribution():
     # the round-7 manual triage (SCALE.md:503) as data: 1.40s now vs
     # 0.883 frozen, 1.414s on the round-6 tip -> host drift
     assert ab_verdict(1.414, 0.883) == "host_drift"
+
+
+def test_previous_round_tip_skips_untracked_driver_artifact(tmp_path):
+    """Round-9 fix, pinned to exactly the driver-session state the round-8
+    judge reproduced: the driver writes BENCH_r{N}.json BEFORE the
+    round-boundary commit, so the newest artifact on disk is UNTRACKED
+    and `git log -- <it>` is empty. previous_round_tip must fall back to
+    the newest artifact WITH committed history instead of returning
+    None (which crashed the A/B with a TypeError in `git worktree add`)."""
+    import subprocess
+
+    def git(*args):
+        return subprocess.run(["git", *args], cwd=tmp_path, check=True,
+                              capture_output=True, text=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    git("add", "BENCH_r07.json")
+    git("commit", "-q", "-m", "round 7 artifacts")
+    r7_tip = git("rev-parse", "HEAD").stdout.strip()
+    # mid-driver-session state: this round's snapshot exists but is
+    # untracked — must NOT shadow the committed r07 artifact
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    assert previous_round_tip(str(tmp_path)) == r7_tip
+    # nothing committed at all -> None (and the A/B degrades cleanly)
+    for p in tmp_path.glob("BENCH_r*.json"):
+        p.unlink()
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    assert previous_round_tip(str(tmp_path)) is None
+
+
+def test_crosstree_measure_rejects_missing_commit(tmp_path, capsys):
+    """A None/empty previous tip must degrade to 'unattributed' ({} from
+    the measurer), never reach `git worktree add None` (round-8 bug)."""
+    def never(wt, names, sf_dir):
+        raise AssertionError("runner must not be called without a commit")
+
+    assert crosstree_measure(str(tmp_path), None, ["q"], "sf",
+                             runner=never) == {}
+    assert crosstree_interleaved(str(tmp_path), None, ["q"], "sf",
+                                 cur_once=lambda n: 1.0) == {}
+    assert crosstree_measure(str(tmp_path), "", ["q"], "sf",
+                             runner=never) == {}
+
+
+def test_interleaved_measure_alternates_and_medians():
+    """Round-9 A/B shape: prev and cur single runs must strictly
+    alternate (same host-load window), medians taken per tree, a prev
+    tree that can't run the query yields prev=None, and streaming
+    queries run one pair."""
+    order = []
+    prev_vals = iter([1.0, 1.2, 1.1])
+    cur_vals = iter([2.0, 2.4, 2.2])
+
+    def prev_once(name):
+        order.append(("prev", name))
+        return next(prev_vals)
+
+    def cur_once(name):
+        order.append(("cur", name))
+        return next(cur_vals)
+
+    out = interleaved_measure(["q"], prev_once, cur_once, rounds=3)
+    assert out["q"] == {"prev": 1.1, "cur": 2.2}
+    assert order[:6] == [("prev", "q"), ("cur", "q")] * 3  # strict A,B,A,B
+
+    out2 = interleaved_measure(
+        ["streaming_x"], lambda n: 5.0, lambda n: 6.0, rounds=3)
+    assert out2["streaming_x"] == {"prev": 5.0, "cur": 6.0}
+    out3 = interleaved_measure(["gone"], lambda n: None,
+                               lambda n: 0.4, rounds=3)
+    assert out3["gone"] == {"prev": None, "cur": 0.4}
+
+
+def test_ab_verdict_same_window_cur():
+    """The star_stats_agg lesson as data: a synthetic code slowdown (cur
+    still slow in the same window the prev tree reads fast) stays
+    code_regression; a recorded-drift replay (both trees back at
+    baseline once the oscillation passed) reads host_drift."""
+    baseline = 0.673
+    # synthetic slowdown: prev hits baseline, cur 2x slow in same window
+    assert ab_verdict(0.70, baseline, cur_time=1.41) == "code_regression"
+    # round-8 recorded drift: flag fired at 1.009s, but in the A/B window
+    # prev read 0.70 and cur read 0.71 — drift resolved -> host_drift
+    assert ab_verdict(0.70, baseline, cur_time=0.71) == "host_drift"
+    # prev slow too: host_drift regardless of cur
+    assert ab_verdict(1.40, baseline, cur_time=1.41) == "host_drift"
+    # no cur measurement: falls back to the round-8 prev-only rule
+    assert ab_verdict(0.70, baseline, cur_time=None) == "code_regression"
+    assert ab_verdict(None, baseline, cur_time=1.41) == "unattributed"
 
 
 def test_previous_round_tip_resolves_bench_commit():
