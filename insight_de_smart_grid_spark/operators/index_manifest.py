@@ -65,8 +65,15 @@ def live_segments(path: str, table: str) -> list[str]:
     exists (a pre-manifest round-8 index remains readable)."""
     man = read_manifest(path)
     if man is None:
+        # pre-manifest round-8 layout only: a directory that already
+        # holds seg-* children is a staged-but-never-committed index —
+        # those segments are NOT live (nothing was ever committed)
         legacy = Path(path, table)
-        return [str(legacy)] if legacy.exists() else []
+        if not legacy.exists():
+            return []
+        if any(c.name.startswith("seg-") for c in legacy.iterdir()):
+            return []
+        return [str(legacy)]
     return [str(Path(path, rel)) for rel in man["tables"].get(table, [])]
 
 

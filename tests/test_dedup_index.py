@@ -1,8 +1,8 @@
 """Persisted MinHash-LSH dedup index (operators/dedup_index.py): the
 maintenance contracts the registered oracle rows can't see — rebuild ==
 append equivalence at the pair level, delta-only append plans, compaction
-invariance, broadcast shape of the incremental probe, and geometry
-freezing."""
+invariance, broadcast/shuffle shapes of the incremental probe, geometry
+freezing, and the round-9 manifest-commit crash windows."""
 
 from __future__ import annotations
 
@@ -27,12 +27,20 @@ def _pairs(df):
                   for r in df.collect())
 
 
+def _live_files(path, tables=("docs", "bands")):
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        live_segments,
+    )
+    return sum(1 for t in tables for seg in live_segments(path, t)
+               for _ in Path(seg).rglob("*.parquet"))
+
+
 def test_append_equals_rebuild_and_inline(spark, docs, tmp_path):
     """(index built on 80% + two appended deltas) produces the same
     verified near-dup pairs as a from-scratch index AND as the inline
     ``minhash_lsh_near_dups`` pipeline, before and after compaction;
-    compaction reduces the file count (each append adds a file set per
-    band partition) without changing a row."""
+    compaction reduces the live file count (each append adds a segment
+    per table) without changing a row."""
     inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
     b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), 100)
     di.build_dedup_index(docs.filter(b < 80), inc)
@@ -43,16 +51,19 @@ def test_append_equals_rebuild_and_inline(spark, docs, tmp_path):
     want = _pairs(dd.minhash_lsh_near_dups(docs, threshold=0.5))
     assert want, "fixture has no near-dup pairs — test is vacuous"
     assert _pairs(di.index_near_dup_pairs(spark, full)) == want
-    files_before = sum(1 for s in ("docs", "bands")
-                       for _ in Path(inc, s).rglob("*.parquet"))
+    files_before = _live_files(inc)
     assert _pairs(di.index_near_dup_pairs(spark, inc)) == want
     files_after = di.compact_dedup_index(spark, inc)
     assert files_after < files_before
     assert _pairs(di.index_near_dup_pairs(spark, inc)) == want
-    # row multisets survive compaction exactly
+    # row multisets survive compaction exactly, and the superseded
+    # segments were GC'd (one live segment per table, none orphaned)
     for sub in ("docs", "bands"):
-        assert (spark.read.parquet(f"{inc}/{sub}").count()
-                == spark.read.parquet(f"{full}/{sub}").count())
+        assert (di._read_table(spark, inc, sub).count()
+                == di._read_table(spark, full, sub).count())
+        on_disk = {p.name for p in Path(inc, sub).iterdir()
+                   if p.name.startswith("seg-")}
+        assert len(on_disk) == 1
 
 
 def test_incremental_probe_matches_spanning_pairs(spark, docs, tmp_path):
@@ -87,11 +98,11 @@ def test_append_plan_reads_only_the_delta(spark, docs, tmp_path):
     assert path not in plan                 # never reads the index
     assert plan.count("Scan parquet") == 1  # exactly the delta's scan
 
-    n_docs = spark.read.parquet(f"{path}/docs").count()
+    n_docs = di._read_table(spark, path, "docs").count()
     di.append_dedup_index(delta, path)
     n_delta = sig.count()
-    assert spark.read.parquet(f"{path}/docs").count() == n_docs + n_delta
-    assert (spark.read.parquet(f"{path}/bands").count()
+    assert di._read_table(spark, path, "docs").count() == n_docs + n_delta
+    assert (di._read_table(spark, path, "bands").count()
             == (n_docs + n_delta) * meta["bands"])
 
 
@@ -104,11 +115,46 @@ def test_incremental_probe_broadcasts_the_delta(spark, docs, tmp_path):
     path = str(tmp_path / "idx")
     b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), 100)
     di.build_dedup_index(docs.filter(b < 80), path)
-    out = di.dedup_new_against_index(spark, path, docs.filter(b >= 80))
+    out = di.dedup_new_against_index(spark, path, docs.filter(b >= 80),
+                                     mode="broadcast")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert out.count() >= 0  # executes
+
+
+def test_probe_shuffle_mode_for_big_deltas(spark, docs, tmp_path):
+    """VERDICT r8 item 5: a delta too big to broadcast takes the
+    SHUFFLE_HASH path with IDENTICAL pairs; ``mode="auto"`` picks it when
+    the delta row count crosses the threshold (planted here by dropping
+    the threshold under the delta size) and stays on broadcast below."""
+    path = str(tmp_path / "idx")
+    b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), 100)
+    base, delta = docs.filter(b < 70), docs.filter(b >= 70)
+    di.build_dedup_index(base, path)
+
+    want = _pairs(di.dedup_new_against_index(spark, path, delta,
+                                             mode="broadcast"))
+    assert want
+    shuffled = di.dedup_new_against_index(spark, path, delta,
+                                          mode="shuffle")
+    assert _pairs(shuffled) == want
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan   # nothing broadcast at all
+
+    # auto: the planted "big" delta (threshold 1 row) goes shuffle…
+    auto_big = di.dedup_new_against_index(spark, path, delta, mode="auto",
+                                          broadcast_threshold=1)
+    assert "ShuffledHashJoin" in (auto_big._jdf.queryExecution()
+                                  .executedPlan().toString())
+    assert _pairs(auto_big) == want
+    # …and a small one stays on the broadcast shape
+    auto_small = di.dedup_new_against_index(spark, path, delta,
+                                            mode="auto")
+    assert "BroadcastHashJoin" in (auto_small._jdf.queryExecution()
+                                   .executedPlan().toString())
 
 
 def test_scheduled_ingest_loop_is_exactly_the_full_pair_set(
@@ -129,10 +175,8 @@ def test_scheduled_ingest_loop_is_exactly_the_full_pair_set(
         spark, docs, str(tmp_path / "loopc"), n_batches=4,
         compact_every=2)
     assert _pairs(got_c) == want
-    files = lambda d: sum(1 for s in ("docs", "bands")  # noqa: E731
-                          for _ in Path(tmp_path, d, "index", s)
-                          .rglob("*.parquet"))
-    assert files("loopc") < files("loop4")
+    assert (_live_files(str(tmp_path / "loopc" / "index"))
+            < _live_files(str(tmp_path / "loop4" / "index")))
     # the loop leaves a complete, usable index behind: its standing state
     # answers the one-shot pair query identically
     assert _pairs(di.index_near_dup_pairs(
@@ -145,6 +189,84 @@ def test_scheduled_ingest_loop_is_exactly_the_full_pair_set(
     assert _pairs(got_s) == want
     assert _pairs(di.index_near_dup_pairs(
         spark, str(tmp_path / "stream" / "index"))) == want
+
+
+def test_crash_between_stage_and_commit_is_invisible_and_retryable(
+        spark, docs, tmp_path, monkeypatch):
+    """Round-9 manifest protocol (VERDICT r8 item 4): kill an ingest step
+    between its segment staging and its manifest bump — readers see ONLY
+    the pre-crash state (no partial batch, no mixed version), and a retry
+    of the same step converges to exactly the clean-run state (the
+    deterministic segment names make the re-stage overwrite its own
+    orphans; the commit is a single atomic pointer replace)."""
+    b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), 100)
+    base, delta = docs.filter(b < 60), docs.filter(b >= 60)
+    path = str(tmp_path / "idx")
+    meta = di.build_dedup_index(base, path)
+    before_docs = di._read_table(spark, path, "docs").count()
+    before_pairs = _pairs(di.index_near_dup_pairs(spark, path))
+
+    real_commit = di.commit
+
+    def dying_commit(p, adds=None, replaces=None):
+        raise RuntimeError("injected crash between stage and commit")
+
+    monkeypatch.setattr(di, "commit", dying_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        di._ingest_batch(spark, delta, path, meta, 0.5, tag="b1",
+                         first=False)
+    # the staged orphans exist on disk but NO reader can see them
+    assert any(Path(path, "docs").glob("seg-b1*"))
+    assert di._read_table(spark, path, "docs").count() == before_docs
+    assert _pairs(di.index_near_dup_pairs(spark, path)) == before_pairs
+
+    # retry of the same step (same tag) — converges to the clean state
+    monkeypatch.setattr(di, "commit", real_commit)
+    di._ingest_batch(spark, delta, path, meta, 0.5, tag="b1", first=False)
+    clean = str(tmp_path / "clean")
+    di.build_dedup_index(docs, clean)
+    assert (di._read_table(spark, path, "docs").count()
+            == di._read_table(spark, clean, "docs").count())
+    assert (_pairs(di.index_near_dup_pairs(spark, path))
+            == _pairs(di.index_near_dup_pairs(spark, clean)))
+
+
+def test_streaming_replay_after_crash_commits_each_batch_once(
+        spark, docs, tmp_path, monkeypatch):
+    """The round-8 ADVICE window, closed: crash a REAL micro-batch
+    between its pairs/index staging and the manifest bump, restart the
+    stream — the checkpoint replays ONLY the failed batch, the replay
+    overwrites its own orphans and commits once, and the final pair set
+    equals the inline full-corpus pipeline (no double-appended docs, no
+    duplicate pairs)."""
+    want = _pairs(dd.minhash_lsh_near_dups(docs, threshold=0.5))
+    assert want
+    base = str(tmp_path / "crash")
+
+    real_commit = di.commit
+    state = {"commits": 0}
+
+    def flaky_commit(p, adds=None, replaces=None):
+        state["commits"] += 1
+        if state["commits"] == 3:  # 3rd micro-batch: stage done, die
+            raise RuntimeError("injected crash between stage and commit")
+        return real_commit(p, adds=adds, replaces=replaces)
+
+    monkeypatch.setattr(di, "commit", flaky_commit)
+    with pytest.raises(Exception, match="injected crash"):
+        di.streaming_ingest_dedup(spark, docs, base, n_files=3)
+    # only the two committed batches are visible
+    partial = set(_pairs(di._read_table(spark, f"{base}/index", "pairs")))
+    assert partial <= set(want)
+    n_partial = di._read_table(spark, f"{base}/index", "docs").count()
+    assert n_partial < docs.count()
+
+    monkeypatch.setattr(di, "commit", real_commit)
+    got = di.streaming_ingest_dedup(spark, docs, base, n_files=3)
+    assert _pairs(got) == want
+    assert di._read_table(spark, f"{base}/index", "docs").count() \
+        == docs.count()
+    assert _pairs(di.index_near_dup_pairs(spark, f"{base}/index")) == want
 
 
 def test_geometry_is_frozen_at_creation(spark, docs, tmp_path):
@@ -160,6 +282,6 @@ def test_geometry_is_frozen_at_creation(spark, docs, tmp_path):
     di.append_dedup_index(docs.filter(b >= 50), path)
     assert json.loads(Path(path, "meta.json").read_text()) == meta
     # appended rows live in the creation geometry's band space
-    mx = (spark.read.parquet(f"{path}/bands")
+    mx = (di._read_table(spark, path, "bands")
           .agg(F.max("band_idx")).head()[0])
     assert mx == 3
