@@ -489,6 +489,33 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"ssj_{uuid.uuid4().hex[:8]}")
 
 
+@register("streaming_range_join_bucketed", STREAM_INTERVAL_JOIN_SQL)
+def q_streaming_range_join_bucketed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Round-9 stream-stream twin of the BUCKETED interval join: the
+    lookback folded into the equi key as epoch buckets, so the join's
+    state store keys on (user, bucket) and a hot user's buffered clicks
+    never pile into one state key — the same hot-key quadratic the batch
+    bucketed form kills, applied to streaming state. Bucket columns are
+    internal (dropped before the sink); watermarks and the range
+    condition are unchanged, so the replay registers against the SAME
+    oracle SQL as the plain stream-stream join
+    (`streaming/stream_ops.py::purchase_click_bucketed_stream_plan`)."""
+    import uuid
+
+    from insight_de_smart_grid_spark.streaming.replay import (
+        replay_parquet_stream,
+    )
+    from insight_de_smart_grid_spark.streaming.stream_ops import (
+        purchase_click_bucketed_stream_plan,
+    )
+
+    return replay_parquet_stream(
+        spark, f"{sf_dir}/events.parquet",
+        purchase_click_bucketed_stream_plan,
+        query_name=f"ssjb_{uuid.uuid4().hex[:8]}")
+
+
 # The streamed dedup projects ONLY the business-key columns, so its result
 # is the distinct key set no matter which physical duplicate survived —
 # exactly SELECT DISTINCT. (dropDuplicatesWithinWatermark could re-emit a

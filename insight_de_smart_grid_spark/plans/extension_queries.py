@@ -441,7 +441,15 @@ def q_streaming_sliding_p95_panes(spark: SparkSession, sf_dir: str
     width = (hi - lo) / float(bins)
 
     def pre(s):
-        return (s.filter(F.col("value").isNotNull())
+        # keep the flush sentinel (user_id == -1) even if its value were
+        # NULL: dropping it here would stall the watermark at the last
+        # real ts and silently lose tail windows (round-8 ADVICE; the
+        # sentinel writer also coalesces value now — this is the
+        # defense-in-depth at the one pre that filters on value).
+        # Sentinel rows never reach the output: quantile_fold below
+        # filters user_id != -1.
+        return (s.filter(F.col("value").isNotNull()
+                         | (F.col("user_id") == -1))
                 .withColumn("__lo", F.lit(lo))
                 .withColumn("__width", F.lit(width))
                 .withColumn(

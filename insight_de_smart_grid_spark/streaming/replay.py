@@ -95,6 +95,18 @@ def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
                 .withColumn("ts", bumped)
                 .withColumn("user_id", F.lit(-1)
                             .cast(batch.schema["user_id"].dataType)))
+    if "value" in batch.columns:
+        # the sentinel exists only to advance the watermark and is
+        # excluded from every output by the user_id != -1 convention —
+        # but if the copied max-ts row happened to carry a NULL value, a
+        # plan's pre-watermark `value IS NOT NULL` filter would silently
+        # drop the sentinel, stall the watermark at the real maximum, and
+        # lose tail windows (round-8 ADVICE). Coalesce to a constant so
+        # no NULL filter can eat it.
+        sentinel = sentinel.withColumn(
+            "value", F.coalesce(
+                F.col("value"),
+                F.lit(0).cast(batch.schema["value"].dataType)))
     if all_types and "event_type" in batch.columns:
         # one sentinel row PER event type: queries that split the stream by
         # type (stream-stream joins) collect their event-time stats on the

