@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators.duty_cycle import (
     PANE_DENSITY_CROSSOVER,
+    PROBE_SAMPLE_FRACTION,
     _interval_seconds,
     pane_density,
 )
@@ -207,7 +208,8 @@ def sliding_agg(df: DataFrame,
                     and w_s % s_s == 0 and w_s != s_s)
     if panes == "auto":
         panes = bool(decomposable) and (
-            pane_density(df, s_s, time_col, keys)
+            pane_density(df, s_s, time_col, keys,
+                         sample_fraction=PROBE_SAMPLE_FRACTION)
             >= PANE_DENSITY_CROSSOVER)
     needed = expand_needed(aggs)
 

@@ -159,6 +159,7 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
     if panes == "auto":
         from insight_de_smart_grid_spark.operators.duty_cycle import (
             PANE_DENSITY_CROSSOVER,
+            PROBE_SAMPLE_FRACTION,
             _interval_seconds,
             pane_density,
             probe_kwargs,
@@ -174,7 +175,8 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             readings = to_readings(spark.read.parquet(parquet_path))
             panes = (pane_density(
-                readings, s_s, time_col=pk["time_col"], keys=pk["keys"])
+                readings, s_s, time_col=pk["time_col"], keys=pk["keys"],
+                sample_fraction=PROBE_SAMPLE_FRACTION)
                 >= PANE_DENSITY_CROSSOVER)
     plan = duty_cycle_stream_panes_plan if panes else duty_cycle_stream_plan
     return replay_parquet_stream(

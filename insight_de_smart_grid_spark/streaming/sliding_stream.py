@@ -86,6 +86,7 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
     if panes == "auto":
         from insight_de_smart_grid_spark.operators.duty_cycle import (
             PANE_DENSITY_CROSSOVER,
+            PROBE_SAMPLE_FRACTION,
             _interval_seconds,
             pane_density,
             probe_kwargs,
@@ -102,7 +103,8 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
             panes = (pane_density(
                 (pre or (lambda s: s))(
                     normalize_event_ts(spark.read.parquet(parquet_path))),
-                s_s, time_col=pk["time_col"], keys=pk["keys"])
+                s_s, time_col=pk["time_col"], keys=pk["keys"],
+                sample_fraction=PROBE_SAMPLE_FRACTION)
                 >= PANE_DENSITY_CROSSOVER)
     # ``pre``: optional narrow (stateless) transform applied between ts
     # normalization and the stateful plan — e.g. the quantile family's

@@ -345,3 +345,52 @@ def test_duty_cycle_auto_probe_picks_by_density(spark):
     odd_auto = duty_cycle(dense, window="10 minutes", slide="3 minutes",
                           panes="auto")
     assert not _is_pane_plan(odd_auto)
+
+
+def test_auto_probe_is_sampled_with_small_corpus_fallback(
+        spark, monkeypatch):
+    """Round-9 (VERDICT r8 item 8): the ``panes="auto"`` call sites hand
+    the density probe the default sample fraction — the probe's frame
+    reads through a Sample node over a NARROW projection (never the wide
+    rows, never a shuffle below the one-row agg) — and a corpus whose
+    sample lands under min_sample_rows falls back to the exact full-scan
+    probe, so the tiny-fixture choices above are unchanged."""
+    from insight_de_smart_grid_spark.operators import duty_cycle as dc
+    from insight_de_smart_grid_spark.operators import sliding as sl
+
+    readings = readings_view(spark, SF_ORACLE)
+    sampled = dc._probe_frame(readings, 120, "ts",
+                              ("house_id", "appliance_id"),
+                              dc.PROBE_SAMPLE_FRACTION)
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Sample" in plan
+    full = dc._probe_frame(readings, 120, "ts",
+                           ("house_id", "appliance_id"))
+    assert "Sample" not in (full._jdf.queryExecution().executedPlan()
+                            .toString())
+
+    # both sliding_agg's and duty_cycle's auto paths thread the fraction
+    seen = []
+    real = dc.pane_density
+
+    def spy(df, s_s, time_col="ts", keys=("house_id", "appliance_id"),
+            **kw):
+        seen.append(kw.get("sample_fraction"))
+        return real(df, s_s, time_col, keys, **kw)
+
+    monkeypatch.setattr(sl, "pane_density", spy)
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    from insight_de_smart_grid_spark.sources.tables import (
+        normalize_event_ts,
+    )
+    sl.sliding_agg(normalize_event_ts(ev), window="10 minutes",
+                   slide="2 minutes", aggs=(("n", "count", "value"),),
+                   keys=("user_id",), panes="auto")
+    assert seen == [dc.PROBE_SAMPLE_FRACTION]
+
+    # the sf0.01 fixture's 5% sample is far below min_sample_rows, so the
+    # probe fell back to the exact scan: same density as the unsampled
+    # call, same choice on the tiny regime
+    assert (real(readings, 120,
+                 sample_fraction=dc.PROBE_SAMPLE_FRACTION)
+            == real(readings, 120))
