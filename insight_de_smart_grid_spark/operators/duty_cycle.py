@@ -56,6 +56,17 @@ PANE_DENSITY_CROSSOVER = 4.0
 # (where the full probe is cheaper than modeling) are unaffected.
 PROBE_SAMPLE_FRACTION = 0.05
 
+# Catalyst size estimate of the probe's NARROW projection below which
+# the sampled path isn't attempted at all: under it, the 5% sample could
+# not reach min_sample_rows, so trying would just pay a wasted sample
+# job before the full-scan fallback (measured +0.5 s per auto query at
+# sf0.1). 2 MiB of (ts, keys) columns is ~330k rows at the fixtures'
+# ~6 B/row estimate — comfortably past min_sample_rows / fraction =
+# 200k, and an order of magnitude under the stress corpora where the
+# sampled probe earns its keep. The gate reads optimizedPlan().stats()
+# (file-size based) — zero jobs.
+SAMPLED_PROBE_MIN_BYTES = 2 * 1024 * 1024
+
 
 def probe_kwargs(plan_fn, plan_kwargs: dict,
                  names: tuple[str, ...] = ("window", "slide", "time_col",
@@ -102,7 +113,9 @@ def pane_density(readings: DataFrame, slide_seconds: int,
     sample_fraction >= ~0.025 for the measured crossover of 4.0 — and a
     sample landing under ``min_sample_rows`` rows falls back to the
     full probe (a corpus that small is cheaper to scan than to model)."""
-    if sample_fraction and 0.0 < sample_fraction < 1.0:
+    if sample_fraction and 0.0 < sample_fraction < 1.0 \
+            and _probe_input_bytes(readings, time_col, keys) \
+            >= SAMPLED_PROBE_MIN_BYTES:
         import math
 
         st = _probe_frame(readings, slide_seconds, time_col, keys,
@@ -116,6 +129,22 @@ def pane_density(readings: DataFrame, slide_seconds: int,
         # sample too small to invert reliably -> full probe below
     stats = _probe_frame(readings, slide_seconds, time_col, keys).first()
     return stats.n / max(stats.g, 1)
+
+
+def _probe_input_bytes(readings: DataFrame, time_col: str,
+                       keys: tuple[str, ...]) -> int:
+    """Catalyst's size estimate of the probe's narrow projection — the
+    zero-job corpus-size gate for the sampled probe. File-size based
+    (CBO row counts are usually absent), so it's a coarse bound; the
+    in-probe min_sample_rows fallback remains the exact guard."""
+    try:
+        proj = readings.select(time_col, *keys)
+        return int(str(proj._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        # no stats (e.g. a local relation) -> let the sampled path try;
+        # the min_sample_rows fallback still protects correctness
+        return SAMPLED_PROBE_MIN_BYTES
 
 
 def _probe_frame(readings: DataFrame, slide_seconds: int, time_col: str,

@@ -1,0 +1,107 @@
+"""Manifest-pointer commit protocol (operators/index_manifest.py) — the
+pure-filesystem contracts both index families build on: atomic pointer
+bumps, idempotent re-commits, legacy fallback rules, and GC scope.
+No Spark needed."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from insight_de_smart_grid_spark.operators import index_manifest as im
+
+
+def _mk_seg(path, table, name):
+    seg = Path(im.stage_segment(str(Path(path, table)), name))
+    seg.mkdir(parents=True, exist_ok=True)
+    (seg / "part-0.parquet").write_bytes(b"x")
+    return str(seg)
+
+
+def test_commit_adds_replaces_and_is_idempotent(tmp_path):
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    man = im.commit(p, replaces={"bands": [a]})
+    assert man["version"] == 1
+    assert im.live_segments(p, "bands") == [a]
+
+    b = _mk_seg(p, "bands", "a1")
+    im.commit(p, adds={"bands": [b]})
+    assert im.live_segments(p, "bands") == [a, b]
+    # re-committing the same segment (a replayed batch's bump) is a no-op
+    # on the list but still bumps the version (the manifest is the WAL)
+    man = im.commit(p, adds={"bands": [b]})
+    assert im.live_segments(p, "bands") == [a, b]
+    assert man["version"] == 3
+
+    c = _mk_seg(p, "bands", "c1")
+    im.commit(p, replaces={"bands": [c]})
+    assert im.live_segments(p, "bands") == [c]
+
+
+def test_manifest_paths_are_relative_and_relocatable(tmp_path):
+    src = tmp_path / "idx"
+    a = _mk_seg(str(src), "docs", "base")
+    im.commit(str(src), replaces={"docs": [a]})
+    raw = json.loads((src / im.MANIFEST).read_text())
+    assert raw["tables"]["docs"] == ["docs/seg-base"]  # no absolute paths
+    # move the whole index directory: the manifest still resolves
+    dst = tmp_path / "moved"
+    src.rename(dst)
+    assert im.live_segments(str(dst), "docs") == [
+        str(dst / "docs" / "seg-base")]
+
+
+def test_uncommitted_segments_are_invisible_and_gcd(tmp_path):
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]})
+    orphan = _mk_seg(p, "bands", "crashed")  # staged, never committed
+    assert im.live_segments(p, "bands") == [a]
+    assert im.gc_unreferenced(p) == 1
+    assert not Path(orphan).exists() and Path(a).exists()
+    # gc is a no-op when everything on disk is referenced
+    assert im.gc_unreferenced(p) == 0
+
+
+def test_legacy_layout_fallback_rules(tmp_path):
+    # a pre-manifest round-8 index (bare table dir, no seg-*) stays
+    # readable through the fallback
+    legacy = tmp_path / "old" / "bands"
+    legacy.mkdir(parents=True)
+    (legacy / "part-0.parquet").write_bytes(b"x")
+    assert im.live_segments(str(tmp_path / "old"), "bands") == [str(legacy)]
+    # but a staged-never-committed dir (seg-* children, no manifest) is
+    # NOT live — nothing was ever committed
+    staged = tmp_path / "new"
+    _mk_seg(str(staged), "bands", "base")
+    assert im.live_segments(str(staged), "bands") == []
+    # and a missing table is simply empty
+    assert im.live_segments(str(tmp_path / "old"), "docs") == []
+
+
+def test_commit_is_a_single_pointer_replace(tmp_path, monkeypatch):
+    """The only mutation a reader can ever observe is the os.replace of
+    MANIFEST.json: a crash in the middle of commit() (before the replace)
+    leaves the old manifest byte-identical."""
+    import os
+
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]})
+    before = Path(p, im.MANIFEST).read_bytes()
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise OSError("injected crash before the pointer bump")
+
+    b = _mk_seg(p, "bands", "a1")
+    monkeypatch.setattr(os, "replace", dying_replace)
+    try:
+        im.commit(p, adds={"bands": [b]})
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert Path(p, im.MANIFEST).read_bytes() == before
+    assert im.live_segments(p, "bands") == [a]
