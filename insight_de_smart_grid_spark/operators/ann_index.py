@@ -76,6 +76,7 @@ from insight_de_smart_grid_spark.operators.similarity import (
 _META = "meta.json"
 _BANDS = "bands"
 _VECS = "vectors"
+_PROBES = "probes"
 
 
 def _read_meta(path: str) -> dict:
@@ -263,6 +264,129 @@ def query_index_topk(spark: SparkSession, path: str, query_vec,
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _ann_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
+                      meta: dict, k: int, probe_radius: int,
+                      tag: str, first: bool) -> None:
+    """One ANN ingest step, committed atomically (the dedup loop's
+    ``_ingest_batch`` shape): probe the arriving slice against the
+    STANDING index with one batched job, stage the probe output AND the
+    slice's own bands/vectors segments, publish all three in a single
+    manifest bump. A crash anywhere before the bump leaves index and
+    probe log unchanged; a replay overwrites the same ``seg-{tag}``
+    names and commits once."""
+    if first:
+        build_signature_index(batch, path, meta["n_tables"],
+                              meta["n_planes"], meta["dim"],
+                              vec_col=meta["vec_col"],
+                              id_col=meta["id_col"])
+        return
+    probe = query_index_batch_topk(spark, path, batch, k=k,
+                                   probe_radius=probe_radius)
+    seg_p = stage_segment(f"{path}/{_PROBES}", tag)
+    probe.write.mode("overwrite").parquet(seg_p)   # reads index AS-OF now
+    sig = hyperplane_signatures(batch, meta["n_tables"], meta["n_planes"],
+                                meta["dim"], vec_col=meta["vec_col"],
+                                id_col=meta["id_col"])
+    staged = _stage_tables(
+        sig, _vectors_frame(batch, meta["vec_col"], meta["id_col"]),
+        path, meta["id_col"], tag)
+    commit(path, adds={**staged, _PROBES: [seg_p]})
+
+
+def ingest_ann_index(spark: SparkSession, embeddings: DataFrame,
+                     path: str, n_batches: int = 4, k: int = 5,
+                     n_tables: int = 16, n_planes: int = 4, dim: int = 64,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     probe_radius: int = 0) -> DataFrame:
+    """The ANN index's whole lifecycle as one scheduled-ingest loop — the
+    reference's Airflow micro-batch mode (SURVEY ST5) recast as
+    embedding-corpus curation, and the ANN twin of
+    ``dedup_index.scheduled_ingest_dedup``. The corpus arrives as
+    ``n_batches`` deterministic slices (slice = ``id % n_batches``),
+    replayed in slice order; slice 0 creates the index, every later
+    slice is ANN-checked against the index of everything ingested BEFORE
+    it (one ``query_index_batch_topk`` job — never a per-vector driver
+    loop) and then appended, probe output and index segments committed
+    in one manifest bump.
+
+    Unlike the dedup loop's pair set, the probe log is batching-
+    DEPENDENT by design (each query ranks only earlier arrivals), which
+    is why the slices are a static function of the id: the whole loop
+    registers against a DuckDB twin that reproduces "earlier slice"
+    as ``cand.id % n < query.id % n`` (``ann_index_ingest_oracle_sql``).
+    Returns the committed probe log (query_id, id, cos_sim)."""
+    Path(path).mkdir(parents=True, exist_ok=True)
+    meta = {"n_tables": n_tables, "n_planes": n_planes, "dim": dim,
+            "vec_col": vec_col, "id_col": id_col}
+    for i in range(n_batches):
+        batch = embeddings.filter(
+            F.pmod(F.col(id_col), F.lit(n_batches)) == i)
+        _ann_ingest_batch(spark, batch, path, meta, k, probe_radius,
+                          tag=f"b{i}", first=(i == 0))
+    return _read_table(spark, path, _PROBES)
+
+
+def streaming_ingest_ann(spark: SparkSession, embeddings: DataFrame,
+                         base_dir: str, n_batches: int = 4, k: int = 5,
+                         n_tables: int = 16, n_planes: int = 4,
+                         dim: int = 64, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         probe_radius: int = 0) -> DataFrame:
+    """``ingest_ann_index`` driven by REAL Structured Streaming
+    micro-batches: each slice is staged as its own parquet file with
+    strictly increasing mtimes (the file source orders batches by
+    modification time), a ``maxFilesPerTrigger=1`` stream under
+    ``availableNow`` delivers one slice per micro-batch, and
+    ``foreachBatch`` runs the same probe-then-append body. Because the
+    probe log is batching-dependent, slice order is part of the
+    contract — the mtime staging pins it, and the committed log equals
+    the scheduled loop's (and the static oracle) exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    staging = f"{base_dir}/staged"
+    idx_path = f"{base_dir}/index"
+    Path(idx_path).mkdir(parents=True, exist_ok=True)
+    meta = {"n_tables": n_tables, "n_planes": n_planes, "dim": dim,
+            "vec_col": vec_col, "id_col": id_col}
+    if not Path(staging, "_STAGED").exists():
+        # one file per slice, mtimes ascending: a restart sees the same
+        # files, so the checkpoint replays only the failed micro-batch
+        Path(staging).mkdir(parents=True, exist_ok=True)
+        base_mtime = None
+        for i in range(n_batches):
+            tmp = tempfile.mkdtemp(prefix="annslice_")
+            (embeddings.filter(
+                F.pmod(F.col(id_col), F.lit(n_batches)) == i)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(Path(tmp).glob("part-*.parquet"))
+            dest = Path(staging) / f"slice_{i}.parquet"
+            shutil.move(str(part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            if base_mtime is None:
+                base_mtime = os.stat(dest).st_mtime
+            os.utime(dest, (base_mtime + 10 * i, base_mtime + 10 * i))
+        Path(staging, "_STAGED").touch()
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        first = not Path(idx_path, _META).exists()
+        _ann_ingest_batch(spark, batch_df, idx_path, meta, k,
+                          probe_radius, tag=f"b{batch_id}", first=first)
+
+    schema = spark.read.parquet(f"{staging}/slice_0.parquet").schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .option("pathGlobFilter", "slice_*.parquet").load(staging))
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", f"{base_dir}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return _read_table(spark, idx_path, _PROBES)
 
 
 def query_index_batch_topk(spark: SparkSession, path: str,

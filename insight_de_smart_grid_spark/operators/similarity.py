@@ -581,6 +581,42 @@ SELECT query_id, vec_id, cos_sim FROM (
 """
 
 
+def ann_index_ingest_oracle_sql(n_batches: int = 4, k: int = 5,
+                                n_tables: int = 16, n_planes: int = 4,
+                                dim: int = 64) -> str:
+    """DuckDB twin of ``ann_index.ingest_ann_index`` (and its streaming
+    drive): the loop ingests slice ``vec_id % n_batches`` in slice
+    order, ANN-checking each arriving vector against everything ingested
+    BEFORE it — so "the standing index at arrival" is exactly the
+    candidates from an earlier slice, a static predicate
+    (``cand % n < query % n``). Candidates share a bucket in >= 1 LSH
+    table (same md5 plane CTEs), exact cosine re-rank, row_number top-k
+    per query. Slice-0 vectors probe nothing (empty index at creation),
+    matching the loop's build-only first batch."""
+    return f"""
+WITH {_sigs_ctes(n_tables, n_planes, dim)},
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+  FROM sigs s JOIN sigs q ON s.tbl = q.tbl AND s.bucket = q.bucket
+  WHERE s.vec_id % {n_batches} < q.vec_id % {n_batches}
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      eq.embedding::DOUBLE[]), 6)
+         AS cos_sim
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def lsh_ann_auto_topk_oracle_sql(query_vec_id: int, k: int = 10,
                                  n_tables: int = 16,
                                  auto_occupancy: int = 32,

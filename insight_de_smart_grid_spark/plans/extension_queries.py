@@ -772,6 +772,48 @@ def q_sim_ann_index_batch_probe(spark: SparkSession, sf_dir: str
     return ai.query_index_batch_topk(spark, path, queries, k=10)
 
 
+@register("sim_ann_index_ingest_loop",
+          sim.ann_index_ingest_oracle_sql(4, 5, n_tables=4, n_planes=8))
+def q_sim_ann_index_ingest_loop(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Round-9 ANN ingest lifecycle (the ANN twin of
+    ``dedup_index_ingest_loop``): the corpus arrives as four
+    deterministic id-slices in order; slice 0 creates the persisted
+    index, each later slice is ANN-checked against the index of
+    everything ingested before it with ONE batched probe job, then
+    appended — probe log and index segments committed per batch in one
+    manifest bump. The DuckDB twin reproduces "the standing index at
+    arrival" as the static earlier-slice predicate
+    (`operators/ann_index.py:ingest_ann_index`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="annidx_loop_")
+    return ai.ingest_ann_index(spark, emb, path, n_batches=4, k=5,
+                               n_tables=4, n_planes=8)
+
+
+@register("streaming_ann_index_ingest",
+          sim.ann_index_ingest_oracle_sql(4, 5, n_tables=4, n_planes=8))
+def q_streaming_ann_index_ingest(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The same ANN ingest lifecycle driven by REAL Structured Streaming
+    micro-batches (one slice file per availableNow trigger, mtime-pinned
+    arrival order — the probe log is batching-dependent by design, so
+    order is part of the contract). Same oracle as the scheduled loop
+    (`operators/ann_index.py:streaming_ingest_ann`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="annidx_sing_")
+    return ai.streaming_ingest_ann(spark, emb, base, n_batches=4, k=5,
+                                   n_tables=4, n_planes=8)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

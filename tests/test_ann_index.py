@@ -264,6 +264,52 @@ def test_batch_probe_equals_per_query_loops(spark, emb, tmp_path):
         assert got_rows == sorted(want), f"radius={radius}"
 
 
+def test_ann_ingest_crash_between_stage_and_commit_is_retryable(
+        spark, emb, tmp_path, monkeypatch):
+    """The manifest contract on the ANN ingest loop: a step killed
+    between staging (probe segment + index segments) and its single
+    manifest bump is invisible to readers, and the retry converges to
+    the clean state — probes equal a fresh batch probe against the
+    pre-crash index, vectors equal the ingested union."""
+    path = str(tmp_path / "idx")
+    meta = {"n_tables": 4, "n_planes": 8, "dim": 64,
+            "vec_col": "embedding", "id_col": "vec_id"}
+    b0 = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0)
+    b1 = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 1)
+    ai._ann_ingest_batch(spark, b0, path, meta, 5, 0, tag="b0",
+                         first=True)
+    n_before = ai._read_table(spark, path, "vectors").count()
+
+    real_commit = ai.commit
+
+    def dying(p, adds=None, replaces=None):
+        raise RuntimeError("injected crash between stage and commit")
+
+    monkeypatch.setattr(ai, "commit", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ai._ann_ingest_batch(spark, b1, path, meta, 5, 0, tag="b1",
+                             first=False)
+    # staged orphans on disk, nothing visible
+    assert any(Path(path, "vectors").glob("seg-b1*"))
+    assert ai._read_table(spark, path, "vectors").count() == n_before
+    with pytest.raises(FileNotFoundError):
+        ai._read_table(spark, path, "probes")
+
+    monkeypatch.setattr(ai, "commit", real_commit)
+    ai._ann_ingest_batch(spark, b1, path, meta, 5, 0, tag="b1",
+                         first=False)
+    assert (ai._read_table(spark, path, "vectors").count()
+            == n_before + b1.count())
+    clean = str(tmp_path / "clean")
+    ai.build_signature_index(b0, clean, n_tables=4, n_planes=8)
+    want = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
+                  ai.query_index_batch_topk(spark, clean, b1,
+                                            k=5).collect())
+    got = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
+                 ai._read_table(spark, path, "probes").collect())
+    assert got == want and want
+
+
 def test_batch_probe_has_no_index_side_shuffle(spark, emb, tmp_path):
     """The batched probe's plan: the delta-bounded probe set and the
     candidate pairs are the BROADCAST sides; both index scans (bands,
