@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators.index_manifest import (
     commit,
+    data_bearing,
     gc_unreferenced,
     live_segments,
     read_manifest,
@@ -88,7 +89,7 @@ def _read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     partitioned parquet root, and Catalyst pushes probe filters through
     the union into every segment's scan (PartitionFilters per segment,
     verified in tests)."""
-    segs = live_segments(path, table)
+    segs = data_bearing(live_segments(path, table))
     if not segs:
         raise FileNotFoundError(f"index table {table} has no live "
                                 f"segments under {path}")

@@ -82,6 +82,7 @@ from insight_de_smart_grid_spark.operators.dedup import (
 )
 from insight_de_smart_grid_spark.operators.index_manifest import (
     commit,
+    data_bearing,
     gc_unreferenced,
     live_segments,
     read_manifest,
@@ -112,7 +113,7 @@ def _read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     """Union of the manifest's live segments — each segment is its own
     (possibly partitioned) parquet root; Catalyst pushes probe filters
     through the union into every segment scan."""
-    segs = live_segments(path, table)
+    segs = data_bearing(live_segments(path, table))
     if not segs:
         raise FileNotFoundError(f"index table {table} has no live "
                                 f"segments under {path}")

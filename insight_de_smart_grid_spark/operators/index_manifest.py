@@ -77,6 +77,17 @@ def live_segments(path: str, table: str) -> list[str]:
     return [str(Path(path, rel)) for rel in man["tables"].get(table, [])]
 
 
+def data_bearing(segments: "list[str]") -> "list[str]":
+    """Segments that contain at least one parquet data file. A
+    partitionBy write of an EMPTY delta commits a segment with only
+    _SUCCESS — no schema to infer — so readers drop such segments (zero
+    rows either way) instead of failing schema inference on them. If
+    every segment is file-less the original list comes back (the
+    reader's error then names the real problem)."""
+    kept = [s for s in segments if any(Path(s).rglob("*.parquet"))]
+    return kept or segments
+
+
 def stage_segment(table_dir: str, name: str) -> str:
     """The staging location for a new segment: a deterministic name under
     the table directory. Writers use overwrite mode so a retry after a

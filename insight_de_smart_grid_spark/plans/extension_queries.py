@@ -814,6 +814,34 @@ def q_streaming_ann_index_ingest(spark: SparkSession, sf_dir: str
                                    n_tables=4, n_planes=8)
 
 
+@register("sim_ivf_index_maintained",
+          sim.ivf_portable_topk_oracle_sql(7))
+def q_sim_ivf_index_maintained(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Round-9 third persisted index family: the IVF inverted-file index
+    with its quantizer FROZEN at creation. Build on the id-ordered first
+    80% of the corpus (which contains every centroid id, so the frozen
+    quantizer equals the full-corpus one), append the remaining 20%
+    against the frozen centroid broadcast (the append reads the delta
+    plus the k-row centroid table, never the lists), compact, then probe:
+    nprobe cluster ids pushed into the cluster-partitioned lists scan as
+    PartitionFilters. Result equals the inline ``ivf_portable_topk`` —
+    same oracle SQL verbatim (`operators/ivf_index.py`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.floor(0.8 * (F.max("vec_id") + 1))).head()[0])
+    path = tempfile.mkdtemp(prefix="ivfidx_")
+    ii.build_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+    ii.append_ivf_index(emb.filter(F.col("vec_id") >= cut), path)
+    ii.compact_ivf_index(spark, path)
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    return ii.query_ivf_topk(spark, path, qv, k=10, nprobe=4,
+                             exclude_id=7)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

@@ -1,0 +1,118 @@
+"""Persisted IVF index (operators/ivf_index.py): frozen-quantizer
+maintenance, delta-only append plans, cluster partition pruning on the
+probe, compaction invariance — the third index family's versions of the
+contracts test_dedup_index.py / test_ann_index.py pin."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_de_smart_grid_spark.operators import ivf_index as ii
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def _topk(spark, path, emb, qid=7, k=10, nprobe=4):
+    qv = emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+    return sorted((r.vec_id, r.cos_sim) for r in
+                  ii.query_ivf_topk(spark, path, qv, k=k, nprobe=nprobe,
+                                    exclude_id=qid).collect())
+
+
+def test_append_equals_rebuild_and_matches_inline(spark, emb, tmp_path):
+    """(build on the id-ordered 80% + append 20%) answers identically to
+    a from-scratch index AND to the inline ``ivf_portable_topk`` (the
+    creation slice contains every centroid id, so the frozen quantizer
+    equals the full-corpus one), before and after compaction."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        ivf_portable_topk,
+    )
+
+    cut = int(emb.agg(F.floor(0.8 * (F.max("vec_id") + 1))).head()[0])
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ii.build_ivf_index(emb.filter(F.col("vec_id") < cut), inc)
+    ii.append_ivf_index(emb.filter(F.col("vec_id") >= cut), inc)
+    ii.build_ivf_index(emb, full)
+
+    want = sorted((r.vec_id, r.cos_sim) for r in
+                  ivf_portable_topk(emb, query_vec_id=7, k=10).collect())
+    assert want
+    assert _topk(spark, full, emb) == want
+    assert _topk(spark, inc, emb) == want
+    files_after = ii.compact_ivf_index(spark, inc)
+    assert _topk(spark, inc, emb) == want
+    # one live lists segment + the centroid segment after compaction
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        live_segments,
+    )
+    assert len(live_segments(inc, "lists")) == 1
+    assert files_after >= 1
+    assert (ii._read_table(spark, inc, "lists").count()
+            == ii._read_table(spark, full, "lists").count())
+
+
+def test_append_reads_delta_and_centroids_only(spark, emb, tmp_path):
+    """The append job's inputs are the delta frame and the k-row frozen
+    centroid table — the inverted lists are never scanned (the plan the
+    append executes, reconstructed via the same builders)."""
+    cut = int(emb.agg(F.floor(0.8 * (F.max("vec_id") + 1))).head()[0])
+    path = str(tmp_path / "idx")
+    meta = ii.build_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    cents = ii._read_table(spark, path, "centroids")
+    assigned = ii._assign(ii._nonzero(delta, meta["vec_col"],
+                                      meta["id_col"]),
+                          cents, meta["id_col"])
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert f"{path}/lists" not in plan          # lists never read
+    assert plan.count("Scan parquet") == 2      # delta + centroids
+
+    n_before = ii._read_table(spark, path, "lists").count()
+    ii.append_ivf_index(delta, path)
+    n_delta = ii._nonzero(delta, "embedding", "vec_id").count()
+    assert (ii._read_table(spark, path, "lists").count()
+            == n_before + n_delta)
+    # appended vectors landed in the frozen centroid space
+    mx = (ii._read_table(spark, path, "lists")
+          .agg(F.max("cluster")).head()[0])
+    assert mx < meta["n_centroids"]
+
+
+def test_probe_prunes_to_nprobe_cluster_partitions(spark, emb, tmp_path):
+    """The IVF scale contract in the physical plan: the lists scan
+    carries the collected nprobe cluster ids as PartitionFilters —
+    nprobe/n_centroids of the corpus is all a query touches."""
+    path = str(tmp_path / "idx")
+    ii.build_ivf_index(emb, path, n_centroids=16)
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    out = ii.query_ivf_topk(spark, path, qv, k=5, nprobe=4, exclude_id=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert any("cluster" in part[:200]
+               for part in plan.split("PartitionFilters:")[1:])
+    assert out.count() > 0
+    # and the probed slice is a strict subset of the corpus: the 4
+    # probed lists hold fewer vectors than the 16-cluster total
+    from insight_de_smart_grid_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    cents = ii._read_table(spark, path, "centroids")
+    probes = [r.c_id for r in
+              (cents.withColumn(
+                  "q_sim", F.round(_dot(qcol, F.col("cv"))
+                                   / (_norm(qcol) * _norm(F.col("cv"))),
+                                   6))
+               .orderBy(F.desc("q_sim"), F.asc("c_id")).limit(4)
+               .select("c_id").collect())]
+    lists = ii._read_table(spark, path, "lists")
+    assert 0 < lists.filter(F.col("cluster").isin(probes)).count() \
+        < lists.count()

@@ -400,6 +400,64 @@ def test_ann_index_append_cost_tracks_delta_not_corpus(
     assert got == want
 
 
+def test_ann_batch_probe_one_job_beats_per_query_loop(
+        spark, stress_dir, tmp_path):
+    """Round-9 sweep point (VERDICT r8 items 2+3 measured together): ANN-
+    checking a delta of Q query vectors through the batched probe — one
+    job, probe set broadcast against the pruned bands scan — returns
+    rows identical to Q driver-side ``query_index_topk`` loops and beats
+    their wall (the loop pays Q job schedulings + Q driver round-trips).
+    Also records the split layout's on-disk footprint vs the round-8
+    long format at stress scale: vectors stored once, so the ratio lands
+    near (bands + 1 vector copy) / (n_tables vector copies)."""
+    from pathlib import Path
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+    from insight_de_smart_grid_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+
+    big = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    path = str(tmp_path / "bp")
+    _timed("ann_index_build_split",
+           lambda: ai.build_signature_index(big, path, n_tables=4,
+                                            n_planes=8), spark)
+    legacy = str(tmp_path / "legacy_long")
+    (hyperplane_signatures(big, 4, 8, 64)
+     .repartition("table").sortWithinPartitions("table", "bucket")
+     .write.partitionBy("table").parquet(legacy))
+    legacy_bytes = sum(f.stat().st_size
+                       for f in Path(legacy).rglob("*.parquet"))
+    ratio = ai.index_bytes(path) / legacy_bytes
+    TIMINGS["ann_index_bytes_ratio_pct"] = round(ratio * 100, 1)
+    assert ratio <= 0.5  # 4 tables: at most half; 16 tables: ~1/8
+
+    q_n = 64 if FULL else 16
+    qids = [r.vec_id for r in
+            big.select("vec_id").orderBy("vec_id").limit(q_n).collect()]
+    queries = big.filter(F.col("vec_id").isin(qids))
+    got = _timed(
+        f"ann_batch_probe_{q_n}q",
+        lambda: sorted((r.query_id, r.vec_id, r.cos_sim) for r in
+                       ai.query_index_batch_topk(spark, path, queries,
+                                                 k=10).collect()), spark)
+
+    def loop():
+        rows = []
+        for qid in qids:
+            qv = (big.filter(F.col("vec_id") == qid)
+                  .select("embedding").head()[0])
+            rows += [(qid, r.vec_id, r.cos_sim) for r in
+                     ai.query_index_topk(spark, path, qv, k=10,
+                                         exclude_id=qid).collect()]
+        return sorted(rows)
+
+    want = _timed(f"ann_per_query_loop_{q_n}q", loop, spark)
+    assert got == want and got
+    assert (TIMINGS[f"ann_batch_probe_{q_n}q"]
+            < TIMINGS[f"ann_per_query_loop_{q_n}q"])
+
+
 def test_dedup_index_append_cost_tracks_delta_not_corpus(
         spark, stress_dir, tmp_path):
     """Round-8 index-maintenance sweep point, dedup side: appending a
