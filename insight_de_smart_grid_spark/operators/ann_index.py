@@ -108,7 +108,13 @@ def _stage_tables(sig: DataFrame, vectors: DataFrame, path: str,
      .sortWithinPartitions("table", "bucket")
      .write.mode("overwrite").partitionBy("table").parquet(seg_b))
     seg_v = stage_segment(f"{path}/{_VECS}", tag)
-    (vectors.sortWithinPartitions(id_col)
+    # sorted by CONTENT hash, not id: the candidate fetch is a broadcast
+    # join (id order buys no pruning there), while content order packs
+    # identical/duplicate vectors into adjacent rows where parquet's
+    # page compression collapses them — on a duplicate-heavy corpus the
+    # id-sorted form measured LARGER than the bucket-sorted round-8
+    # layout, whose sort incidentally adjacency-grouped duplicates
+    (vectors.sortWithinPartitions(F.xxhash64("v"), F.col(id_col))
      .write.mode("overwrite").parquet(seg_v))
     return {_BANDS: [seg_b], _VECS: [seg_v]}
 
@@ -189,7 +195,7 @@ def compact_signature_index(spark: SparkSession, path: str) -> int:
      .write.mode("overwrite").partitionBy("table").parquet(seg_b))
     seg_v = stage_segment(f"{path}/{_VECS}", tag)
     (_read_table(spark, path, _VECS)
-     .sortWithinPartitions(id_col)
+     .sortWithinPartitions(F.xxhash64("v"), F.col(id_col))
      .write.mode("overwrite").parquet(seg_v))
     commit(path, replaces={_BANDS: [seg_b], _VECS: [seg_v]})
     gc_unreferenced(path)
