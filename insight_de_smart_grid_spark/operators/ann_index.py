@@ -396,10 +396,19 @@ def streaming_ingest_ann(spark: SparkSession, embeddings: DataFrame,
     return _read_table(spark, idx_path, _PROBES)
 
 
+# Above this many query-delta rows the batched probe stops broadcasting
+# the delta and switches to SHUFFLE_HASH joins — the same driver-OOM
+# argument (and default sizing) as dedup_index.BROADCAST_DELTA_MAX_ROWS.
+BROADCAST_QUERY_MAX_ROWS = 1_000_000
+
+
 def query_index_batch_topk(spark: SparkSession, path: str,
                            queries: DataFrame, k: int = 10,
                            probe_radius: int = 0,
-                           exclude_self: bool = True) -> DataFrame:
+                           exclude_self: bool = True,
+                           mode: str = "auto",
+                           broadcast_threshold: int =
+                           BROADCAST_QUERY_MAX_ROWS) -> DataFrame:
     """Top-k for a WHOLE DELTA of query vectors in one job — the ANN
     analog of ``dedup_new_against_index`` (VERDICT r8 item 3: an ingest
     pipeline ANN-checking Q vectors must not loop Q driver-side probes).
@@ -418,6 +427,14 @@ def query_index_batch_topk(spark: SparkSession, path: str,
     ``lsh_multiprobe_topk``) — pinned in tests and by the registered
     ``sim_ann_index_batch_probe`` oracle row.
 
+    ``mode`` (round-9, the dedup probe's lever applied here): the
+    broadcast shape assumes the QUERY delta is small; a multi-GB delta
+    would OOM the driver. ``"shuffle"`` pins SHUFFLE_HASH joins for that
+    case (the index side then shuffles on the probe keys — bucket-write
+    ``bands/`` by (table, bucket) to remove it at deployment scale);
+    ``"auto"`` picks by a cheap delta row count against
+    ``broadcast_threshold``.
+
     Output: (query_id, <id_col>, cos_sim), k rows per query."""
     from insight_de_smart_grid_spark.operators.similarity import (
         _probe_masks,
@@ -425,6 +442,11 @@ def query_index_batch_topk(spark: SparkSession, path: str,
 
     meta = _read_meta(path)
     id_col = meta["id_col"]
+    if mode == "auto":
+        mode = ("broadcast"
+                if queries.count() <= broadcast_threshold else "shuffle")
+    small = F.broadcast if mode == "broadcast" \
+        else (lambda df: df.hint("SHUFFLE_HASH"))
     qsig = hyperplane_signatures(queries, meta["n_tables"],
                                  meta["n_planes"], meta["dim"],
                                  vec_col=meta["vec_col"], id_col=id_col)
@@ -436,13 +458,13 @@ def query_index_batch_topk(spark: SparkSession, path: str,
              .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("m")))
              .drop("m"))
     cand = (_read_table(spark, path, _BANDS)
-            .join(F.broadcast(probe), ["table", "bucket"])
+            .join(small(probe), ["table", "bucket"])
             .select("query_id", "qv", id_col)
             .dropDuplicates(["query_id", id_col]))
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
     scored = (_read_table(spark, path, _VECS)
-              .join(F.broadcast(cand), id_col)
+              .join(small(cand), id_col)
               .select(
                   "query_id", id_col,
                   F.round(_dot(F.col("v"), F.col("qv"))

@@ -264,6 +264,40 @@ def test_batch_probe_equals_per_query_loops(spark, emb, tmp_path):
         assert got_rows == sorted(want), f"radius={radius}"
 
 
+def test_batch_probe_shuffle_mode_for_big_deltas(spark, emb, tmp_path):
+    """The dedup probe's round-9 lever applied to the ANN batch probe: a
+    query delta too big to broadcast takes SHUFFLE_HASH joins with
+    IDENTICAL rows; auto picks it when the delta row count crosses the
+    threshold and stays on broadcast below."""
+    path = str(tmp_path / "idx")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos_sim) for r in
+        ai.query_index_batch_topk(spark, path, queries, k=10,
+                                  mode="broadcast").collect())
+    assert want
+    shuffled = ai.query_index_batch_topk(spark, path, queries, k=10,
+                                         mode="shuffle")
+    assert sorted((r.query_id, r.vec_id, r.cos_sim)
+                  for r in shuffled.collect()) == want
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+    auto_big = ai.query_index_batch_topk(spark, path, queries, k=10,
+                                         mode="auto",
+                                         broadcast_threshold=1)
+    assert "ShuffledHashJoin" in (auto_big._jdf.queryExecution()
+                                  .executedPlan().toString())
+    auto_small = ai.query_index_batch_topk(spark, path, queries, k=10,
+                                           mode="auto")
+    assert "BroadcastHashJoin" in (auto_small._jdf.queryExecution()
+                                   .executedPlan().toString())
+
+
 def test_ann_ingest_crash_between_stage_and_commit_is_retryable(
         spark, emb, tmp_path, monkeypatch):
     """The manifest contract on the ANN ingest loop: a step killed
