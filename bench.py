@@ -201,14 +201,24 @@ def ab_verdict(prev_time: "float | None", baseline: float,
     window minutes after the flag fired (the round-8 star_stats_agg
     misattribution, SCALE.md "Bench-drift note") — so code_regression
     additionally requires the current tree to still be slow in that same
-    window. Prev fast AND cur fast -> the drift resolved -> host_drift."""
+    window, AND meaningfully slower than the prev tree measured beside
+    it (uniform ~1.4x drift can park prev at 1.3x-over-baseline — just
+    under the gate — while cur reads 1.6x: both trees moved together,
+    that's the host; the round-9 full-bench triage reproduced exactly
+    this on three untouched queries). The tree-to-tree gap uses the same
+    dual ratio+absolute shape as is_regression, scaled down (the two
+    medians come from one interleaved window, so the noise band is
+    tighter than cross-session)."""
     if prev_time is None or prev_time <= 0:
         return "unattributed"
     if is_regression(prev_time, baseline):
         return "host_drift"
-    if (cur_time is not None and cur_time > 0
-            and not is_regression(cur_time, baseline)):
-        return "host_drift"
+    if cur_time is not None and cur_time > 0:
+        if not is_regression(cur_time, baseline):
+            return "host_drift"
+        if not (cur_time > 1.3 * prev_time
+                and cur_time - prev_time > 0.2):
+            return "host_drift"
     return "code_regression"
 
 

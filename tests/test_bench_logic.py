@@ -227,6 +227,17 @@ def test_ab_verdict_same_window_cur():
     # no cur measurement: falls back to the round-8 prev-only rule
     assert ab_verdict(0.70, baseline, cur_time=None) == "code_regression"
     assert ab_verdict(None, baseline, cur_time=1.41) == "unattributed"
+    # round-9 full-bench triage as data: uniform drift parked prev just
+    # UNDER the gate while cur sat just over — the trees moved together,
+    # so the same-window tree-to-tree gap must call it host_drift
+    # (events_sliding_distinct: base 1.155, prev 1.549, cur 1.841 — gap
+    # 1.19x; clean-window re-run read prev 1.876 vs cur 1.988)
+    assert ab_verdict(1.549, 1.155, cur_time=1.841) == "host_drift"
+    # (multimodal_resize_fake: base 0.292 — prev escaped only by the
+    # 0.3s absolute floor; cur-prev = 0.09s is window noise)
+    assert ab_verdict(0.575, 0.292, cur_time=0.665) == "host_drift"
+    # a real code regression clears BOTH gap criteria
+    assert ab_verdict(1.0, 0.9, cur_time=1.45) == "code_regression"
 
 
 def test_previous_round_tip_resolves_bench_commit():
