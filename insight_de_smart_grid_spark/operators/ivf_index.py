@@ -203,3 +203,69 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
                 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k))
+
+
+# Same driver-OOM sizing as the other families' batched probes.
+BROADCAST_QUERY_MAX_ROWS = 1_000_000
+
+
+def query_ivf_batch_topk(spark: SparkSession, path: str,
+                         queries: DataFrame, k: int = 10,
+                         nprobe: int = 4, exclude_self: bool = True,
+                         mode: str = "auto",
+                         broadcast_threshold: int =
+                         BROADCAST_QUERY_MAX_ROWS) -> DataFrame:
+    """Top-k for a WHOLE DELTA of query vectors in one job — the IVF
+    analog of ``ann_index.query_index_batch_topk``. Each query's nprobe
+    probe list comes from the frozen k-row centroid broadcast (same
+    rounded-cosine + c_id ordering as the single-query probe and the
+    oracle); the UNION of probed cluster ids — bounded by n_centroids
+    regardless of Q — is collected and pushed into the lists scan as a
+    static ``cluster IN (...)`` (PartitionFilters prune the directory
+    tree), and the per-query probe set joins the pruned lists for the
+    exact cosine re-rank, ``row_number``-ranked per query. ``mode``
+    picks broadcast vs SHUFFLE_HASH for the probe-set join by the delta
+    row count (the dedup probe's lever). Per query id, rows equal
+    ``query_ivf_topk`` at the same (n_centroids, nprobe) — pinned in
+    tests and by the registered ``sim_ivf_index_batch_probe`` oracle.
+
+    Output: (query_id, <id_col>, cos_sim), k rows per query."""
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    if mode == "auto":
+        mode = ("broadcast"
+                if queries.count() <= broadcast_threshold else "shuffle")
+    small = F.broadcast if mode == "broadcast" \
+        else (lambda df: df.hint("SHUFFLE_HASH"))
+    emb_q = (_nonzero(queries, meta["vec_col"], id_col)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv")))
+    cents = _read_table(spark, path, _CENTS)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("q_sim"),
+                                                F.asc("c_id"))
+    probe = (emb_q.join(F.broadcast(cents))
+             .withColumn("q_sim",
+                         F.round(_dot(F.col("qv"), F.col("cv"))
+                                 / (_norm(F.col("qv"))
+                                    * _norm(F.col("cv"))), 6))
+             .withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= nprobe)
+             .select("query_id", "qv", F.col("c_id").alias("cluster")))
+    # the probed-cluster union is bounded by n_centroids however large
+    # the delta is — a driver-safe collect that buys PartitionFilters
+    clusters = [r.cluster for r in
+                probe.select("cluster").distinct().collect()]
+    lists = (_read_table(spark, path, _LISTS)
+             .filter(F.col("cluster").isin(clusters)))
+    cand = lists.join(small(probe), "cluster")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col(id_col))
+    scored = cand.select(
+        "query_id", id_col,
+        F.round(_dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))),
+                6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))

@@ -1094,6 +1094,66 @@ LIMIT {k}
 """
 
 
+def ivf_portable_batch_topk_oracle_sql(query_vec_ids: "list[int]",
+                                       k: int = 10, n_centroids: int = 16,
+                                       nprobe: int = 4) -> str:
+    """DuckDB twin of ``ivf_index.query_ivf_batch_topk`` over
+    corpus-member query vectors: the single-query IVF oracle generalized
+    to a set — per-query nprobe probe lists (same rounded-cosine + c_id
+    ordering), exact re-rank inside the probed inverted lists only,
+    ``row_number`` top-k per query id."""
+    ids = ", ".join(str(int(q)) for q in query_vec_ids)
+    return f"""
+WITH nz AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum')) > 0
+),
+cents AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM nz
+  WHERE vec_id < {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cv), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM nz e, cents c)
+  WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM nz
+       WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM qs q, cents c)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+         AS cos_sim
+  FROM assigned a
+  JOIN probes p ON a.cluster = p.cluster
+  JOIN nz e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def quantized_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
                    oversample: int = 4,
                    vec_col: str = "embedding",

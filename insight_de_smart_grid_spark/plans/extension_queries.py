@@ -842,6 +842,27 @@ def q_sim_ivf_index_maintained(spark: SparkSession, sf_dir: str
                              exclude_id=7)
 
 
+@register("sim_ivf_index_batch_probe",
+          sim.ivf_portable_batch_topk_oracle_sql([0, 7, 23], 10))
+def q_sim_ivf_index_batch_probe(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Batched multi-query probe through the persisted IVF index — the
+    IVF analog of ``sim_ann_index_batch_probe``: per-query nprobe lists
+    from the frozen centroid broadcast, the bounded probed-cluster union
+    pushed into the cluster-partitioned lists scan as PartitionFilters,
+    exact re-rank ranked per query — one job for the whole delta
+    (`operators/ivf_index.py:query_ivf_batch_topk`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfidx_bp_")
+    ii.build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 23]))
+    return ii.query_ivf_batch_topk(spark, path, queries, k=10, nprobe=4)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,

@@ -85,6 +85,37 @@ def test_append_reads_delta_and_centroids_only(spark, emb, tmp_path):
     assert mx < meta["n_centroids"]
 
 
+def test_batch_probe_equals_per_query_loops(spark, emb, tmp_path):
+    """The batched IVF probe answers a delta of Q query vectors in one
+    job with rows equal, per query id, to per-query ``query_ivf_topk``
+    loops — in broadcast AND shuffle probe-join modes — and its lists
+    scan still carries the bounded probed-cluster union as
+    PartitionFilters."""
+    path = str(tmp_path / "idx")
+    ii.build_ivf_index(emb, path, n_centroids=16)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+
+    want = []
+    for qid in qids:
+        qv = (emb.filter(F.col("vec_id") == qid)
+              .select("embedding").head()[0])
+        want += [(qid, r.vec_id, r.cos_sim) for r in
+                 ii.query_ivf_topk(spark, path, qv, k=10, nprobe=4,
+                                   exclude_id=qid).collect()]
+    want.sort()
+    for mode in ("broadcast", "shuffle"):
+        got = ii.query_ivf_batch_topk(spark, path, queries, k=10,
+                                      nprobe=4, mode=mode)
+        assert sorted((r.query_id, r.vec_id, r.cos_sim)
+                      for r in got.collect()) == want, mode
+    out = ii.query_ivf_batch_topk(spark, path, queries, k=10, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any("cluster" in part[:200]
+               for part in plan.split("PartitionFilters:")[1:])
+    assert "SortMergeJoin" not in plan
+
+
 def test_probe_prunes_to_nprobe_cluster_partitions(spark, emb, tmp_path):
     """The IVF scale contract in the physical plan: the lists scan
     carries the collected nprobe cluster ids as PartitionFilters —
