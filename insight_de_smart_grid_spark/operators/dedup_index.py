@@ -234,8 +234,15 @@ def _ingest_batch(spark: SparkSession, batch: DataFrame, idx_path: str,
                                         meta["bands"], threshold,
                                         meta["id_col"])
         if not first:
+            # batch-size-adaptive probe join (the dedup_new_against_index
+            # lever inside the loop): count the BATCH frame, not sig —
+            # counting sig would pay the shingle UDF pass a second time
+            mode = ("broadcast"
+                    if batch.count() <= BROADCAST_DELTA_MAX_ROWS
+                    else "shuffle")
             pairs = pairs.unionByName(
-                _probe_with_sigs(spark, idx_path, sig, threshold, meta))
+                _probe_with_sigs(spark, idx_path, sig, threshold, meta,
+                                 mode=mode))
         seg_p = stage_segment(f"{idx_path}/{_PAIRS}", tag)
         pairs.write.mode("overwrite").parquet(seg_p)
         staged = _stage_tables(sig, idx_path, meta, tag)
