@@ -396,6 +396,40 @@ def streaming_ingest_ann(spark: SparkSession, embeddings: DataFrame,
     return _read_table(spark, idx_path, _PROBES)
 
 
+def index_cosine_pairs(spark: SparkSession, path: str,
+                       threshold: float = 0.9) -> DataFrame:
+    """All verified cosine->=threshold pairs over the whole persisted
+    index — the ANN twin of ``dedup_index.index_near_dup_pairs`` and the
+    index-resident form of ``similarity.cosine_pairs_blocked``: bucket
+    self-join over the NARROW bands table per (table, bucket), candidate
+    dedup, exact cosine verify from the single-copy ``vectors/`` table
+    (the per-bucket pair explosion never carries the vectors — the same
+    16-bytes-vs-1-KB-per-row argument as the inline form, now with the
+    signatures read from the maintained index instead of recomputed).
+    Row-identical to ``cosine_pairs_blocked`` at the creation geometry,
+    which is what lets the registered query share
+    ``cosine_pairs_oracle_sql`` verbatim."""
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    bands = _read_table(spark, path, _BANDS)
+    cands = (bands.alias("sa")
+             .join(bands.alias("sb"), ["table", "bucket"])
+             .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
+             .select(F.col(f"sa.{id_col}").alias("vec_a"),
+                     F.col(f"sb.{id_col}").alias("vec_b"))
+             .dropDuplicates(["vec_a", "vec_b"]))
+    vecs = _read_table(spark, path, _VECS)
+    ea = vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    eb = vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    raw = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
+                                            * _norm(F.col("vb")))
+    return (cands.join(ea, "vec_a").join(eb, "vec_b")
+            .withColumn("raw_sim", raw)
+            .filter(F.col("raw_sim") >= F.lit(threshold))
+            .select("vec_a", "vec_b",
+                    F.round(F.col("raw_sim"), 6).alias("cos_sim")))
+
+
 # Above this many query-delta rows the batched probe stops broadcasting
 # the delta and switches to SHUFFLE_HASH joins — the same driver-OOM
 # argument (and default sizing) as dedup_index.BROADCAST_DELTA_MAX_ROWS.

@@ -863,6 +863,32 @@ def q_sim_ivf_index_batch_probe(spark: SparkSession, sf_dir: str
     return ii.query_ivf_batch_topk(spark, path, queries, k=10, nprobe=4)
 
 
+@register("sim_ann_index_cosine_pairs", sim.cosine_pairs_oracle_sql(0.95))
+def q_sim_ann_index_cosine_pairs(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Full-index semantic near-dup pairs through the MAINTAINED ANN
+    index — the vector twin of ``dedup_index_append``'s pair query:
+    build on an 80% hash slice, append the remaining two deltas, compact,
+    then run the bucket self-join + exact-verify pair query over the
+    index's own bands/vectors tables. Bucket membership is static, so
+    the maintained index answers row-identically to the inline
+    ``cosine_pairs_blocked`` and shares its oracle verbatim
+    (`operators/ann_index.py:index_cosine_pairs`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = pl._hash_bucket(F.col("vec_id").cast("string"))
+    path = tempfile.mkdtemp(prefix="annidx_cp_")
+    ai.build_signature_index(emb.filter(b < 80), path,
+                             n_tables=16, n_planes=10)
+    ai.append_signatures(emb.filter((b >= 80) & (b < 90)), path)
+    ai.append_signatures(emb.filter(b >= 90), path)
+    ai.compact_signature_index(spark, path)
+    return ai.index_cosine_pairs(spark, path, threshold=0.95)
+
+
 @register("dedup_semantic_keep_best", sim.semantic_keep_best_oracle_sql())
 def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: semantic clusters from the embedding side,
