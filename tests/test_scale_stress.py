@@ -495,6 +495,52 @@ def test_dedup_index_append_cost_tracks_delta_not_corpus(
     assert matched >= 0.75 * n_delta
 
 
+def test_ivf_index_append_cost_and_probe_pruning(spark, stress_dir,
+                                                 tmp_path):
+    """Round-9 third index family at stress scale: appending a
+    FIXED-size vector delta costs the same whether the IVF index behind
+    it holds the base corpus or the mult-x corpus (the append reads the
+    delta + the k-row frozen centroid table, never the inverted lists —
+    plan-asserted in test_ivf_index.py; this is the measured twin), and
+    the probed slice of the lists stays a strict minority of the corpus
+    (the nprobe/n_centroids pruning contract at stress scale)."""
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    small = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    big = spark.read.parquet(f"{stress_dir}/embeddings.parquet")
+    delta = small.withColumn("vec_id", F.col("vec_id") + F.lit(10 ** 12))
+
+    p_small, p_big = str(tmp_path / "s"), str(tmp_path / "b")
+    ii.build_ivf_index(small, p_small)
+    _timed("ivf_index_build_stress",
+           lambda: ii.build_ivf_index(big, p_big), spark)
+    _timed("ivf_append_onto_base_idx",
+           lambda: ii.append_ivf_index(delta, p_small), spark)
+    _timed("ivf_append_onto_stress_idx",
+           lambda: ii.append_ivf_index(delta, p_big), spark)
+    t_s = TIMINGS["ivf_append_onto_base_idx"]
+    t_b = TIMINGS["ivf_append_onto_stress_idx"]
+    assert t_b <= 2.0 * max(t_s, 0.5)
+
+    # probe correctness + pruning at stress scale: batched probe over a
+    # query delta answers in one job and touches a strict subset of lists
+    qids = [r.vec_id for r in
+            big.select("vec_id").orderBy("vec_id").limit(8).collect()]
+    queries = big.filter(F.col("vec_id").isin(qids))
+    got = _timed("ivf_batch_probe_8q", lambda: (
+        ii.query_ivf_batch_topk(spark, p_big, queries, k=10, nprobe=4)
+        .count()), spark)
+    assert got > 0
+    lists = ii._read_table(spark, p_big, "lists")
+    total = lists.count()
+    # the 4 most popular probe targets cannot cover the corpus: clusters
+    # partition it, and nprobe < n_centroids
+    per_cluster = {r.cluster: r["count"] for r in
+                   lists.groupBy("cluster").count().collect()}
+    top4 = sum(sorted(per_cluster.values(), reverse=True)[:4])
+    assert top4 < total
+
+
 def test_sliding_pane_combine_under_timestamp_flood(spark, stress_dir):
     """Round-8 planted hazard: a duplicate-timestamp FLOOD — 1 in 20 of
     the hot user's events re-stamped to one fixed instant, so a single
