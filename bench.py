@@ -290,21 +290,44 @@ class _PrevTipWorker:
     round-8 shape (all prev runs in one block minutes after the flag)."""
 
     def __init__(self, worktree: str, sf_dir: str, timeout: float = 600):
+        import queue
         import subprocess
         import sys as _sys
+        import threading
 
         self.timeout = timeout
         self.proc = subprocess.Popen(
             [_sys.executable, "-c", _AB_WORKER_CODE, worktree, sf_dir],
             cwd=worktree, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True)
+        # reader thread + queue so every read carries the deadline: a hung
+        # prev-tip query (the degraded-host scenario the A/B runs under)
+        # returns None after `timeout` instead of stalling the whole bench
+        # on a blocking readline (ADVICE r9)
+        self._lines: "queue.Queue[str]" = queue.Queue()
+        t = threading.Thread(
+            target=lambda: ([self._lines.put(ln)
+                             for ln in iter(self.proc.stdout.readline, "")],
+                            self._lines.put("")),
+            daemon=True)
+        t.start()
         if self._read_until("AB_READY") is None:
             raise RuntimeError("ab worker failed to start")
 
+    def _readline(self) -> "str | None":
+        import queue
+
+        try:
+            line = self._lines.get(timeout=self.timeout)
+        except queue.Empty:
+            self.proc.kill()    # wedged worker: dead, not load-bearing
+            return None
+        return line or None     # "" = EOF sentinel from the reader thread
+
     def _read_until(self, prefix: str) -> "str | None":
         while True:
-            line = self.proc.stdout.readline()
-            if not line:
+            line = self._readline()
+            if line is None:
                 return None
             if line.startswith(prefix):
                 return line.strip()
@@ -316,8 +339,8 @@ class _PrevTipWorker:
         except Exception:
             return None
         while True:
-            line = self.proc.stdout.readline()
-            if not line:
+            line = self._readline()
+            if line is None:
                 return None
             if line.startswith(f"AB_T {name} "):
                 return float(line.split()[2])

@@ -47,6 +47,15 @@ import shutil
 from pathlib import Path
 
 MANIFEST = "MANIFEST.json"
+_LOCK = "MANIFEST.lock"
+
+
+class ManifestConflict(Exception):
+    """A ``commit(expect_version=...)`` found a different live version:
+    another writer committed between this writer's snapshot and its
+    commit. Appends retry the bump (adds are commutative); compactions
+    must re-stage from the fresh live set — a stale ``replaces`` would
+    silently drop segments the concurrent writer added."""
 
 
 def read_manifest(path: str) -> "dict | None":
@@ -95,19 +104,80 @@ def stage_segment(table_dir: str, name: str) -> str:
     return str(Path(table_dir, f"seg-{name}"))
 
 
+def has_mark(path: str, mark: str) -> bool:
+    """True when a prior commit recorded ``mark`` — the idempotent-replay
+    check the ingest loops run before doing any work for a batch (ADVICE
+    r9: a micro-batch that crashed AFTER its commit but before the
+    streaming checkpoint committed is replayed by the engine; without
+    this check the replay would probe an index that already contains the
+    batch and rewrite a live, manifest-referenced segment in place)."""
+    man = read_manifest(path)
+    return bool(man) and mark in man.get("marks", [])
+
+
 def commit(path: str, adds: "dict[str, list[str]] | None" = None,
-           replaces: "dict[str, list[str]] | None" = None) -> dict:
+           replaces: "dict[str, list[str]] | None" = None,
+           marks: "list[str] | None" = None,
+           expect_version: "int | None" = None) -> dict:
     """One atomic manifest bump: ``adds`` appends segment dirs to a
     table's live list (the append path), ``replaces`` swaps a table's
     entire list (the compaction path). Segment paths may be absolute or
     index-relative; stored relative so the index directory is
-    relocatable. Returns the committed manifest."""
+    relocatable. Returns the committed manifest.
+
+    ``marks`` records idempotence tags in the same atomic bump (see
+    ``has_mark``). ``expect_version`` is the optimistic-concurrency
+    check: the commit applies only if the live manifest version still
+    equals it, else ``ManifestConflict`` — the single-writer assumption
+    made explicit, so maintenance (compaction) racing ingest (appends)
+    fails loudly and retries from a fresh snapshot instead of silently
+    dropping the appends from a stale ``replaces`` list. The whole
+    read-merge-write runs under an advisory file lock (the local stand-in
+    for an object store's conditional PUT / if-match), so two concurrent
+    ADD commits cannot lose each other's segments either."""
+    with _manifest_lock(path):
+        return _commit_locked(path, adds, replaces, marks, expect_version)
+
+
+def _manifest_lock(path: str):
+    """Advisory exclusive lock serializing read-merge-write commits on a
+    POSIX filesystem. On an object store the equivalent is a conditional
+    PUT of the manifest key (ETag if-match); the protocol needs only
+    that single primitive."""
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def lock():
+        Path(path).mkdir(parents=True, exist_ok=True)
+        with open(Path(path, _LOCK), "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
+    return lock()
+
+
+def _commit_locked(path, adds, replaces, marks, expect_version) -> dict:
     man = read_manifest(path) or {"version": 0, "tables": {}}
+    if expect_version is not None and man["version"] != expect_version:
+        raise ManifestConflict(
+            f"manifest at {path} is at version {man['version']}, "
+            f"writer expected {expect_version}")
     tables = {t: list(segs) for t, segs in man["tables"].items()}
 
     def rel(seg: str) -> str:
-        seg_p = Path(seg)
-        return str(seg_p.relative_to(path)) if seg_p.is_absolute() else seg
+        # normalize BOTH sides to absolute before relativizing: a relative
+        # seg from stage_segment(relative index path) already embeds the
+        # index prefix ('idx/bands/seg-x'), and storing it unchanged made
+        # live_segments resolve 'idx/idx/bands/seg-x' while gc saw the
+        # real directory as unreferenced and deleted just-committed data
+        # (ADVICE r9). relative_to still raises for a segment outside the
+        # index root — that's a caller bug worth surfacing.
+        return str(Path(os.path.abspath(seg)).relative_to(
+            os.path.abspath(path)))
 
     for t, segs in (replaces or {}).items():
         tables[t] = [rel(s) for s in segs]
@@ -117,7 +187,10 @@ def commit(path: str, adds: "dict[str, list[str]] | None" = None,
             r = rel(s)
             if r not in have:       # idempotent re-commit of the same seg
                 have.append(r)
+    new_marks = sorted(set(man.get("marks", [])) | set(marks or []))
     man = {"version": man["version"] + 1, "tables": tables}
+    if new_marks:
+        man["marks"] = new_marks
     tmp = Path(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(man, f, indent=1)
@@ -137,8 +210,8 @@ def gc_unreferenced(path: str, tables: "list[str] | None" = None) -> int:
     man = read_manifest(path)
     if man is None:
         return 0
-    live = {str(Path(path, rel)) for segs in man["tables"].values()
-            for rel in segs}
+    live = {os.path.abspath(str(Path(path, rel)))
+            for segs in man["tables"].values() for rel in segs}
     removed = 0
     scan = tables if tables is not None else list(man["tables"])
     for t in scan:
@@ -147,7 +220,7 @@ def gc_unreferenced(path: str, tables: "list[str] | None" = None) -> int:
             continue
         for seg in tdir.iterdir():
             if (seg.is_dir() and seg.name.startswith("seg-")
-                    and str(seg) not in live):
+                    and os.path.abspath(str(seg)) not in live):
                 shutil.rmtree(seg, ignore_errors=True)
                 removed += 1
     return removed

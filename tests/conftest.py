@@ -34,3 +34,66 @@ def duck():
         )
     yield con
     con.close()
+
+
+def walk_executed_plan(df):
+    """Yield every physical node of an EXECUTED DataFrame's final plan,
+    descending through AQE wrappers (AdaptiveSparkPlanExec, QueryStage,
+    ReusedExchange) — for structural assertions like 'no Exchange above
+    the index-side scan'."""
+    def _walk(node):
+        yield node
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            yield from _walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            yield from _walk(node.plan())
+            return
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from _walk(cs.apply(i))
+
+    yield from _walk(df._jdf.queryExecution().executedPlan())
+
+
+def exchange_above_scan(df, path_fragment: str) -> bool:
+    """True if rows from a scan of files whose path contains
+    ``path_fragment`` cross an Exchange BEFORE reaching their first Join
+    — i.e. the scanned table itself is shuffled into a join. Exchanges
+    further downstream (over join outputs / aggregations) are
+    candidate-bounded and don't count: the 100 TB hazard is moving the
+    corpus-sized index side, not its join results."""
+    def _paths(node, trail):
+        name = node.getClass().getSimpleName()
+        trail = trail + [name]
+        if "FileSourceScan" in name:
+            rp = node.relation().location().rootPaths()
+            # match on root paths — plan toString() truncates Locations
+            if any(path_fragment in str(rp.apply(i))
+                   for i in range(rp.size())):
+                yield trail
+            return
+        if name == "AdaptiveSparkPlanExec":
+            yield from _paths(node.executedPlan(), trail)
+            return
+        if "QueryStage" in name:
+            yield from _paths(node.plan(), trail)
+            return
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from _paths(cs.apply(i), trail)
+
+    root = df._jdf.queryExecution().executedPlan()
+    found = False
+    for trail in _paths(root, []):
+        found = True
+        # ancestors between the scan and its nearest Join, scan-upward
+        upward = list(reversed(trail))
+        for name in upward[1:]:
+            if "Join" in name:
+                break
+            if "Exchange" in name:
+                return True
+    assert found, f"no scan matching {path_fragment!r} in the plan"
+    return False

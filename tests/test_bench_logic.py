@@ -286,3 +286,41 @@ def test_crosstree_measure_checks_out_and_cleans_up():
     except RuntimeError:
         pass
     assert not Path(seen["wt2"]).exists()
+
+
+def test_prev_tip_worker_enforces_read_deadline():
+    """ADVICE r9: a hung prev-tip query must time out (returning None and
+    killing the worker) instead of blocking the bench on readline."""
+    import queue
+    import time
+
+    from bench import _PrevTipWorker
+
+    class FakeProc:
+        def __init__(self):
+            self.killed = False
+
+        def kill(self):
+            self.killed = True
+
+    w = object.__new__(_PrevTipWorker)
+    w.timeout = 0.2
+    w._lines = queue.Queue()   # nothing ever arrives: the hung worker
+    w.proc = FakeProc()
+    w.proc.stdin = None
+
+    t0 = time.perf_counter()
+    assert w._read_until("AB_T") is None
+    assert time.perf_counter() - t0 < 5
+    assert w.proc.killed
+
+    # a line that DOES arrive in time is returned unchanged
+    w2 = object.__new__(_PrevTipWorker)
+    w2.timeout = 5
+    w2._lines = queue.Queue()
+    w2.proc = FakeProc()
+    w2._lines.put("AB_T q1 1.25\n")
+    assert w2._read_until("AB_T") == "AB_T q1 1.25"
+    # EOF sentinel ("" from the reader thread) reads as worker death
+    w2._lines.put("")
+    assert w2._readline() is None

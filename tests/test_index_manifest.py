@@ -105,3 +105,56 @@ def test_commit_is_a_single_pointer_replace(tmp_path, monkeypatch):
     monkeypatch.setattr(os, "replace", real_replace)
     assert Path(p, im.MANIFEST).read_bytes() == before
     assert im.live_segments(p, "bands") == [a]
+
+
+def test_relative_index_path_round_trip(tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a RELATIVE index path must behave exactly like
+    an absolute one. Before the fix, rel() stored the prefix-embedding
+    relative segment path unchanged, live_segments resolved it as
+    'idx/idx/...', and the post-commit gc_unreferenced deleted the
+    just-committed live segment."""
+    monkeypatch.chdir(tmp_path)
+    a = _mk_seg("idx", "bands", "base")           # 'idx/bands/seg-base'
+    im.commit("idx", replaces={"bands": [a]})
+    raw = json.loads(Path("idx", im.MANIFEST).read_text())
+    assert raw["tables"]["bands"] == ["bands/seg-base"]  # prefix stripped
+    live = im.live_segments("idx", "bands")
+    assert [Path(s).resolve() for s in live] == [
+        (tmp_path / "idx" / "bands" / "seg-base").resolve()]
+    # the automatic post-commit GC must NOT touch the live segment
+    assert im.gc_unreferenced("idx") == 0
+    assert (tmp_path / "idx" / "bands" / "seg-base"
+            / "part-0.parquet").exists()
+    # mixed absolute + relative segs in one commit normalize identically
+    b = _mk_seg(str(tmp_path / "idx"), "bands", "a1")
+    im.commit("idx", adds={"bands": [b]})
+    raw = json.loads(Path("idx", im.MANIFEST).read_text())
+    assert raw["tables"]["bands"] == ["bands/seg-base", "bands/seg-a1"]
+    assert im.gc_unreferenced("idx") == 0
+
+
+def test_marks_and_expect_version(tmp_path):
+    """Round-10: idempotence marks ride the same atomic bump (ingest
+    replay detection), and expect_version is the optimistic-concurrency
+    check — a stale writer raises ManifestConflict and nothing changes."""
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "b0")
+    im.commit(p, adds={"bands": [a]}, marks=["ingested-b0"])
+    assert im.has_mark(p, "ingested-b0")
+    assert not im.has_mark(p, "ingested-b1")
+    # marks accumulate and dedupe across commits
+    b = _mk_seg(p, "bands", "b1")
+    im.commit(p, adds={"bands": [b]}, marks=["ingested-b1", "ingested-b0"])
+    raw = json.loads(Path(p, im.MANIFEST).read_text())
+    assert raw["marks"] == ["ingested-b0", "ingested-b1"]
+
+    v = im.read_manifest(p)["version"]
+    c = _mk_seg(p, "bands", "c0")
+    try:
+        im.commit(p, replaces={"bands": [c]}, expect_version=v - 1)
+        raise AssertionError("stale commit must raise")
+    except im.ManifestConflict:
+        pass
+    assert im.live_segments(p, "bands") == [a, b]   # unchanged
+    im.commit(p, replaces={"bands": [c]}, expect_version=v)
+    assert im.live_segments(p, "bands") == [c]
