@@ -1016,7 +1016,10 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     emb = (embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .filter(_norm(F.col("v")) > 0))
-    cents = (emb.filter(F.col(id_col) < n_centroids)
+    # the n_centroids LOWEST-id nonzero vectors (round-10, ADVICE r9:
+    # the old `id < n_centroids` predicate silently yielded few or zero
+    # centroids on a corpus whose ids don't start near 0)
+    cents = (emb.orderBy(id_col).limit(int(n_centroids))
              .select(F.col(id_col).alias("c_id"), F.col("v").alias("cv")))
     scored = (emb.join(F.broadcast(cents))
               .withColumn("c_sim",
@@ -1060,7 +1063,7 @@ WITH nz AS (
 ),
 cents AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM nz
-  WHERE vec_id < {n_centroids}
+  ORDER BY vec_id LIMIT {n_centroids}
 ),
 assigned AS (
   SELECT vec_id, cluster FROM (
@@ -1111,7 +1114,7 @@ WITH nz AS (
 ),
 cents AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM nz
-  WHERE vec_id < {n_centroids}
+  ORDER BY vec_id LIMIT {n_centroids}
 ),
 assigned AS (
   SELECT vec_id, cluster FROM (

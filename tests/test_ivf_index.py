@@ -147,3 +147,77 @@ def test_probe_prunes_to_nprobe_cluster_partitions(spark, emb, tmp_path):
     lists = ii._read_table(spark, path, "lists")
     assert 0 < lists.filter(F.col("cluster").isin(probes)).count() \
         < lists.count()
+
+
+def test_trained_kmeans_quantizer_contracts(spark, emb, tmp_path):
+    """Round-10 trained quantizer: (a) training is deterministic —
+    identical centroid rows across two runs; (b) the build freezes the
+    centroids and appends assign against them (append == rebuild at the
+    same geometry); (c) a short sample raises instead of silently
+    building a degenerate quantizer."""
+    rows1 = ii.train_kmeans_centroids(emb, 8)
+    rows2 = ii.train_kmeans_centroids(emb, 8)
+    assert rows1 == rows2 and len(rows1) == 8
+
+    cut = int(emb.agg(F.floor(0.8 * (F.max("vec_id") + 1))).head()[0])
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ii.build_ivf_index(emb.filter(F.col("vec_id") < cut), inc,
+                       n_centroids=8, quantizer="kmeans")
+    ii.append_ivf_index(emb.filter(F.col("vec_id") >= cut), inc)
+    ii.build_ivf_index(emb, full, n_centroids=8, quantizer="kmeans")
+    want = _topk(spark, full, emb)
+    assert want and _topk(spark, inc, emb) == want
+    assert ii._read_meta(inc)["quantizer"] == "kmeans"
+
+    with pytest.raises(ValueError, match="nonzero sample"):
+        ii.train_kmeans_centroids(emb.limit(4), 8)
+
+
+def test_portable_quantizer_rejects_short_corpus(spark, emb, tmp_path):
+    """ADVICE r9: the old `id < n_centroids` pick built an EMPTY
+    quantizer on a corpus whose ids don't start near 0 and silently
+    dropped every vector. Now: lowest-n ids regardless of the id range,
+    and a corpus smaller than the quantizer raises."""
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    path = str(tmp_path / "shifted")
+    ii.build_ivf_index(shifted, path, n_centroids=8)
+    lists = ii._read_table(spark, path, "lists")
+    assert lists.count() > 0           # nothing dropped
+    cents = ii._read_table(spark, path, "centroids")
+    assert cents.count() == 8
+    with pytest.raises(ValueError, match="portable quantizer"):
+        ii.build_ivf_index(emb.limit(4), str(tmp_path / "tiny"),
+                           n_centroids=8)
+
+
+def test_ingest_loop_scheduled_equals_streaming_and_skips_replay(
+        spark, emb, tmp_path, monkeypatch):
+    """Round-10 IVF ingest lifecycle: the scheduled loop and the
+    streaming twin commit identical probe logs; and a batch whose commit
+    LANDED but whose checkpoint didn't (ADVICE r9: replay-after-commit)
+    is detected by its idempotence mark and skipped without touching the
+    index."""
+    sched = str(tmp_path / "sched")
+    a = ii.ingest_ivf_index(spark, emb, sched, n_batches=3, k=5)
+    got_a = sorted((r.query_id, r.vec_id, r.cos_sim) for r in a.collect())
+    assert got_a
+
+    stream = str(tmp_path / "stream")
+    b = ii.streaming_ingest_ivf(spark, emb, stream, n_batches=3, k=5)
+    got_b = sorted((r.query_id, r.vec_id, r.cos_sim) for r in b.collect())
+    assert got_a == got_b
+
+    # replay-after-commit: re-running an already-committed tag must be a
+    # no-op — same manifest version, same probe log, no segment rewrite
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        read_manifest,
+    )
+    v_before = read_manifest(sched)["version"]
+    batch1 = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 1)
+    ii._ivf_ingest_batch(spark, batch1, sched,
+                         {"n_centroids": 8, "vec_col": "embedding",
+                          "id_col": "vec_id"}, 5, 2, tag="b1", first=False)
+    assert read_manifest(sched)["version"] == v_before
+    replay = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
+                    ii._read_table(spark, sched, "probes").collect())
+    assert replay == got_a
