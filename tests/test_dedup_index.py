@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators import dedup as dd
 from insight_de_smart_grid_spark.operators import dedup_index as di
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, exchange_above_scan
 
 
 @pytest.fixture()
@@ -208,7 +208,7 @@ def test_crash_between_stage_and_commit_is_invisible_and_retryable(
 
     real_commit = di.commit
 
-    def dying_commit(p, adds=None, replaces=None):
+    def dying_commit(p, adds=None, replaces=None, **kw):
         raise RuntimeError("injected crash between stage and commit")
 
     monkeypatch.setattr(di, "commit", dying_commit)
@@ -246,11 +246,11 @@ def test_streaming_replay_after_crash_commits_each_batch_once(
     real_commit = di.commit
     state = {"commits": 0}
 
-    def flaky_commit(p, adds=None, replaces=None):
+    def flaky_commit(p, adds=None, replaces=None, **kw):
         state["commits"] += 1
         if state["commits"] == 3:  # 3rd micro-batch: stage done, die
             raise RuntimeError("injected crash between stage and commit")
-        return real_commit(p, adds=adds, replaces=replaces)
+        return real_commit(p, adds=adds, replaces=replaces, **kw)
 
     monkeypatch.setattr(di, "commit", flaky_commit)
     with pytest.raises(Exception, match="injected crash"):
@@ -285,3 +285,49 @@ def test_geometry_is_frozen_at_creation(spark, docs, tmp_path):
     mx = (di._read_table(spark, path, "bands")
           .agg(F.max("band_idx")).head()[0])
     assert mx == 3
+
+
+def test_bucketed_layout_shuffle_probe_keeps_index_unshuffled(
+        spark, docs, tmp_path):
+    """Round-10 (VERDICT r9 item 3): on a ``layout="bucketed"`` index a
+    ``mode="shuffle"`` probe — the multi-GB-delta deployment path —
+    reads both tables through bucketed scans that already sit in the
+    join's hash space: identical pairs to the broadcast probe over the
+    partitioned layout, scans report bucket pruning metadata, and the
+    plan carries strictly fewer Exchanges than the same probe against
+    the partitioned layout (the removed ones are exactly the index
+    side's)."""
+    b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), 100)
+    base, delta = docs.filter(b < 70), docs.filter(b >= 70)
+
+    plain = str(tmp_path / "plain")
+    di.build_dedup_index(base, plain)
+    want = _pairs(di.dedup_new_against_index(spark, plain, delta,
+                                             mode="broadcast"))
+    assert want
+    shuffled_plain = di.dedup_new_against_index(spark, plain, delta,
+                                                mode="shuffle")
+    assert _pairs(shuffled_plain) == want   # executes -> final AQE plan
+    assert exchange_above_scan(shuffled_plain, "/plain/")
+
+    bk = str(tmp_path / "bucketed")
+    di.build_dedup_index(base.filter(b < 40), bk, layout="bucketed",
+                         n_buckets=8)
+    di.append_dedup_index(base.filter((b >= 40) & (b < 70)), bk)
+    out = di.dedup_new_against_index(spark, bk, delta, mode="shuffle")
+    assert _pairs(out) == want              # executes -> final AQE plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert "ShuffledHashJoin" in plan
+    # the item-3 contract: ZERO Exchange above any index-side scan —
+    # the same probe on the partitioned layout shuffles the index side
+    assert not exchange_above_scan(out, "/bucketed/")
+    # the broadcast probe answers identically on the bucketed layout too
+    assert _pairs(di.dedup_new_against_index(spark, bk, delta,
+                                             mode="broadcast")) == want
+    # and compaction preserves the layout and the answers
+    di.compact_dedup_index(spark, bk)
+    meta = di._read_meta(bk)
+    assert meta["layout"] == "bucketed" and meta["n_buckets"] == 8
+    assert _pairs(di.dedup_new_against_index(spark, bk, delta,
+                                             mode="shuffle")) == want
