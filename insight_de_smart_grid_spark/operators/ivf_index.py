@@ -555,16 +555,21 @@ SELECT query_id, vec_id, cos_sim FROM (
 def ivf_trained_topk_oracle_sql(query_vec_id: int, k: int = 10,
                                 n_centroids: int = 8, nprobe: int = 4,
                                 n_iter: int = 2, train_rows: int = 256,
-                                dim: int = 64) -> str:
+                                dim: int = 64,
+                                train_table: str = "embeddings") -> str:
     """DuckDB twin of a ``quantizer="kmeans"`` IVF index probe: the
     ``kmeans_centroids_cte_sql`` chain replays the training to the
     identical centroid rows (6-decimal grid), then assignment, probe
     selection, and exact re-rank are the standard IVF oracle over those
     centroids — the whole trained family is value-checked cross-engine,
-    training included."""
+    training included. ``train_table`` may be a parenthesized subquery
+    selecting exactly the corpus the index was BUILT on (training is
+    slice-sensitive: on a corpus smaller than ``train_rows`` the build
+    slice and the full corpus train different centroids)."""
     cos = "round(list_cosine_similarity({a}, {b}), 6)"
     return f"""
-WITH {kmeans_centroids_cte_sql(n_centroids, n_iter, train_rows, dim)},
+WITH {kmeans_centroids_cte_sql(n_centroids, n_iter, train_rows, dim,
+                               table=train_table)},
 nz AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[],

@@ -1311,9 +1311,17 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.token_budget_report(load_table(spark, sf_dir, "documents"))
 
 
+# the oracle must TRAIN on the same corpus the index was built on (the
+# id-ordered first 80%): on a corpus smaller than train_rows the build
+# slice and the full corpus train different centroids (edge corpus)
+_TRAIN_SLICE = ("(SELECT * FROM embeddings WHERE vec_id < "
+                "(SELECT floor(0.8 * (max(vec_id) + 1)) FROM embeddings))")
+
+
 @register("sim_ivf_trained_maintained",
           ivf.ivf_trained_topk_oracle_sql(7, k=10, n_centroids=8,
-                                          nprobe=4))
+                                          nprobe=4,
+                                          train_table=_TRAIN_SLICE))
 def q_sim_ivf_trained_maintained(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """Round-10 trained IVF quantizer (VERDICT r9 item 2): build with
@@ -1342,7 +1350,8 @@ def q_sim_ivf_trained_maintained(spark: SparkSession, sf_dir: str
                              exclude_id=7)
 
 
-@register("sim_ivf_index_ingest_loop", ivf.ivf_index_ingest_oracle_sql(4, 5))
+@register("sim_ivf_index_ingest_loop",
+          ivf.ivf_index_ingest_oracle_sql(4, 5, n_centroids=4))
 def q_sim_ivf_index_ingest_loop(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:
     """The IVF index's whole lifecycle as one scheduled-ingest loop
@@ -1356,11 +1365,14 @@ def q_sim_ivf_index_ingest_loop(spark: SparkSession, sf_dir: str
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = tempfile.mkdtemp(prefix="ivfidx_loop_")
-    return ii.ingest_ivf_index(spark, emb, path, n_batches=4, k=5)
+    # n_centroids=4: slice 0 must hold at least n_centroids nonzero
+    # vectors on EVERY oracle corpus (the edge fixture's slice 0 has 5)
+    return ii.ingest_ivf_index(spark, emb, path, n_batches=4, k=5,
+                               n_centroids=4)
 
 
 @register("streaming_ivf_index_ingest",
-          ivf.ivf_index_ingest_oracle_sql(4, 5))
+          ivf.ivf_index_ingest_oracle_sql(4, 5, n_centroids=4))
 def q_streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """The same IVF ingest lifecycle driven by REAL Structured Streaming
@@ -1373,7 +1385,8 @@ def q_streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = tempfile.mkdtemp(prefix="ivfidx_sing_")
-    return ii.streaming_ingest_ivf(spark, emb, base, n_batches=4, k=5)
+    return ii.streaming_ingest_ivf(spark, emb, base, n_batches=4, k=5,
+                                   n_centroids=4)
 
 
 @register("dedup_index_incremental_bucketed", _dedup_index_incremental_sql())
