@@ -601,3 +601,64 @@ WHERE e.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def ivf_trained_batch_topk_oracle_sql(query_vec_ids: "list[int]",
+                                      k: int = 10, n_centroids: int = 8,
+                                      nprobe: int = 4, n_iter: int = 2,
+                                      train_rows: int = 256,
+                                      dim: int = 64,
+                                      train_table: str = "embeddings"
+                                      ) -> str:
+    """DuckDB twin of ``query_ivf_batch_topk`` through a
+    ``quantizer="kmeans"`` index: the training CTE chain
+    (``kmeans_centroids_cte_sql``) followed by the batch probe —
+    per-query nprobe lists over the TRAINED centroids, exact re-rank
+    inside the probed lists, top-k per query."""
+    ids = ", ".join(str(int(q)) for q in query_vec_ids)
+    cos = "round(list_cosine_similarity({a}, {b}), 6)"
+    return f"""
+WITH {kmeans_centroids_cte_sql(n_centroids, n_iter, train_rows, dim,
+                               table=train_table)},
+nz AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum')) > 0
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='c.cv')} DESC,
+                      c.c_id ASC) AS rn
+    FROM nz e, cents c)
+  WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM nz
+       WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC,
+                      c.c_id ASC) AS rn
+    FROM qs q, cents c)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(a='e.v', b='q.qv')} AS cos_sim
+  FROM assigned a
+  JOIN probes p ON a.cluster = p.cluster
+  JOIN nz e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

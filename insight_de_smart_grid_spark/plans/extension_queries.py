@@ -1439,3 +1439,26 @@ def q_sim_ann_index_batch_probe_bucketed(spark: SparkSession, sf_dir: str
     queries = emb.filter(F.col("vec_id").isin([0, 7, 23]))
     return ai.query_index_batch_topk(spark, path, queries, k=10,
                                      mode="shuffle")
+
+
+@register("sim_ivf_trained_batch_probe",
+          ivf.ivf_trained_batch_topk_oracle_sql([0, 7, 23], 10,
+                                                n_centroids=8, nprobe=4))
+def q_sim_ivf_trained_batch_probe(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Batched multi-query probe through the TRAINED (kmeans) IVF index:
+    the round-10 quantizer and the one-job batch probe composed — the
+    DuckDB twin replays the training CTEs and then the per-query
+    nprobe/re-rank, so the deployment-shape path (train once, batch-probe
+    every arriving delta) is value-checked end-to-end
+    (`operators/ivf_index.py::query_ivf_batch_topk`,
+    `ivf_trained_batch_topk_oracle_sql`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfidx_kmbp_")
+    ii.build_ivf_index(emb, path, n_centroids=8, quantizer="kmeans")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 23]))
+    return ii.query_ivf_batch_topk(spark, path, queries, k=10, nprobe=4)

@@ -884,12 +884,6 @@ def test_sweep_completes(spark, stress_dir, name):
     assert n > 0
 
 
-def test_zz_report():
-    """Last in file: print one grep-able JSON line with all timings."""
-    print("\nSTRESS_TIMINGS " + json.dumps(
-        {"base": BASE, "mult": MULT, **TIMINGS}, sort_keys=True))
-
-
 def test_ivf_trained_recall_at_design_point_cos09(spark, stress_dir,
                                                   tmp_path):
     """Round-10 (VERDICT r9 item 2): the IVF family gets the ANN
@@ -1010,3 +1004,9 @@ def test_bucketed_shuffle_probe_at_stress_scale(spark, stress_dir,
     # the layout contract, re-checked on the at-scale executed plans
     assert exchange_above_scan(out_p[0], "/part/")
     assert not exchange_above_scan(out_b[0], "/bk/")
+
+
+def test_zz_report():
+    """Last in file: print one grep-able JSON line with all timings."""
+    print("\nSTRESS_TIMINGS " + json.dumps(
+        {"base": BASE, "mult": MULT, **TIMINGS}, sort_keys=True))
