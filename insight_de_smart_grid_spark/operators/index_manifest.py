@@ -201,18 +201,33 @@ def _commit_locked(path, adds, replaces, marks, expect_version) -> dict:
     return man
 
 
-def gc_unreferenced(path: str, tables: "list[str] | None" = None) -> int:
+def gc_unreferenced(path: str, tables: "list[str] | None" = None,
+                    retention_seconds: float = 0) -> int:
     """Remove segment directories no manifest references — compacted-away
-    segments and orphans from crashes before a commit. Safe concurrently
-    with readers (a live reader's plan holds only manifest-listed paths)
-    and at any time (referenced segments are never touched). Returns the
-    number of directories removed."""
+    segments and orphans from crashes before a commit. Referenced
+    segments are never touched. Returns the number of directories
+    removed.
+
+    Concurrency nuance (round-10): a reader that resolved the manifest
+    JUST BEFORE a compaction commit may still be scanning the
+    superseded segments when the post-commit GC runs. On POSIX the open
+    files survive the unlink; on an object store — or for a Spark scan
+    that opens its files lazily — they do not. ``retention_seconds``
+    is the deployment lever: a segment is only removed once its last
+    modification is at least that old, so any reader whose plan
+    predates the swap has drained by the time the files disappear (the
+    same grace-period design as Iceberg's expire-snapshots / Delta's
+    vacuum retention — public designs). The in-repo loops keep the
+    default 0 (single-process: no reader can straddle the swap)."""
+    import time
+
     man = read_manifest(path)
     if man is None:
         return 0
     live = {os.path.abspath(str(Path(path, rel)))
             for segs in man["tables"].values() for rel in segs}
     removed = 0
+    cutoff = time.time() - retention_seconds
     scan = tables if tables is not None else list(man["tables"])
     for t in scan:
         tdir = Path(path, t)
@@ -220,7 +235,8 @@ def gc_unreferenced(path: str, tables: "list[str] | None" = None) -> int:
             continue
         for seg in tdir.iterdir():
             if (seg.is_dir() and seg.name.startswith("seg-")
-                    and os.path.abspath(str(seg)) not in live):
+                    and os.path.abspath(str(seg)) not in live
+                    and seg.stat().st_mtime <= cutoff):
                 shutil.rmtree(seg, ignore_errors=True)
                 removed += 1
     return removed

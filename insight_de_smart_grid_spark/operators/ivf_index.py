@@ -29,7 +29,15 @@ partition pruning.
     it and nothing else.
   * ``lists/`` — the inverted lists ``(id, v)`` PARTITIONED BY
     ``cluster``: each vector stored once, in its one assigned list —
-    IVF is naturally a single-copy index.
+    IVF is naturally a single-copy index. (Deliberately NOT offered in
+    the round-10 ``layout="bucketed"`` form the dedup/ANN bands have:
+    the probe join key ``cluster`` takes at most ``n_centroids``
+    distinct values, so bucketing on it cannot spread work — a shuffled
+    hash join on a k-valued key is skew by construction — while the
+    existing directory partitioning already gives the probe its scale
+    lever, PartitionFilters pruning to nprobe/n_centroids of the
+    corpus before any join. Batch probes bound the driver-side cluster
+    union by n_centroids regardless of delta size.)
 
 - ``append_ivf_index``: assign ONLY the delta against the frozen
   centroid broadcast (never re-derives centroids — re-deriving is what

@@ -158,3 +158,19 @@ def test_marks_and_expect_version(tmp_path):
     assert im.live_segments(p, "bands") == [a, b]   # unchanged
     im.commit(p, replaces={"bands": [c]}, expect_version=v)
     assert im.live_segments(p, "bands") == [c]
+
+
+def test_gc_retention_window(tmp_path):
+    """Round-10: ``retention_seconds`` keeps just-superseded segments on
+    disk until in-flight readers whose plans predate the swap have
+    drained (the expire-snapshots grace-period design); age 0 removes
+    immediately."""
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]})
+    b = _mk_seg(p, "bands", "c1")
+    im.commit(p, replaces={"bands": [b]})     # a is now unreferenced
+    assert im.gc_unreferenced(p, retention_seconds=3600) == 0
+    assert Path(a).exists()                   # young orphan retained
+    assert im.gc_unreferenced(p) == 1         # age 0: removed now
+    assert not Path(a).exists() and Path(b).exists()
