@@ -174,3 +174,32 @@ def test_gc_retention_window(tmp_path):
     assert Path(a).exists()                   # young orphan retained
     assert im.gc_unreferenced(p) == 1         # age 0: removed now
     assert not Path(a).exists() and Path(b).exists()
+
+
+def test_concurrent_add_commits_across_processes(tmp_path):
+    """Round-10: the advisory manifest lock serializes the read-merge-
+    write inside commit() ACROSS PROCESSES — two writers racing add
+    commits must both survive (without the lock, interleaved
+    read-modify-writes of MANIFEST.json silently drop the loser's
+    segments). Every segment from both writers must be live and the
+    version must count every commit."""
+    import multiprocessing as mp
+
+    p = str(tmp_path)
+    n = 20
+
+    def writer(prefix: str) -> None:
+        for i in range(n):
+            seg = _mk_seg(p, "bands", f"{prefix}{i}")
+            im.commit(p, adds={"bands": [seg]})
+
+    procs = [mp.Process(target=writer, args=(w,)) for w in ("a", "b")]
+    for pr in procs:
+        pr.start()
+    for pr in procs:
+        pr.join(120)
+        assert pr.exitcode == 0
+    live = im.live_segments(p, "bands")
+    names = {Path(s).name for s in live}
+    assert names == {f"seg-{w}{i}" for w in ("a", "b") for i in range(n)}
+    assert im.read_manifest(p)["version"] == 2 * n
