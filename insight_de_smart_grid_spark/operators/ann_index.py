@@ -177,11 +177,11 @@ def build_signature_index(embeddings: DataFrame, path: str,
         meta["n_buckets"] = n_buckets
     staged = _stage_tables(sig, _vectors_frame(embeddings, vec_col, id_col),
                            path, id_col, "base", meta)
-    write_meta(path, meta)
-    # marks ride the SAME bump so a first-batch ingest is atomic with its
-    # idempotence record (a separate mark commit would reopen the replay
-    # window between the two bumps)
-    commit(path, replaces=staged, marks=marks)
+    write_meta(path, meta)   # human-readable mirror; manifest is authoritative
+    # marks and meta ride the SAME bump so a first-batch ingest is atomic
+    # with its idempotence record and the geometry is atomic with the
+    # segments that encode it
+    commit(path, replaces=staged, marks=marks, meta=meta)
     index_base.gc_unreferenced(path)
     return meta
 
@@ -549,3 +549,47 @@ def query_index_batch_topk(spark: SparkSession, path: str,
                                                F.asc(id_col))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+def rebuild_signature_index(spark: SparkSession, path: str,
+                            n_tables: "int | None" = None,
+                            n_planes: "int | str" = "auto",
+                            auto_occupancy: int = 32) -> dict:
+    """Re-derive the LSH geometry from the index's OWN single-copy
+    vectors table — the rebuild the depth-freeze contract defers to
+    (an auto depth frozen at creation goes stale as the corpus grows;
+    re-deriving mid-life would make appended buckets incompatible, so
+    the ONLY correct path is an atomic whole-index re-signature). Only
+    ``bands/`` is rewritten — the vectors table IS the corpus and stays
+    untouched — and the new geometry meta rides the same manifest bump
+    as the new bands segment (round-10 manifest meta): a crash anywhere
+    leaves the old depth fully consistent with the old bands. Probes
+    after a rebuild answer exactly like a fresh build at the new
+    geometry over the ingested corpus (pinned in tests)."""
+    meta = dict(_read_meta(path))
+    id_col = meta["id_col"]
+    n_tables = n_tables or meta["n_tables"]
+    vecs = _read_table(spark, path, _VECS)
+    resolved = n_planes
+    if n_planes == "auto":
+        resolved = auto_n_planes(vecs.count(),
+                                 target_occupancy=auto_occupancy)
+    sig = hyperplane_signatures(vecs, n_tables, resolved, meta["dim"],
+                                vec_col="v", id_col=id_col)
+    tag = next_tag(path, "r")
+    seg_b = stage_segment(f"{path}/{_BANDS}", tag)
+    bands_frame = sig.select(F.col(id_col), F.col("table"),
+                             F.col("bucket"))
+    if meta.get("layout") == "bucketed":
+        index_base.write_bucketed_segment(
+            bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
+    else:
+        (bands_frame.repartition("table")
+         .sortWithinPartitions("table", "bucket")
+         .write.mode("overwrite").partitionBy("table").parquet(seg_b))
+    meta.update({"n_tables": n_tables, "n_planes": int(resolved),
+                 "depth_mode": "auto" if n_planes == "auto" else "pinned"})
+    write_meta(path, meta)   # mirror; the manifest copy is authoritative
+    commit(path, replaces={_BANDS: [seg_b]}, meta=meta)
+    index_base.gc_unreferenced(path, [_BANDS])
+    return meta

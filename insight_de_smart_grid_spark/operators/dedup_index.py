@@ -190,8 +190,8 @@ def build_dedup_index(docs: DataFrame, path: str, n_hashes: int = 32,
     sig = signature_shingle_sets(docs, n_hashes, ngram, text_col, id_col)
     Path(path).mkdir(parents=True, exist_ok=True)
     staged = _stage_tables(sig, path, meta, "base")
-    write_meta(path, meta)
-    commit(path, replaces=staged)
+    write_meta(path, meta)   # mirror; the manifest copy is authoritative
+    commit(path, replaces=staged, meta=meta)
     index_base.gc_unreferenced(path)
     return meta
 
@@ -294,7 +294,8 @@ def _ingest_batch(spark: SparkSession, batch: DataFrame, idx_path: str,
         staged = _stage_tables(sig, idx_path, meta, tag)
         if first:
             write_meta(idx_path, meta)
-        commit(idx_path, adds={**staged, _PAIRS: [seg_p]}, marks=[mark])
+        commit(idx_path, adds={**staged, _PAIRS: [seg_p]}, marks=[mark],
+               meta=meta if first else None)
     finally:
         sig.unpersist()
 

@@ -88,7 +88,15 @@ def pick_join_mode(delta: DataFrame,
 def read_meta(path: str) -> dict:
     """The frozen creation-time geometry. Every maintenance entry point
     starts here: appends must signature/assign identically to the build
-    or buckets/lists from different geometries silently never collide."""
+    or buckets/lists from different geometries silently never collide.
+
+    Round-10: the authoritative copy lives IN the manifest (committed
+    atomically with the segments that encode it — rebuild/retrain change
+    geometry and segments in one bump); ``meta.json`` remains as the
+    human-readable mirror and the pre-round-10 fallback."""
+    man = read_manifest(path)
+    if man and "meta" in man:
+        return man["meta"]
     return json.loads(Path(path, META).read_text())
 
 

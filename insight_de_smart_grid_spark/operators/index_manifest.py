@@ -118,7 +118,8 @@ def has_mark(path: str, mark: str) -> bool:
 def commit(path: str, adds: "dict[str, list[str]] | None" = None,
            replaces: "dict[str, list[str]] | None" = None,
            marks: "list[str] | None" = None,
-           expect_version: "int | None" = None) -> dict:
+           expect_version: "int | None" = None,
+           meta: "dict | None" = None) -> dict:
     """One atomic manifest bump: ``adds`` appends segment dirs to a
     table's live list (the append path), ``replaces`` swaps a table's
     entire list (the compaction path). Segment paths may be absolute or
@@ -134,9 +135,18 @@ def commit(path: str, adds: "dict[str, list[str]] | None" = None,
     dropping the appends from a stale ``replaces`` list. The whole
     read-merge-write runs under an advisory file lock (the local stand-in
     for an object store's conditional PUT / if-match), so two concurrent
-    ADD commits cannot lose each other's segments either."""
+    ADD commits cannot lose each other's segments either.
+
+    ``meta`` (round-10) stores the index geometry IN the manifest, so a
+    geometry change (rebuild at a new LSH depth, quantizer retrain)
+    becomes visible in the SAME atomic bump as the segments that encode
+    it — a geometry file written beside the manifest could otherwise
+    disagree with the live segments across a crash, and probes would
+    silently hash into the wrong bucket space. Omitted, the previous
+    manifest meta is carried forward."""
     with _manifest_lock(path):
-        return _commit_locked(path, adds, replaces, marks, expect_version)
+        return _commit_locked(path, adds, replaces, marks, expect_version,
+                              meta)
 
 
 def _manifest_lock(path: str):
@@ -160,7 +170,8 @@ def _manifest_lock(path: str):
     return lock()
 
 
-def _commit_locked(path, adds, replaces, marks, expect_version) -> dict:
+def _commit_locked(path, adds, replaces, marks, expect_version,
+                   meta=None) -> dict:
     man = read_manifest(path) or {"version": 0, "tables": {}}
     if expect_version is not None and man["version"] != expect_version:
         raise ManifestConflict(
@@ -188,9 +199,12 @@ def _commit_locked(path, adds, replaces, marks, expect_version) -> dict:
             if r not in have:       # idempotent re-commit of the same seg
                 have.append(r)
     new_marks = sorted(set(man.get("marks", [])) | set(marks or []))
+    new_meta = meta if meta is not None else man.get("meta")
     man = {"version": man["version"] + 1, "tables": tables}
     if new_marks:
         man["marks"] = new_marks
+    if new_meta is not None:
+        man["meta"] = new_meta
     tmp = Path(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(man, f, indent=1)

@@ -271,8 +271,9 @@ def build_ivf_index(embeddings: DataFrame, path: str,
             "id_col": id_col, "quantizer": quantizer}
     if quantizer == "kmeans":
         meta.update({"n_iter": n_iter, "train_rows": train_rows})
-    write_meta(path, meta)
-    commit(path, replaces={**staged, _CENTS: [seg_c]}, marks=marks)
+    write_meta(path, meta)   # mirror; the manifest copy is authoritative
+    commit(path, replaces={**staged, _CENTS: [seg_c]}, marks=marks,
+           meta=meta)
     index_base.gc_unreferenced(path)
     return meta
 
@@ -670,3 +671,45 @@ SELECT query_id, vec_id, cos_sim FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+def retrain_ivf_index(spark: SparkSession, path: str,
+                      n_centroids: "int | None" = None,
+                      quantizer: str = "kmeans", n_iter: int = 2,
+                      train_rows: int = 256) -> dict:
+    """The REBUILD the append docstring defers to (round-10): re-derive
+    the coarse quantizer from the index's OWN single-copy vectors — the
+    original corpus is never re-read — and reassign every list, swapping
+    centroids, lists, AND the geometry meta in ONE atomic manifest bump
+    (the meta rides the manifest since round-10, so a crash anywhere
+    leaves the old quantizer fully consistent with the old lists).
+    Probes after a retrain answer exactly like a fresh build of the same
+    quantizer over the ingested corpus (pinned in tests)."""
+    meta = dict(_read_meta(path))
+    id_col = meta["id_col"]
+    n_centroids = n_centroids or meta["n_centroids"]
+    vecs = (_read_table(spark, path, _LISTS)
+            .select(F.col(id_col), F.col("v")))
+    if quantizer == "kmeans":
+        rows = train_kmeans_centroids(vecs, n_centroids, n_iter,
+                                      train_rows, vec_col="v",
+                                      id_col=id_col)
+        cents = spark.createDataFrame(rows, "c_id int, cv array<double>")
+    else:
+        cents = (vecs.orderBy(id_col).limit(int(n_centroids))
+                 .select(F.col(id_col).alias("c_id"),
+                         F.col("v").alias("cv")))
+        if cents.count() < n_centroids:
+            raise ValueError("portable quantizer needs >= n_centroids "
+                             "vectors in the index")
+    tag = next_tag(path, "r")
+    seg_c = stage_segment(f"{path}/{_CENTS}", tag)
+    cents.coalesce(1).write.mode("overwrite").parquet(seg_c)
+    staged = _stage_lists(_assign(vecs, cents, id_col), path, id_col, tag)
+    meta.update({"n_centroids": n_centroids, "quantizer": quantizer})
+    if quantizer == "kmeans":
+        meta.update({"n_iter": n_iter, "train_rows": train_rows})
+    write_meta(path, meta)   # mirror; the manifest copy is authoritative
+    commit(path, replaces={**staged, _CENTS: [seg_c]}, meta=meta)
+    index_base.gc_unreferenced(path, [_CENTS, _LISTS])
+    return meta

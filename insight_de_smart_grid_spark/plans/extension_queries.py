@@ -1462,3 +1462,58 @@ def q_sim_ivf_trained_batch_probe(spark: SparkSession, sf_dir: str
     ii.build_ivf_index(emb, path, n_centroids=8, quantizer="kmeans")
     queries = emb.filter(F.col("vec_id").isin([0, 7, 23]))
     return ii.query_ivf_batch_topk(spark, path, queries, k=10, nprobe=4)
+
+
+@register("sim_ivf_index_retrained",
+          ivf.ivf_trained_topk_oracle_sql(7, k=10, n_centroids=8,
+                                          nprobe=4))
+def q_sim_ivf_index_retrained(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Quantizer retrain as a first-class maintenance op (round-10):
+    build with the portable quantizer, then RETRAIN to an 8-centroid
+    kmeans quantizer from the index's OWN single-copy vectors — the
+    corpus is never re-read; centroids, lists, and the geometry meta
+    swap in one atomic manifest bump. The probe equals a fresh kmeans
+    build over the same corpus, so the query shares the trained oracle
+    (training replayed in SQL) verbatim
+    (`operators/ivf_index.py::retrain_ivf_index`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfidx_rt_")
+    ii.build_ivf_index(emb, path, n_centroids=16)
+    ii.retrain_ivf_index(spark, path, n_centroids=8, quantizer="kmeans")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    return ii.query_ivf_topk(spark, path, qv, k=10, nprobe=4,
+                             exclude_id=7)
+
+
+@register("sim_ann_index_rebuilt",
+          sim.lsh_ann_auto_topk_oracle_sql(0, 10, n_tables=4,
+                                           auto_occupancy=4))
+def q_sim_ann_index_rebuilt(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Depth rebuild as a first-class maintenance op (round-10): an
+    auto-depth index created on 40% of the corpus freezes a depth the
+    grown corpus outgrows; REBUILD re-signatures the index's own vectors
+    at the re-derived depth — only bands/ rewritten, geometry + segment
+    in one atomic bump — and then answers exactly like the inline
+    auto-depth query over the full corpus, whose oracle derives the same
+    depth in a scalar CTE
+    (`operators/ann_index.py::rebuild_signature_index`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="annidx_rb_")
+    b = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), 100)
+    ai.build_signature_index(emb.filter(b < 40), path, n_tables=4,
+                             n_planes="auto", auto_occupancy=4)
+    ai.append_signatures(emb.filter(b >= 40), path)
+    ai.rebuild_signature_index(spark, path, n_planes="auto",
+                               auto_occupancy=4)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ai.query_index_topk(spark, path, qv, k=10, exclude_id=0)

@@ -437,3 +437,55 @@ def test_bucketed_layout_shuffle_probe_keeps_index_unshuffled(
                   ai.query_index_batch_topk(spark, bk, delta, k=5,
                                             mode="shuffle").collect())
     assert got2 == want
+
+
+def test_rebuild_rederives_depth_atomically(spark, emb, tmp_path,
+                                            monkeypatch):
+    """Round-10 rebuild path: re-signature the index's own vectors at a
+    re-derived auto depth — only bands/ rewritten, geometry + segment in
+    ONE manifest bump; a crash before the bump leaves the old depth
+    fully consistent (manifest meta beats the meta.json mirror), and the
+    rebuilt index answers like a fresh build at the new geometry."""
+    from insight_de_smart_grid_spark.operators.similarity import (
+        auto_n_planes,
+        lsh_ann_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    b = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), 100)
+    creation = emb.filter(b < 40)
+    occ = 4
+    d0 = auto_n_planes(creation.count(), target_occupancy=occ)
+    d1 = auto_n_planes(emb.count(), target_occupancy=occ)
+    assert d1 > d0
+    ai.build_signature_index(creation, path, n_tables=4, n_planes="auto",
+                             auto_occupancy=occ)
+    ai.append_signatures(emb.filter(b >= 40), path)
+    before = _topk(spark, path, emb)
+
+    real_commit = ai.commit
+
+    def dying(p, **kw):
+        raise RuntimeError("injected crash before the rebuild bump")
+
+    monkeypatch.setattr(ai, "commit", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ai.rebuild_signature_index(spark, path, n_planes="auto",
+                                   auto_occupancy=occ)
+    assert ai._read_meta(path)["n_planes"] == d0    # old geometry intact
+    assert _topk(spark, path, emb) == before
+
+    monkeypatch.setattr(ai, "commit", real_commit)
+    meta = ai.rebuild_signature_index(spark, path, n_planes="auto",
+                                      auto_occupancy=occ)
+    assert meta["n_planes"] == d1
+    want = sorted((r.vec_id, r.cos_sim) for r in
+                  lsh_ann_topk(emb, query_vec_id=0, k=10, n_tables=4,
+                               n_planes=d1).collect())
+    assert _topk(spark, path, emb) == want
+    # appended buckets after the rebuild live in the NEW bucket space
+    extra = emb.withColumn("vec_id", F.col("vec_id") + 10 ** 9)
+    ai.append_signatures(extra, path)
+    mx = (ai._read_table(spark, path, "bands")
+          .agg(F.max("bucket")).head()[0])
+    assert mx < 2 ** d1

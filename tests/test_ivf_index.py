@@ -221,3 +221,47 @@ def test_ingest_loop_scheduled_equals_streaming_and_skips_replay(
     replay = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
                     ii._read_table(spark, sched, "probes").collect())
     assert replay == got_a
+
+
+def test_retrain_swaps_quantizer_atomically(spark, emb, tmp_path,
+                                            monkeypatch):
+    """Round-10 rebuild path: retraining re-derives the quantizer from
+    the index's OWN vectors (the corpus is never re-read) and equals a
+    fresh build of that quantizer; geometry + segments swap in ONE bump
+    (manifest meta), so a crash between staging and commit leaves the
+    OLD quantizer fully consistent — meta.json mirror drift included."""
+    path, fresh = str(tmp_path / "idx"), str(tmp_path / "fresh")
+    cut = int(emb.agg(F.floor(0.8 * (F.max("vec_id") + 1))).head()[0])
+    ii.build_ivf_index(emb.filter(F.col("vec_id") < cut), path,
+                       n_centroids=16)
+    ii.append_ivf_index(emb.filter(F.col("vec_id") >= cut), path)
+    before = _topk(spark, path, emb, nprobe=4)
+
+    real_commit = ii.commit
+
+    def dying(p, **kw):
+        raise RuntimeError("injected crash before the retrain bump")
+
+    monkeypatch.setattr(ii, "commit", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ii.retrain_ivf_index(spark, path, n_centroids=8,
+                             quantizer="kmeans")
+    # the manifest meta is authoritative: the crashed retrain updated
+    # only the meta.json mirror, so readers still see the OLD geometry
+    # and the OLD lists — answers unchanged
+    assert ii._read_meta(path)["n_centroids"] == 16
+    assert _topk(spark, path, emb, nprobe=4) == before
+
+    monkeypatch.setattr(ii, "commit", real_commit)
+    meta = ii.retrain_ivf_index(spark, path, n_centroids=8,
+                                quantizer="kmeans")
+    assert meta["quantizer"] == "kmeans" and meta["n_centroids"] == 8
+    ii.build_ivf_index(emb, fresh, n_centroids=8, quantizer="kmeans")
+    assert _topk(spark, path, emb, nprobe=4) == _topk(spark, fresh, emb,
+                                                      nprobe=4)
+    # appends after the retrain assign against the NEW quantizer
+    extra = emb.withColumn("vec_id", F.col("vec_id") + 10 ** 9)
+    ii.append_ivf_index(extra, path)
+    mx = (ii._read_table(spark, path, "lists")
+          .agg(F.max("cluster")).head()[0])
+    assert mx < 8
