@@ -65,6 +65,7 @@ from insight_de_smart_grid_spark.operators.index_base import (
     write_meta,
 )
 from insight_de_smart_grid_spark.operators.index_manifest import (
+    ManifestConflict,
     commit,
     has_mark,
     live_segments,
@@ -186,16 +187,23 @@ def build_signature_index(embeddings: DataFrame, path: str,
     return meta
 
 
-def append_signatures(new_vectors: DataFrame, path: str) -> dict:
+def append_signatures(new_vectors: DataFrame, path: str,
+                      tag: "str | None" = None) -> dict:
     """Append a delta under the creation-time geometry. The job reads
     ONLY ``new_vectors`` — never the existing index and never the
     historical corpus (no count(), no auto re-derivation: a frozen auto
     depth stays frozen; rebuild to re-derive). The delta's bands +
     vectors segments are staged under a deterministic per-version tag,
     then made visible by ONE manifest bump — a crash before the bump
-    leaves the index unchanged and the retry overwrites the orphan."""
+    leaves the index unchanged and the retry overwrites the orphan.
+
+    ``tag`` (round-11, ADVICE r10): CONCURRENT appenders must pass
+    distinct explicit tags — the version-derived default would stage two
+    same-snapshot writers into the same segment directory, silently
+    losing one delta. Single writers (and their crash-retries) keep the
+    deterministic default."""
     meta = _read_meta(path)
-    tag = next_tag(path, "a")
+    tag = tag or next_tag(path, "a")
     sig = hyperplane_signatures(new_vectors, meta["n_tables"],
                                 meta["n_planes"], meta["dim"],
                                 vec_col=meta["vec_col"],
@@ -236,8 +244,21 @@ def compact_signature_index(spark: SparkSession, path: str) -> int:
              .write.mode("overwrite").parquet(seg))
 
     index_base.compact_tables(spark, path,
-                              {_BANDS: rw_bands, _VECS: rw_vecs})
+                              {_BANDS: rw_bands, _VECS: rw_vecs},
+                              tombstone_col=id_col)
     return live_file_count(path, (_BANDS, _VECS))
+
+
+def delete_from_signature_index(spark: SparkSession, path: str,
+                                ids) -> dict:
+    """Tombstone vectors (round-11): one tiny id-list segment, one
+    manifest bump. Probes anti-join the live tombstones immediately;
+    ``compact_signature_index`` physically drops the band rows AND the
+    single-copy vectors, clearing the tombstones in the same atomic
+    replace — delete + compact equals a rebuild without the deleted
+    vectors (the ``sim_ann_index_deleted`` oracle)."""
+    return index_base.delete_ids(spark, path, ids,
+                                 _read_meta(path)["id_col"])
 
 
 def index_bytes(path: str) -> int:
@@ -297,6 +318,10 @@ def query_index_topk(spark: SparkSession, path: str, query_vec,
                 .filter(pred).select(id_col).distinct())
     if exclude_id is not None:
         cand_ids = cand_ids.filter(F.col(id_col) != exclude_id)
+    # tombstoned ids (round-11) leave the candidate set before the
+    # re-rank fetch — applied to the k-bounded id list, the cheapest spot
+    cand_ids = index_base.subtract_tombstoned(spark, path, cand_ids,
+                                              [id_col])
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         _read_table(spark, path, _VECS)
@@ -337,6 +362,11 @@ def _ann_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
                               vec_col=meta["vec_col"],
                               id_col=meta["id_col"], marks=[mark])
         return
+    # signature and stage with the index's FROZEN manifest meta, not the
+    # caller's (round-11, ADVICE r10): resuming ingest on a bucketed or
+    # differently-parameterized existing index must not mix layouts or
+    # geometries — the IVF twin already read the frozen meta
+    meta = _read_meta(path)
     probe = query_index_batch_topk(spark, path, batch, k=k,
                                    probe_radius=probe_radius)
     seg_p = stage_segment(f"{path}/{_PROBES}", tag)
@@ -346,7 +376,7 @@ def _ann_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
                                 id_col=meta["id_col"])
     staged = _stage_tables(
         sig, _vectors_frame(batch, meta["vec_col"], meta["id_col"]),
-        path, meta["id_col"], tag)
+        path, meta["id_col"], tag, meta)
     commit(path, adds={**staged, _PROBES: [seg_p]}, marks=[mark])
 
 
@@ -440,6 +470,8 @@ def index_cosine_pairs(spark: SparkSession, path: str,
              .select(F.col(f"sa.{id_col}").alias("vec_a"),
                      F.col(f"sb.{id_col}").alias("vec_b"))
              .dropDuplicates(["vec_a", "vec_b"]))
+    cands = index_base.subtract_tombstoned(spark, path, cands,
+                                           ["vec_a", "vec_b"])
     vecs = _read_table(spark, path, _VECS)
     ea = vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
     eb = vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
@@ -534,6 +566,7 @@ def query_index_batch_topk(spark: SparkSession, path: str,
             .dropDuplicates(["query_id", id_col]))
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
+    cand = index_base.subtract_tombstoned(spark, path, cand, [id_col])
     qvecs = (_vectors_frame(queries, meta["vec_col"], id_col)
              .select(F.col(id_col).alias("query_id"),
                      F.col("v").alias("qv")))
@@ -554,7 +587,8 @@ def query_index_batch_topk(spark: SparkSession, path: str,
 def rebuild_signature_index(spark: SparkSession, path: str,
                             n_tables: "int | None" = None,
                             n_planes: "int | str" = "auto",
-                            auto_occupancy: int = 32) -> dict:
+                            auto_occupancy: int = 32,
+                            max_attempts: int = 5) -> dict:
     """Re-derive the LSH geometry from the index's OWN single-copy
     vectors table — the rebuild the depth-freeze contract defers to
     (an auto depth frozen at creation goes stale as the corpus grows;
@@ -565,31 +599,50 @@ def rebuild_signature_index(spark: SparkSession, path: str,
     as the new bands segment (round-10 manifest meta): a crash anywhere
     leaves the old depth fully consistent with the old bands. Probes
     after a rebuild answer exactly like a fresh build at the new
-    geometry over the ingested corpus (pinned in tests)."""
-    meta = dict(_read_meta(path))
-    id_col = meta["id_col"]
-    n_tables = n_tables or meta["n_tables"]
-    vecs = _read_table(spark, path, _VECS)
-    resolved = n_planes
-    if n_planes == "auto":
-        resolved = auto_n_planes(vecs.count(),
-                                 target_occupancy=auto_occupancy)
-    sig = hyperplane_signatures(vecs, n_tables, resolved, meta["dim"],
-                                vec_col="v", id_col=id_col)
-    tag = next_tag(path, "r")
-    seg_b = stage_segment(f"{path}/{_BANDS}", tag)
-    bands_frame = sig.select(F.col(id_col), F.col("table"),
-                             F.col("bucket"))
-    if meta.get("layout") == "bucketed":
-        index_base.write_bucketed_segment(
-            bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
-    else:
-        (bands_frame.repartition("table")
-         .sortWithinPartitions("table", "bucket")
-         .write.mode("overwrite").partitionBy("table").parquet(seg_b))
-    meta.update({"n_tables": n_tables, "n_planes": int(resolved),
-                 "depth_mode": "auto" if n_planes == "auto" else "pinned"})
-    write_meta(path, meta)   # mirror; the manifest copy is authoritative
-    commit(path, replaces={_BANDS: [seg_b]}, meta=meta)
-    index_base.gc_unreferenced(path, [_BANDS])
-    return meta
+    geometry over the ingested corpus (pinned in tests).
+
+    The replace carries ``expect_version`` from the pre-read snapshot
+    (round-11, ADVICE r10): an append landing between reading the live
+    vectors and this commit would otherwise keep its vectors live while
+    its BANDS vanished from the stale replace list — silently unfindable
+    vectors. On ``ManifestConflict`` the whole re-signature retries from
+    the fresh live set, absorbing the append (the ``compact_tables``
+    contract applied to geometry changes)."""
+    for _ in range(max_attempts):
+        man = index_base.read_manifest(path)
+        version = man["version"] if man else 0
+        meta = dict(_read_meta(path))
+        id_col = meta["id_col"]
+        want_tables = n_tables or meta["n_tables"]
+        vecs = _read_table(spark, path, _VECS)
+        resolved = n_planes
+        if n_planes == "auto":
+            resolved = auto_n_planes(vecs.count(),
+                                     target_occupancy=auto_occupancy)
+        sig = hyperplane_signatures(vecs, want_tables, resolved,
+                                    meta["dim"], vec_col="v",
+                                    id_col=id_col)
+        tag = next_tag(path, "r")
+        seg_b = stage_segment(f"{path}/{_BANDS}", tag)
+        bands_frame = sig.select(F.col(id_col), F.col("table"),
+                                 F.col("bucket"))
+        if meta.get("layout") == "bucketed":
+            index_base.write_bucketed_segment(
+                bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
+        else:
+            (bands_frame.repartition("table")
+             .sortWithinPartitions("table", "bucket")
+             .write.mode("overwrite").partitionBy("table").parquet(seg_b))
+        meta.update({"n_tables": want_tables, "n_planes": int(resolved),
+                     "depth_mode": ("auto" if n_planes == "auto"
+                                    else "pinned")})
+        write_meta(path, meta)   # mirror; the manifest copy is authoritative
+        try:
+            commit(path, replaces={_BANDS: [seg_b]}, meta=meta,
+                   expect_version=version)
+        except ManifestConflict:
+            continue
+        index_base.gc_unreferenced(path, [_BANDS])
+        return meta
+    raise ManifestConflict(
+        f"rebuild of {path} lost the commit race {max_attempts} times")

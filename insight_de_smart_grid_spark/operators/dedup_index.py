@@ -196,16 +196,25 @@ def build_dedup_index(docs: DataFrame, path: str, n_hashes: int = 32,
     return meta
 
 
-def append_dedup_index(new_docs: DataFrame, path: str) -> dict:
+def append_dedup_index(new_docs: DataFrame, path: str,
+                       tag: "str | None" = None) -> dict:
     """Append a delta's signatures + verify sets under the creation-time
     geometry. The job reads ONLY ``new_docs`` — never the existing index
     and never the historical corpus — so append cost tracks delta size;
     the staged segments become visible in ONE manifest bump. Callers
     de-duplicating on ingest run ``dedup_new_against_index`` BEFORE
     appending (the delta is checked against the index as-of its arrival,
-    then becomes part of the index for the next delta)."""
+    then becomes part of the index for the next delta).
+
+    ``tag`` (round-11, ADVICE r10): CONCURRENT appenders must pass
+    distinct explicit tags — the default ``next_tag`` is derived from
+    the snapshot version, so two writers appending from the same
+    snapshot would stage into the same segment directory and one delta
+    would silently overwrite the other before either commits. A single
+    writer (and any crash-retry of it) keeps the deterministic
+    default."""
     meta = _read_meta(path)
-    tag = next_tag(path, "a")
+    tag = tag or next_tag(path, "a")
     sig = signature_shingle_sets(new_docs, meta["n_hashes"], meta["ngram"],
                                  meta["text_col"], meta["id_col"])
     staged = _stage_tables(sig, path, meta, tag)
@@ -244,8 +253,21 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
              .write.mode("overwrite").partitionBy("band_idx").parquet(seg))
 
     index_base.compact_tables(spark, path,
-                              {_DOCS: rw_docs, _BANDS: rw_bands})
+                              {_DOCS: rw_docs, _BANDS: rw_bands},
+                              tombstone_col=meta["id_col"])
     return live_file_count(path, (_DOCS, _BANDS))
+
+
+def delete_from_dedup_index(spark: SparkSession, path: str, ids) -> dict:
+    """Tombstone documents (round-11): one tiny id-list segment, one
+    manifest bump. Probes and pair queries anti-join the live tombstones
+    immediately; ``compact_dedup_index`` physically drops the doc rows,
+    band rows, and the tombstones themselves in one atomic replace —
+    delete + compact over a corpus equals a rebuild WITHOUT the deleted
+    docs (the ``dedup_index_deleted`` oracle), with neither path ever
+    re-reading the raw corpus."""
+    return index_base.delete_ids(spark, path, ids,
+                                 _read_meta(path)["id_col"])
 
 
 def _ingest_batch(spark: SparkSession, batch: DataFrame, idx_path: str,
@@ -442,6 +464,10 @@ def index_near_dup_pairs(spark: SparkSession, path: str,
             .select(F.col(f"a.{id_col}").alias("doc_a"),
                     F.col(f"b.{id_col}").alias("doc_b"))
             .distinct())
+    # tombstoned docs (round-11) vanish from pair queries immediately —
+    # broadcast anti-join on both endpoints, index-side plan unchanged
+    cand = index_base.subtract_tombstoned(spark, path, cand,
+                                          ["doc_a", "doc_b"])
     docs_tbl = _read_table(spark, path, _DOCS)
     return _verify_pairs(cand, docs_tbl, docs_tbl, threshold, id_col)
 
@@ -516,6 +542,9 @@ def _probe_with_sigs(spark: SparkSession, path: str, sig: DataFrame,
                     F.col(id_col).alias("idx_id"),
                     F.col("new_id"))
             .distinct())
+    # a tombstoned index doc (round-11) must not pair with the delta —
+    # subtract on the index-side id before the verify fetch
+    cand = index_base.subtract_tombstoned(spark, path, cand, ["idx_id"])
     delta_docs = sig.select(F.col(id_col).alias("new_id"),
                             F.col("shingles").alias("sh_new"))
     inter = F.size(F.array_intersect("sh_new", "sh_idx"))

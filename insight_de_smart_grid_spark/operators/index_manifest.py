@@ -48,6 +48,18 @@ from pathlib import Path
 
 MANIFEST = "MANIFEST.json"
 _LOCK = "MANIFEST.lock"
+_PINS = "pins"
+
+# Idempotence marks retained per manifest (round-11, ADVICE r10): a
+# long-lived streaming index records one ``ingested-b{N}`` mark per
+# micro-batch, and an uncapped list is rewritten on every commit and
+# linearly scanned by ``has_mark`` — unbounded manifest growth. The only
+# marks a replay can ever ask about are the ones inside the streaming
+# checkpoint horizon (the engine replays at most the batches committed to
+# the index but not yet to the checkpoint — a bounded recent window), so
+# retention keeps the NEWEST marks in insertion order and forgets the
+# rest. 256 is orders of magnitude beyond any engine's replay window.
+MAX_MARKS = 256
 
 
 class ManifestConflict(Exception):
@@ -198,7 +210,14 @@ def _commit_locked(path, adds, replaces, marks, expect_version,
             r = rel(s)
             if r not in have:       # idempotent re-commit of the same seg
                 have.append(r)
-    new_marks = sorted(set(man.get("marks", [])) | set(marks or []))
+    # insertion order, deduped, newest-MAX_MARKS retained (ADVICE r10:
+    # marks must not grow the manifest without bound; order preserves
+    # "newest" so retention drops the marks no replay can ask about)
+    new_marks = list(man.get("marks", []))
+    for m in (marks or []):
+        if m not in new_marks:
+            new_marks.append(m)
+    new_marks = new_marks[-MAX_MARKS:]
     new_meta = meta if meta is not None else man.get("meta")
     man = {"version": man["version"] + 1, "tables": tables}
     if new_marks:
@@ -213,6 +232,78 @@ def _commit_locked(path, adds, replaces, marks, expect_version,
         os.fsync(f.fileno())
     os.replace(tmp, Path(path, MANIFEST))   # the atomic pointer bump
     return man
+
+
+def pin_snapshot(path: str) -> str:
+    """Pin the LIVE manifest snapshot for a long-lived reader (round-11,
+    VERDICT r10 item 6): a probe that resolves ``live_segments`` and
+    scans lazily can otherwise lose its files to a zero-retention GC
+    racing a compaction — POSIX keeps unlinked files open, but Spark
+    opens scan files lazily and object stores have no open-file
+    protection at all. A pin is a tiny JSON under ``pins/`` naming the
+    pinned snapshot's tables; ``gc_unreferenced`` treats every pinned
+    snapshot's segments as referenced until ``unpin_snapshot``. Taken
+    under the manifest lock so the pin can never capture a half-replaced
+    manifest. Returns the pin id (pass to ``pinned_tables`` /
+    ``unpin_snapshot``). This is the reader-side half of Iceberg's
+    snapshot-expiry contract (public design): readers pin, maintenance
+    expires only unpinned history."""
+    import uuid
+
+    with _manifest_lock(path):
+        man = read_manifest(path)
+        if man is None:
+            raise FileNotFoundError(f"no manifest to pin at {path}")
+        pin_id = f"pin-{os.getpid()}-{uuid.uuid4().hex[:12]}"
+        pdir = Path(path, _PINS)
+        pdir.mkdir(parents=True, exist_ok=True)
+        tmp = pdir / f"{pin_id}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": man["version"],
+                       "tables": man["tables"]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, pdir / f"{pin_id}.json")
+    return pin_id
+
+
+def pinned_tables(path: str, pin_id: str) -> dict:
+    """The pinned snapshot's ``{table: [relative segments]}`` map — the
+    frozen view a pinned reader resolves through instead of the live
+    manifest."""
+    return json.loads(
+        Path(path, _PINS, f"{pin_id}.json").read_text())["tables"]
+
+
+def pinned_segments(path: str, pin_id: str, table: str) -> list[str]:
+    """Absolute segment paths of ``table`` as of the pinned snapshot."""
+    return [str(Path(path, rel))
+            for rel in pinned_tables(path, pin_id).get(table, [])]
+
+
+def unpin_snapshot(path: str, pin_id: str) -> None:
+    """Release a pin; its snapshot's superseded segments become GC-able
+    on the next ``gc_unreferenced``. Idempotent."""
+    p = Path(path, _PINS, f"{pin_id}.json")
+    if p.exists():
+        p.unlink()
+
+
+def _pinned_live(path: str) -> "set[str]":
+    """Segments referenced by ANY live pin (absolute paths)."""
+    pdir = Path(path, _PINS)
+    if not pdir.is_dir():
+        return set()
+    live = set()
+    for pin in pdir.glob("pin-*.json"):
+        try:
+            tables = json.loads(pin.read_text())["tables"]
+        except (OSError, ValueError):
+            continue        # racing unpin / torn write: skip, not fatal
+        for segs in tables.values():
+            live.update(os.path.abspath(str(Path(path, rel)))
+                        for rel in segs)
+    return live
 
 
 def gc_unreferenced(path: str, tables: "list[str] | None" = None,
@@ -240,6 +331,11 @@ def gc_unreferenced(path: str, tables: "list[str] | None" = None,
         return 0
     live = {os.path.abspath(str(Path(path, rel)))
             for segs in man["tables"].values() for rel in segs}
+    # segments named by a pinned snapshot stay referenced even at
+    # retention 0 (round-11): pins are the deterministic protection, the
+    # retention window remains the belt-and-suspenders for readers that
+    # never pinned
+    live |= _pinned_live(path)
     removed = 0
     cutoff = time.time() - retention_seconds
     scan = tables if tables is not None else list(man["tables"])

@@ -278,14 +278,20 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     return meta
 
 
-def append_ivf_index(new_vectors: DataFrame, path: str) -> dict:
+def append_ivf_index(new_vectors: DataFrame, path: str,
+                     tag: "str | None" = None) -> dict:
     """Assign a delta against the FROZEN centroids and commit its list
     segments in one manifest bump. The job reads the delta plus the
     k-row centroid table — never the inverted lists (plan-asserted), so
-    append cost tracks delta size."""
+    append cost tracks delta size.
+
+    ``tag`` (round-11, ADVICE r10): CONCURRENT appenders must pass
+    distinct explicit tags — the version-derived default would stage two
+    same-snapshot writers into one segment directory, silently losing a
+    delta. Single writers (and crash-retries) keep the default."""
     meta = _read_meta(path)
     spark = new_vectors.sparkSession
-    tag = next_tag(path, "a")
+    tag = tag or next_tag(path, "a")
     emb = _nonzero(new_vectors, meta["vec_col"], meta["id_col"])
     cents = _read_table(spark, path, _CENTS)
     staged = _stage_lists(_assign(emb, cents, meta["id_col"]), path,
@@ -307,13 +313,64 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
          .sortWithinPartitions("cluster", meta["id_col"])
          .write.mode("overwrite").partitionBy("cluster").parquet(seg))
 
-    index_base.compact_tables(spark, path, {_LISTS: rw_lists})
+    index_base.compact_tables(spark, path, {_LISTS: rw_lists},
+                              tombstone_col=meta["id_col"])
     return live_file_count(path, (_CENTS, _LISTS))
 
 
+def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
+    """Tombstone vectors (round-11): one tiny id-list segment, one
+    manifest bump. Probes anti-join the live tombstones immediately;
+    ``compact_ivf_index`` physically drops the list rows and clears the
+    tombstones in the same atomic replace. Centroids are geometry, not
+    corpus rows — a deleted vector's centroid stays (retrain is the
+    geometry lever)."""
+    return index_base.delete_ids(spark, path, ids,
+                                 _read_meta(path)["id_col"])
+
+
+def auto_nprobe(sims: "list[tuple[int, float]]",
+                target_mass: float = 0.8) -> int:
+    """Smallest nprobe whose probed centroids hold ``target_mass`` of
+    the query's total positive centroid-similarity mass — the IVF twin
+    of the ANN family's derived probe radius (round-11, VERDICT r10
+    item 3: ANN derives depth from occupancy and radius from the
+    binomial collision model; IVF's ``nprobe`` was caller-pinned).
+
+    Model: under the soft-assignment view of a coarse quantizer, the
+    chance that a query's true neighbor lives in cluster ``c`` grows
+    with the query-centroid similarity q·c (clipped at 0 — an
+    anti-aligned centroid holds no mass for this query), so the
+    normalized cumulative similarity mass of the probed set is a
+    recall-coverage proxy: probe the smallest prefix of the
+    similarity-ranked centroids whose mass share clears the target. A
+    concentrated query (one dominant centroid) probes 1 list; a query
+    near a cluster boundary automatically probes more — nprobe adapts
+    per query instead of being a global constant that must be sized for
+    the worst query.
+
+    Every sum is rounded to the shared 6-decimal grid before the ratio
+    compare, so a DuckDB windowed-CTE replays the identical derivation
+    (``ivf_auto_nprobe_oracle_sql``) — the portable-planes determinism
+    trick applied to the probe-count decision. Input: (c_id, q_sim
+    rounded to 6dp) for ALL centroids; driver cost is k ints — bounded
+    by n_centroids regardless of corpus size."""
+    order = sorted(sims, key=lambda t: (-t[1], t[0]))
+    tot = round(sum(max(s, 0.0) for _, s in order), 6)
+    if tot <= 0:
+        return 1
+    cum = 0.0
+    for n, (_, s) in enumerate(order, start=1):
+        cum += max(s, 0.0)
+        if round(round(cum, 6) / tot, 6) >= target_mass:
+            return n
+    return len(order)
+
+
 def query_ivf_topk(spark: SparkSession, path: str, query_vec,
-                   k: int = 10, nprobe: int = 4,
-                   exclude_id: "int | None" = None) -> DataFrame:
+                   k: int = 10, nprobe: "int | str" = 4,
+                   exclude_id: "int | None" = None,
+                   target_mass: float = 0.8) -> DataFrame:
     """Top-k by exact cosine inside the ``nprobe`` nearest inverted
     lists. Probe selection runs over the k-row centroid table (same
     rounded-cosine + c_id ordering as the oracle) and collects nprobe
@@ -321,21 +378,34 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
     lists scan carries a static ``cluster IN (...)`` predicate and
     PartitionFilters prune the directory tree to nprobe/n_centroids of
     the corpus (plan-asserted). Rows equal ``ivf_portable_topk`` over
-    the creation corpus at the same (n_centroids, nprobe)."""
+    the creation corpus at the same (n_centroids, nprobe).
+
+    ``nprobe="auto"`` (round-11) derives the probe count per query from
+    the measured centroid-similarity mass (``auto_nprobe`` — smallest
+    prefix clearing ``target_mass``); the collect is still bounded by
+    n_centroids rows and the pruning plan is unchanged."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cents = _read_table(spark, path, _CENTS)
-    probes = [r.c_id for r in
-              (cents.withColumn(
+    ranked = (cents.withColumn(
                   "q_sim", F.round(_dot(qv, F.col("cv"))
                                    / (_norm(qv) * _norm(F.col("cv"))), 6))
-               .orderBy(F.desc("q_sim"), F.asc("c_id")).limit(nprobe)
-               .select("c_id").collect())]
+              .orderBy(F.desc("q_sim"), F.asc("c_id")))
+    if nprobe == "auto":
+        sims = [(r.c_id, r.q_sim) for r in
+                ranked.select("c_id", "q_sim").collect()]  # k rows, bounded
+        order = sorted(sims, key=lambda t: (-t[1], t[0]))
+        probes = [c for c, _ in order[:auto_nprobe(sims, target_mass)]]
+    else:
+        probes = [r.c_id for r in
+                  ranked.limit(int(nprobe)).select("c_id").collect()]
     meta = _read_meta(path)
     id_col = meta["id_col"]
     lists = (_read_table(spark, path, _LISTS)
              .filter(F.col("cluster").isin(probes)))
     if exclude_id is not None:
         lists = lists.filter(F.col(id_col) != exclude_id)
+    # tombstoned ids (round-11) leave the probed lists before the re-rank
+    lists = index_base.subtract_tombstoned(spark, path, lists, [id_col])
     return (lists.select(
         F.col(id_col),
         F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)),
@@ -350,10 +420,11 @@ BROADCAST_QUERY_MAX_ROWS = 1_000_000
 
 def query_ivf_batch_topk(spark: SparkSession, path: str,
                          queries: DataFrame, k: int = 10,
-                         nprobe: int = 4, exclude_self: bool = True,
+                         nprobe: "int | str" = 4,
+                         exclude_self: bool = True,
                          mode: str = "auto",
-                         broadcast_threshold: "int | None" = None
-                         ) -> DataFrame:
+                         broadcast_threshold: "int | None" = None,
+                         target_mass: float = 0.8) -> DataFrame:
     """Top-k for a WHOLE DELTA of query vectors in one job — the IVF
     analog of ``ann_index.query_index_batch_topk``. Each query's nprobe
     probe list comes from the frozen k-row centroid broadcast (same
@@ -387,20 +458,44 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
     # probe set carries (query_id, cluster) only — the query vector
     # would multiply the candidate join's bytes by the embedding width
     # (VERDICT r9 item 4); it joins back per query before the re-rank
-    probe = (emb_q.join(F.broadcast(cents))
-             .withColumn("q_sim",
-                         F.round(_dot(F.col("qv"), F.col("cv"))
-                                 / (_norm(F.col("qv"))
-                                    * _norm(F.col("cv"))), 6))
-             .withColumn("rn", F.row_number().over(wq))
-             .filter(F.col("rn") <= nprobe)
-             .select("query_id", F.col("c_id").alias("cluster")))
+    scored_c = (emb_q.join(F.broadcast(cents))
+                .withColumn("q_sim",
+                            F.round(_dot(F.col("qv"), F.col("cv"))
+                                    / (_norm(F.col("qv"))
+                                       * _norm(F.col("cv"))), 6))
+                .withColumn("rn", F.row_number().over(wq)))
+    if nprobe == "auto":
+        # per-query derived nprobe (round-11): the auto_nprobe mass rule
+        # expressed as window aggregates — one window pass per query, no
+        # driver loop, Q-independent of n_centroids collects. Columns
+        # are materialized BEFORE the filter (window exprs re-evaluate
+        # over filtered partitions otherwise).
+        mass = F.greatest(F.col("q_sim"), F.lit(0.0))
+        w_cum = wq.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)
+        w_all = Window.partitionBy("query_id")
+        probe = (scored_c
+                 .withColumn("cum", F.round(F.sum(mass).over(w_cum), 6))
+                 .withColumn("tot", F.round(F.sum(mass).over(w_all), 6))
+                 .withColumn("np", F.when(
+                     F.col("tot") <= 0, F.lit(1)).otherwise(F.coalesce(
+                         F.min(F.when(
+                             F.round(F.col("cum") / F.col("tot"), 6)
+                             >= F.lit(target_mass),
+                             F.col("rn"))).over(w_all),
+                         F.max("rn").over(w_all))))
+                 .filter(F.col("rn") <= F.col("np"))
+                 .select("query_id", F.col("c_id").alias("cluster")))
+    else:
+        probe = (scored_c.filter(F.col("rn") <= nprobe)
+                 .select("query_id", F.col("c_id").alias("cluster")))
     # the probed-cluster union is bounded by n_centroids however large
     # the delta is — a driver-safe collect that buys PartitionFilters
     clusters = [r.cluster for r in
                 probe.select("cluster").distinct().collect()]
     lists = (_read_table(spark, path, _LISTS)
              .filter(F.col("cluster").isin(clusters)))
+    lists = index_base.subtract_tombstoned(spark, path, lists, [id_col])
     cand = lists.join(small(probe), "cluster")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
@@ -673,10 +768,149 @@ SELECT query_id, vec_id, cos_sim FROM (
 """
 
 
+def ivf_auto_nprobe_oracle_sql(query_vec_id: int, k: int = 10,
+                               n_centroids: int = 16,
+                               target_mass: float = 0.8) -> str:
+    """DuckDB twin of a ``nprobe="auto"`` probe through a portable-
+    quantizer IVF index: the ``m``/``np`` CTEs replay ``auto_nprobe``'s
+    derivation — cumulative positive similarity mass over the ranked
+    centroids on the shared 6-decimal grid, smallest prefix clearing
+    ``target_mass`` (fallback: all centroids; zero total mass: 1) —
+    then the standard IVF assignment + exact re-rank inside the derived
+    probe set. The probe COUNT itself is value-checked cross-engine,
+    not just the final ranking."""
+    cos = "round(list_cosine_similarity({a}, {b}), 6)"
+    return f"""
+WITH nz AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum')) > 0
+),
+cents AS (
+  SELECT vec_id AS c_id, v AS cv FROM nz
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+qv AS (SELECT v AS qv FROM nz WHERE vec_id = {query_vec_id}),
+m AS (
+  SELECT c_id, s,
+         row_number() OVER (ORDER BY s DESC, c_id ASC) AS rn,
+         round(sum(greatest(s, 0)) OVER (ORDER BY s DESC, c_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cum,
+         round(sum(greatest(s, 0)) OVER (), 6) AS tot
+  FROM (SELECT c.c_id, {cos.format(a='qv.qv', b='c.cv')} AS s
+        FROM cents c, qv)
+),
+np AS (
+  SELECT CASE WHEN max(tot) <= 0 THEN 1
+         ELSE coalesce(
+           min(CASE WHEN round(cum / tot, 6) >= {target_mass}
+               THEN rn END), max(rn)) END AS np
+  FROM m
+),
+probes AS (SELECT c_id AS cluster FROM m, np WHERE m.rn <= np.np),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='c.cv')} DESC,
+                      c.c_id ASC) AS rn
+    FROM nz e, cents c)
+  WHERE rn = 1
+)
+SELECT e.vec_id, {cos.format(a='e.v', b='qv.qv')} AS cos_sim
+FROM assigned a
+JOIN probes p ON a.cluster = p.cluster
+JOIN nz e ON e.vec_id = a.vec_id
+CROSS JOIN qv
+WHERE e.vec_id != {query_vec_id}
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def ivf_auto_nprobe_batch_oracle_sql(query_vec_ids: "list[int]",
+                                     k: int = 10, n_centroids: int = 16,
+                                     target_mass: float = 0.8) -> str:
+    """DuckDB twin of ``query_ivf_batch_topk(nprobe="auto")``: the
+    per-query mass derivation (``m``/``np`` partitioned by query id —
+    exactly the Spark window shape) feeding the standard batch re-rank.
+    Each query derives its OWN probe count: a concentrated query probes
+    one list, a boundary query more."""
+    ids = ", ".join(str(int(q)) for q in query_vec_ids)
+    cos = "round(list_cosine_similarity({a}, {b}), 6)"
+    return f"""
+WITH nz AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum')) > 0
+),
+cents AS (
+  SELECT vec_id AS c_id, v AS cv FROM nz
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM nz
+       WHERE vec_id IN ({ids})),
+m AS (
+  SELECT query_id, c_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, c_id ASC) AS rn,
+         round(sum(greatest(s, 0)) OVER (PARTITION BY query_id
+               ORDER BY s DESC, c_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cum,
+         round(sum(greatest(s, 0)) OVER (PARTITION BY query_id), 6)
+           AS tot
+  FROM (SELECT q.query_id, c.c_id,
+               {cos.format(a='q.qv', b='c.cv')} AS s
+        FROM qs q, cents c)
+),
+np AS (
+  SELECT query_id,
+         CASE WHEN max(tot) <= 0 THEN 1
+         ELSE coalesce(
+           min(CASE WHEN round(cum / tot, 6) >= {target_mass}
+               THEN rn END), max(rn)) END AS np
+  FROM m GROUP BY query_id
+),
+probes AS (
+  SELECT m.query_id, m.c_id AS cluster
+  FROM m JOIN np ON np.query_id = m.query_id
+  WHERE m.rn <= np.np
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='c.cv')} DESC,
+                      c.c_id ASC) AS rn
+    FROM nz e, cents c)
+  WHERE rn = 1
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(a='e.v', b='q.qv')} AS cos_sim
+  FROM assigned a
+  JOIN probes p ON a.cluster = p.cluster
+  JOIN nz e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def retrain_ivf_index(spark: SparkSession, path: str,
                       n_centroids: "int | None" = None,
                       quantizer: str = "kmeans", n_iter: int = 2,
-                      train_rows: int = 256) -> dict:
+                      train_rows: int = 256,
+                      max_attempts: int = 5) -> dict:
     """The REBUILD the append docstring defers to (round-10): re-derive
     the coarse quantizer from the index's OWN single-copy vectors — the
     original corpus is never re-read — and reassign every list, swapping
@@ -684,32 +918,54 @@ def retrain_ivf_index(spark: SparkSession, path: str,
     (the meta rides the manifest since round-10, so a crash anywhere
     leaves the old quantizer fully consistent with the old lists).
     Probes after a retrain answer exactly like a fresh build of the same
-    quantizer over the ingested corpus (pinned in tests)."""
-    meta = dict(_read_meta(path))
-    id_col = meta["id_col"]
-    n_centroids = n_centroids or meta["n_centroids"]
-    vecs = (_read_table(spark, path, _LISTS)
-            .select(F.col(id_col), F.col("v")))
-    if quantizer == "kmeans":
-        rows = train_kmeans_centroids(vecs, n_centroids, n_iter,
-                                      train_rows, vec_col="v",
-                                      id_col=id_col)
-        cents = spark.createDataFrame(rows, "c_id int, cv array<double>")
-    else:
-        cents = (vecs.orderBy(id_col).limit(int(n_centroids))
-                 .select(F.col(id_col).alias("c_id"),
-                         F.col("v").alias("cv")))
-        if cents.count() < n_centroids:
-            raise ValueError("portable quantizer needs >= n_centroids "
-                             "vectors in the index")
-    tag = next_tag(path, "r")
-    seg_c = stage_segment(f"{path}/{_CENTS}", tag)
-    cents.coalesce(1).write.mode("overwrite").parquet(seg_c)
-    staged = _stage_lists(_assign(vecs, cents, id_col), path, id_col, tag)
-    meta.update({"n_centroids": n_centroids, "quantizer": quantizer})
-    if quantizer == "kmeans":
-        meta.update({"n_iter": n_iter, "train_rows": train_rows})
-    write_meta(path, meta)   # mirror; the manifest copy is authoritative
-    commit(path, replaces={**staged, _CENTS: [seg_c]}, meta=meta)
-    index_base.gc_unreferenced(path, [_CENTS, _LISTS])
-    return meta
+    quantizer over the ingested corpus (pinned in tests).
+
+    The replace carries ``expect_version`` from the pre-read snapshot
+    (round-11, ADVICE r10): an append landing between reading the live
+    lists and this commit would otherwise be silently dropped from the
+    replaced table and its files GC'd. On ``ManifestConflict`` the whole
+    retrain retries from the fresh live set, absorbing the append — the
+    ``compact_tables`` contract applied to geometry changes."""
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        ManifestConflict,
+    )
+
+    for _ in range(max_attempts):
+        man = index_base.read_manifest(path)
+        version = man["version"] if man else 0
+        meta = dict(_read_meta(path))
+        id_col = meta["id_col"]
+        want = n_centroids or meta["n_centroids"]
+        vecs = (_read_table(spark, path, _LISTS)
+                .select(F.col(id_col), F.col("v")))
+        if quantizer == "kmeans":
+            rows = train_kmeans_centroids(vecs, want, n_iter,
+                                          train_rows, vec_col="v",
+                                          id_col=id_col)
+            cents = spark.createDataFrame(rows,
+                                          "c_id int, cv array<double>")
+        else:
+            cents = (vecs.orderBy(id_col).limit(int(want))
+                     .select(F.col(id_col).alias("c_id"),
+                             F.col("v").alias("cv")))
+            if cents.count() < want:
+                raise ValueError("portable quantizer needs >= n_centroids "
+                                 "vectors in the index")
+        tag = next_tag(path, "r")
+        seg_c = stage_segment(f"{path}/{_CENTS}", tag)
+        cents.coalesce(1).write.mode("overwrite").parquet(seg_c)
+        staged = _stage_lists(_assign(vecs, cents, id_col), path, id_col,
+                              tag)
+        meta.update({"n_centroids": want, "quantizer": quantizer})
+        if quantizer == "kmeans":
+            meta.update({"n_iter": n_iter, "train_rows": train_rows})
+        write_meta(path, meta)   # mirror; the manifest copy is authoritative
+        try:
+            commit(path, replaces={**staged, _CENTS: [seg_c]}, meta=meta,
+                   expect_version=version)
+        except ManifestConflict:
+            continue
+        index_base.gc_unreferenced(path, [_CENTS, _LISTS])
+        return meta
+    raise ManifestConflict(
+        f"retrain of {path} lost the commit race {max_attempts} times")

@@ -100,14 +100,24 @@ def decode_media(binary_df: DataFrame, fake: bool = False) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pb in batches:
-            if not fake and not HAS_PIL:
-                raise NotImplementedError(
-                    "real media decode needs PIL/ffmpeg; not in this container")
             rows = []
             for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
                 raw = bytes(payload)
-                w, h, c, mi = (_fake_decode(raw) if fake
-                               else _real_decode(raw))
+                if fake:
+                    w, h, c, mi = _fake_decode(raw)
+                elif HAS_PIL:
+                    w, h, c, mi = _real_decode(raw)
+                elif raw[:8] == PNG_MAGIC:
+                    # round-11: PNG decodes for real via the stdlib codec
+                    # even without PIL — the env-gate now covers only
+                    # formats with no stdlib decoder (JPEG, video)
+                    w, h, px = _decode_png(raw)
+                    c = 1
+                    mi = round(sum(sum(r) for r in px) / (w * h * 255.0), 6)
+                else:
+                    raise NotImplementedError(
+                        "real non-PNG media decode needs PIL/ffmpeg; "
+                        "not in this container")
                 rows.append((doc_id, len(raw),
                              hashlib.sha256(raw).hexdigest(), w, h, c, mi))
             yield pd.DataFrame(rows, columns=[
@@ -470,4 +480,200 @@ b AS (
 s AS (SELECT doc_id, sum(CAST(k AS BIGINT) * k) AS ss FROM b GROUP BY doc_id)
 SELECT b.doc_id, b.dim_idx, b.k / sqrt(s.ss) AS value
 FROM b JOIN s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Real image path (round-11): a stdlib PNG codec — zlib inflate + struct
+# chunk parsing + full five-filter un-filtering — so `decode_image` is no
+# longer env-gated for PNG (the audio path proved the pattern: real bytes,
+# real decoder, closed-form synthetic content the DuckDB oracle reproduces
+# without ever parsing the container). JPEG/video remain honestly gated
+# (no stdlib codec exists for them).
+#
+# The generator writes REAL PNGs: grayscale 8-bit, dims and pixel values
+# in closed form of doc_id, and — deliberately — scanline filter type
+# y % 5, so every one of PNG's five filters (None/Sub/Up/Average/Paeth)
+# is exercised by encode AND undone by decode; a wrong un-filter cannot
+# reproduce the closed-form pixel stats, which is what makes the oracle a
+# genuine decoder check rather than a header check.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+PNG_DECODED_SCHEMA = ("doc_id long, width int, height int, "
+                      "n_pixels bigint, mean_intensity double, "
+                      "min_intensity int, max_intensity int")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 section 6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """Real PNG bytes: grayscale 8-bit, width ``8 + doc_id % 17``,
+    height ``5 + doc_id % 11``, pixel(x, y) = (doc_id + x + 3y) % 256,
+    scanline filter type ``y % 5``."""
+    import struct
+    import zlib
+
+    w, h = 8 + doc_id % 17, 5 + doc_id % 11
+    raw = bytearray()
+    prior = bytes(w)
+    for y in range(h):
+        line = bytes((doc_id + x + 3 * y) % 256 for x in range(w))
+        f = y % 5
+        raw.append(f)
+        for x in range(w):
+            cur = line[x]
+            left = line[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if f == 0:
+                v = cur
+            elif f == 1:
+                v = cur - left
+            elif f == 2:
+                v = cur - up
+            elif f == 3:
+                v = cur - ((left + up) >> 1)
+            else:
+                v = cur - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(payload: bytes) -> "tuple[int, int, list[bytes]]":
+    """Stdlib PNG decoder for the profile the synth writes (8-bit
+    grayscale, any of the five scanline filters, CRC-verified chunks).
+    Returns (width, height, pixel rows)."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or color != 0:
+                raise NotImplementedError(
+                    "stdlib PNG decoder handles 8-bit grayscale only; "
+                    "other profiles need PIL")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows, prior, off = [], bytes(w), 0
+    for _ in range(h):
+        f = raw[off]
+        off += 1
+        line = bytearray()
+        for x in range(w):
+            v = raw[off + x]
+            left = line[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if f == 1:
+                v += left
+            elif f == 2:
+                v += up
+            elif f == 3:
+                v += (left + up) >> 1
+            elif f == 4:
+                v += _paeth(left, up, ul)
+            line.append(v & 0xFF)
+        off += w
+        prior = bytes(line)
+        rows.append(prior)
+    return w, h, rows
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """doc_id -> real PNG payload (Arrow-batched, built executor-side —
+    the audio generator's pattern applied to images)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            yield pd.DataFrame({
+                "doc_id": pb["doc_id"],
+                "payload": [_synth_png(int(d)) for d in pb["doc_id"]],
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, payload binary")
+
+
+def decode_image_png(binary_df: DataFrame) -> DataFrame:
+    """REAL image decode with no external libraries: chunk parse +
+    inflate + un-filter through the same Arrow ``mapInPandas`` plumbing
+    as every other media stage. Output is pure pixel statistics, all in
+    closed form of doc_id for the synth corpus (``PNG_DECODE_SQL``)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pb in batches:
+            rows = []
+            for doc_id, payload in zip(pb["doc_id"], pb["payload"]):
+                w, h, px = _decode_png(bytes(payload))
+                total = sum(sum(r) for r in px)
+                rows.append((doc_id, w, h, w * h,
+                             round(total / (w * h), 6),
+                             min(min(r) for r in px),
+                             max(max(r) for r in px)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "mean_intensity", "min_intensity", "max_intensity"])
+
+    return (binary_df.select("doc_id", "payload")
+            .mapInPandas(decode, PNG_DECODED_SCHEMA))
+
+
+# Closed-form oracle: pixel(x, y) = (doc_id + x + 3y) % 256 unrolled as
+# one unnest over w*h linear indices — integer-exact, so the only float
+# op is the final mean division, identical in both engines.
+PNG_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 17 AS w, 5 + doc_id % 11 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id + (i % w) + 3 * (i // w)) % 256 AS v
+  FROM (SELECT doc_id, w, h,
+               unnest(range(0, w * h)) AS i
+        FROM dims)
+)
+SELECT doc_id,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       round(sum(v) / count(*), 6) AS mean_intensity,
+       CAST(min(v) AS INT) AS min_intensity,
+       CAST(max(v) AS INT) AS max_intensity
+FROM px
+GROUP BY doc_id
 """

@@ -754,14 +754,18 @@ def bm25_topk(docs: DataFrame, query_terms: tuple[str, ...] = (
 
 
 def bm25_oracle_sql(query_terms: tuple[str, ...] = (
-        "spark", "window", "join"), k: int = 15) -> str:
+        "spark", "window", "join"), k: int = 15,
+        table: str = "documents") -> str:
+    """``table`` may be a parenthesized subquery selecting exactly the
+    scored corpus — the persisted index's delete twin scores survivors
+    only, and BM25's global stats (N, avgdl, df) must shrink with it."""
     terms = ", ".join(f"'{t}'" for t in query_terms)
     return rf"""
 WITH base AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\s+'),
                      t -> t != '') AS t
-  FROM documents
+  FROM {table}
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM base),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -168,6 +168,40 @@ def test_multimodal_decode_real_path_raises(spark):
         mm.decode_media(binary, fake=False).collect()
 
 
+def test_png_codec_round_trips_all_filters():
+    """Round-11 stdlib PNG codec: the synth writes scanline filter y%5 —
+    None/Sub/Up/Average/Paeth all exercised — and the decoder must
+    reproduce every pixel exactly (CRCs verified chunk by chunk)."""
+    for d in (0, 1, 7, 123, 4567):
+        w, h, px = mm._decode_png(mm._synth_png(d))
+        assert (w, h) == (8 + d % 17, 5 + d % 11)
+        assert all(px[y][x] == (d + x + 3 * y) % 256
+                   for y in range(h) for x in range(w))
+    # corrupted chunk fails loudly, not with garbage pixels
+    blob = bytearray(mm._synth_png(7))
+    blob[40] ^= 0xFF
+    with pytest.raises((ValueError, Exception)):
+        mm._decode_png(bytes(blob))
+
+
+def test_decode_media_png_ungated_without_pil(spark):
+    """decode_media(fake=False) now decodes PNG payloads for REAL via
+    the stdlib codec even with no PIL in the container — the env-gate
+    covers only formats with no stdlib decoder (see
+    test_multimodal_decode_real_path_raises for the non-PNG payload)."""
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    binary = mm.attach_png_payload(docs)
+    got = {r.doc_id: r for r in
+           mm.decode_media(binary, fake=False).collect()}
+    for d in range(5):
+        w, h = 8 + d % 17, 5 + d % 11
+        mean = sum((d + x + 3 * y) % 256
+                   for y in range(h) for x in range(w)) / (w * h * 255.0)
+        r = got[d]
+        assert (r.width, r.height, r.n_channels) == (w, h, 1)
+        assert r.mean_intensity == round(mean, 6)
+
+
 def test_multimodal_real_decode_and_resize_with_pillow(spark):
     """Env-gated real path: decode and resize actual PNGs through the same
     mapInPandas plumbing the fakes use. Skipped where pillow is absent."""

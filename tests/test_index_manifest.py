@@ -160,6 +160,54 @@ def test_marks_and_expect_version(tmp_path):
     assert im.live_segments(p, "bands") == [c]
 
 
+def test_marks_capped_newest_retained(tmp_path):
+    """Round-11 (ADVICE r10): idempotence marks must not grow the
+    manifest without bound — a long-lived streaming index records one
+    mark per micro-batch forever. Retention keeps the NEWEST MAX_MARKS
+    in insertion order; the forgotten marks are all older than any
+    replay horizon."""
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]})
+    n = im.MAX_MARKS + 40
+    for i in range(0, n, 8):
+        im.commit(p, marks=[f"ingested-b{j}" for j in range(i, i + 8)])
+    raw = json.loads(Path(p, im.MANIFEST).read_text())
+    assert len(raw["marks"]) == im.MAX_MARKS
+    # newest retained, oldest forgotten, insertion order kept
+    assert raw["marks"][-1] == f"ingested-b{n - 1}"
+    assert raw["marks"][0] == f"ingested-b{n - im.MAX_MARKS}"
+    assert raw["marks"] == [f"ingested-b{j}"
+                            for j in range(n - im.MAX_MARKS, n)]
+    assert im.has_mark(p, f"ingested-b{n - 1}")
+    assert not im.has_mark(p, "ingested-b0")
+
+
+def test_pinned_snapshot_survives_gc(tmp_path):
+    """Round-11 (VERDICT r10 item 6): a pinned snapshot's segments stay
+    on disk through a replace + zero-retention GC; unpinning releases
+    them on the next GC. The deterministic reader-protection lever —
+    the retention window remains only as belt-and-suspenders."""
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]})
+    pin = im.pin_snapshot(p)
+    assert im.pinned_segments(p, pin, "bands") == [a]
+
+    b = _mk_seg(p, "bands", "c1")
+    im.commit(p, replaces={"bands": [b]})   # a is now superseded
+    assert im.gc_unreferenced(p) == 0       # ...but pinned: not removed
+    assert Path(a).exists()
+    # the pinned view still names the OLD segment; the live view the new
+    assert im.pinned_segments(p, pin, "bands") == [a]
+    assert im.live_segments(p, "bands") == [b]
+
+    im.unpin_snapshot(p, pin)
+    assert im.gc_unreferenced(p) == 1
+    assert not Path(a).exists() and Path(b).exists()
+    im.unpin_snapshot(p, pin)               # idempotent
+
+
 def test_gc_retention_window(tmp_path):
     """Round-10: ``retention_seconds`` keeps just-superseded segments on
     disk until in-flight readers whose plans predate the swap have
