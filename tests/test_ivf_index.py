@@ -265,3 +265,53 @@ def test_retrain_swaps_quantizer_atomically(spark, emb, tmp_path,
     mx = (ii._read_table(spark, path, "lists")
           .agg(F.max("cluster")).head()[0])
     assert mx < 8
+
+
+def test_split_hot_clusters_contracts(spark, emb, tmp_path):
+    """Round-11 splitting: (a) a balanced index is a NO-OP — no commit,
+    no version bump; (b) with a low bound every hot cluster halves at
+    its median cut, rows are preserved exactly, new cluster ids extend
+    max(c_id), the n_centroids meta rides the same bump; (c) appends
+    after a split assign against the POST-split centroid set (a delta
+    vector near a split half lands in that half's cluster id space)."""
+    from insight_de_smart_grid_spark.operators import index_manifest as im
+
+    path = str(tmp_path / "idx")
+    ii.build_ivf_index(emb, path, n_centroids=4)
+    v0 = im.read_manifest(path)["version"]
+
+    # (a) no hot cluster at a generous bound: nothing committed
+    meta = ii.split_hot_clusters(spark, path, max_share=0.9)
+    assert im.read_manifest(path)["version"] == v0
+    assert meta["n_centroids"] == 4
+
+    # (b) force splits
+    before = {r.cluster: r.n for r in
+              ii._read_table(spark, path, "lists").groupBy("cluster")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(before.values())
+    max_c = max(r.c_id for r in
+                ii._read_table(spark, path, "centroids")
+                .select("c_id").collect())
+    meta = ii.split_hot_clusters(spark, path, max_share=0.2)
+    after = {r.cluster: r.n for r in
+             ii._read_table(spark, path, "lists").groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(after.values()) == total
+    assert max(after.values()) / total <= 0.2 + 0.05
+    assert meta["n_centroids"] == len(after) \
+        == ii._read_table(spark, path, "centroids").count()
+    assert any(c > max_c for c in after)       # fresh ids minted
+    assert im.read_manifest(path)["version"] == v0 + 1   # ONE bump
+
+    # (c) append after split assigns in the new cluster space
+    delta = emb.limit(20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10 ** 9))
+    ii.append_ivf_index(delta, path)
+    n_after = ii._read_table(spark, path, "lists").count()
+    assert n_after > total          # delta landed
+    live = {r.cluster for r in ii._read_table(spark, path, "lists")
+            .select("cluster").distinct().collect()}
+    cents = {r.c_id for r in ii._read_table(spark, path, "centroids")
+             .select("c_id").collect()}
+    assert live <= cents            # every list belongs to a live centroid
