@@ -187,6 +187,36 @@ def test_ivf_delete_probe_and_compact(spark, tmp_path):
     assert got == want
 
 
+def test_bucketed_layout_delete_and_compact(spark, tmp_path):
+    """Tombstones compose with the round-10 bucketed layout: the
+    anti-join masks rows without touching the exchange-free bucketed
+    probe plan, and compaction rewrites the bucketed segments without
+    the deleted docs (probe answers equal the partitioned twin's)."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    tomb = base.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+
+    paths = {}
+    for layout in ("partitioned", "bucketed"):
+        p = str(tmp_path / layout)
+        di.build_dedup_index(base, p, layout=layout)
+        di.delete_from_dedup_index(spark, p, tomb)
+        di.compact_dedup_index(spark, p)
+        paths[layout] = p
+
+    def probe(p):
+        return sorted((r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in
+                      di.dedup_new_against_index(spark, p, delta,
+                                                 mode="shuffle").collect())
+
+    got_b = probe(paths["bucketed"])
+    assert got_b == probe(paths["partitioned"])
+    gone = {r.doc_id for r in tomb.collect()}
+    assert all(a not in gone and b not in gone for a, b, _ in got_b)
+    assert ib.live_tombstones(spark, paths["bucketed"]) is None
+
+
 def test_delete_crash_before_bump_leaves_index_unchanged(
         spark, tmp_path, monkeypatch):
     """A delete that crashes before its manifest bump leaves the index

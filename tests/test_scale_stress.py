@@ -945,13 +945,18 @@ def test_ivf_trained_recall_at_design_point_cos09(spark, stress_dir,
 
     r_design = recall(4)
     r_full = recall(16)   # no pruning: the quantizer-internal ceiling
+    r_auto = recall("auto")   # round-11 mass-derived per-query nprobe
     TIMINGS["ivf_recall_kmeans_16c_4p"] = round(r_design, 4)
     TIMINGS["ivf_recall_kmeans_16c_16p"] = round(r_full, 4)
+    TIMINGS["ivf_recall_kmeans_16c_auto"] = round(r_auto, 4)
     # planted copies perturb their base slightly, so base and copy land
     # in the same (or an adjacent) trained cell; 4-of-16 probing must
     # recover >= 0.9 of pairs at cos >= 0.89 — the IVF design contract
     assert r_design >= 0.9
     assert r_full >= r_design
+    # the derived nprobe (VERDICT r10 item 3) must hold the same design
+    # contract with NO hand-pinned probe count
+    assert r_auto >= 0.9
 
 
 def test_ivf_skew_split_bounds_probe_cost(spark, tmp_path):
