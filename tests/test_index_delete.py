@@ -362,6 +362,42 @@ def test_retrain_racing_append_absorbed(spark, tmp_path, monkeypatch):
     assert got == want          # nothing dropped, nothing unfindable
 
 
+def test_split_preserves_tombstone_masking(spark, tmp_path):
+    """Geometry maintenance must not resurrect deleted ids: a split
+    reads the live lists (tombstoned rows included — they are dropped
+    at COMPACTION, not at geometry changes) and the tombstone table
+    stays live through the split's replace, so probes keep excluding
+    the deleted ids before AND after; the following compaction then
+    drops them physically from the post-split lists."""
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    iv.build_ivf_index(emb, path, n_centroids=4)
+    qv = [r.embedding for r in
+          emb.filter(F.col("vec_id") == 0).collect()][0]
+    base = [r.vec_id for r in
+            iv.query_ivf_topk(spark, path, qv, k=5, nprobe=2,
+                              exclude_id=0).collect()]
+    tomb = base[:2]
+    iv.delete_from_ivf_index(spark, path, tomb)
+
+    iv.split_hot_clusters(spark, path, max_share=0.2)
+    got = [r.vec_id for r in
+           iv.query_ivf_topk(spark, path, qv, k=5, nprobe=2,
+                             exclude_id=0).collect()]
+    assert all(t not in got for t in tomb)
+    assert ib.live_tombstones(spark, path) is not None  # still masked
+
+    n_before = iv._read_table(spark, path, "lists").count()
+    iv.compact_ivf_index(spark, path)
+    assert ib.live_tombstones(spark, path) is None
+    assert iv._read_table(spark, path, "lists").count() \
+        == n_before - len(tomb)
+    got2 = [r.vec_id for r in
+            iv.query_ivf_topk(spark, path, qv, k=5, nprobe=2,
+                              exclude_id=0).collect()]
+    assert got2 == got
+
+
 def test_rebuild_racing_append_absorbed(spark, tmp_path, monkeypatch):
     """Same contract for the ANN geometry rebuild: a racing append's
     vectors must stay FINDABLE (its bands re-signatured at the new
