@@ -295,7 +295,8 @@ def query_buckets(query_vec, n_tables: int, n_planes: int,
 
 def query_index_topk(spark: SparkSession, path: str, query_vec,
                      k: int = 10, exclude_id: "int | None" = None,
-                     probe_radius: int = 0) -> DataFrame:
+                     probe_radius: int = 0,
+                     pin_id: "str | None" = None) -> DataFrame:
     """Top-k by exact cosine over the index's candidates for one query
     vector. The probe is a pushed-down disjunction of n_tables
     (table = t AND bucket IN (...)) terms over ``bands/`` — partition
@@ -307,24 +308,24 @@ def query_index_topk(spark: SparkSession, path: str, query_vec,
     row-identical to ``lsh_ann_topk`` at the same geometry;
     ``probe_radius=r`` probes each table's Hamming-<=r flip neighborhood
     and is row-identical to ``lsh_multiprobe_topk``."""
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
     probes = query_buckets(query_vec, meta["n_tables"], meta["n_planes"],
                            meta["dim"], probe_radius)
     pred = reduce(lambda a, b: a | b,
                   [(F.col("table") == t) & (F.col("bucket").isin(bs))
                    for t, bs in probes])
-    cand_ids = (_read_table(spark, path, _BANDS)
+    cand_ids = (_read_table(spark, path, _BANDS, pin_id)
                 .filter(pred).select(id_col).distinct())
     if exclude_id is not None:
         cand_ids = cand_ids.filter(F.col(id_col) != exclude_id)
     # tombstoned ids (round-11) leave the candidate set before the
     # re-rank fetch — applied to the k-bounded id list, the cheapest spot
     cand_ids = index_base.subtract_tombstoned(spark, path, cand_ids,
-                                              [id_col])
+                                              [id_col], pin_id)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        _read_table(spark, path, _VECS)
+        _read_table(spark, path, _VECS, pin_id)
         .join(F.broadcast(cand_ids), id_col)
         .select(
             F.col(id_col),
@@ -449,7 +450,8 @@ def streaming_ingest_ann(spark: SparkSession, embeddings: DataFrame,
 
 
 def index_cosine_pairs(spark: SparkSession, path: str,
-                       threshold: float = 0.9) -> DataFrame:
+                       threshold: float = 0.9,
+                       pin_id: "str | None" = None) -> DataFrame:
     """All verified cosine->=threshold pairs over the whole persisted
     index — the ANN twin of ``dedup_index.index_near_dup_pairs`` and the
     index-resident form of ``similarity.cosine_pairs_blocked``: bucket
@@ -461,9 +463,9 @@ def index_cosine_pairs(spark: SparkSession, path: str,
     Row-identical to ``cosine_pairs_blocked`` at the creation geometry,
     which is what lets the registered query share
     ``cosine_pairs_oracle_sql`` verbatim."""
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
-    bands = _read_table(spark, path, _BANDS)
+    bands = _read_table(spark, path, _BANDS, pin_id)
     cands = (bands.alias("sa")
              .join(bands.alias("sb"), ["table", "bucket"])
              .filter(F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}"))
@@ -471,8 +473,8 @@ def index_cosine_pairs(spark: SparkSession, path: str,
                      F.col(f"sb.{id_col}").alias("vec_b"))
              .dropDuplicates(["vec_a", "vec_b"]))
     cands = index_base.subtract_tombstoned(spark, path, cands,
-                                           ["vec_a", "vec_b"])
-    vecs = _read_table(spark, path, _VECS)
+                                           ["vec_a", "vec_b"], pin_id)
+    vecs = _read_table(spark, path, _VECS, pin_id)
     ea = vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
     eb = vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
     raw = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
@@ -495,8 +497,8 @@ def query_index_batch_topk(spark: SparkSession, path: str,
                            probe_radius: int = 0,
                            exclude_self: bool = True,
                            mode: str = "auto",
-                           broadcast_threshold: "int | None" = None
-                           ) -> DataFrame:
+                           broadcast_threshold: "int | None" = None,
+                           pin_id: "str | None" = None) -> DataFrame:
     """Top-k for a WHOLE DELTA of query vectors in one job — the ANN
     analog of ``dedup_new_against_index`` (VERDICT r8 item 3: an ingest
     pipeline ANN-checking Q vectors must not loop Q driver-side probes).
@@ -533,7 +535,7 @@ def query_index_batch_topk(spark: SparkSession, path: str,
         _probe_masks,
     )
 
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
     if mode == "auto":
         mode = index_base.pick_join_mode(queries, broadcast_threshold,
@@ -561,17 +563,19 @@ def query_index_batch_topk(spark: SparkSession, path: str,
     spec_v = _bucket_spec(meta, _VECS) if mode == "shuffle" else None
     cand = (index_base.join_each_segment(
                 spark, path, _BANDS, small(probe), ["table", "bucket"],
-                spec_b)
+                spec_b, pin_id=pin_id)
             .select("query_id", id_col)
             .dropDuplicates(["query_id", id_col]))
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
-    cand = index_base.subtract_tombstoned(spark, path, cand, [id_col])
+    cand = index_base.subtract_tombstoned(spark, path, cand, [id_col],
+                                          pin_id)
     qvecs = (_vectors_frame(queries, meta["vec_col"], id_col)
              .select(F.col(id_col).alias("query_id"),
                      F.col("v").alias("qv")))
     scored = (index_base.join_each_segment(
-                  spark, path, _VECS, small(cand), [id_col], spec_v)
+                  spark, path, _VECS, small(cand), [id_col], spec_v,
+                  pin_id=pin_id)
               .join(small(qvecs), "query_id")
               .select(
                   "query_id", id_col,

@@ -149,7 +149,8 @@ def delete_from_bm25_index(spark: SparkSession, path: str, ids) -> dict:
 
 def query_bm25_index(spark: SparkSession, path: str,
                      query_terms: tuple = ("spark", "window", "join"),
-                     k: int = 15) -> DataFrame:
+                     k: int = 15,
+                     pin_id: "str | None" = None) -> DataFrame:
     """Okapi BM25 top-k off the persisted postings — row-identical to
     the inline ``text.bm25_topk`` over the same corpus (shares its
     oracle verbatim), but the per-query work is the TERMS' row groups:
@@ -157,19 +158,20 @@ def query_bm25_index(spark: SparkSession, path: str,
     (row-group min/max pruning), doclens is a narrow id->dl scan, and
     the one-row (N, avgdl) aggregate broadcasts. No corpus re-tokenize,
     no index-side shuffle beyond the candidate-bounded df window."""
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
     dl = index_base.subtract_tombstoned(
-        spark, path, _read_table(spark, path, _DOCLENS), [id_col])
+        spark, path, _read_table(spark, path, _DOCLENS, pin_id),
+        [id_col], pin_id)
     # stats AFTER the tombstone subtraction: deletes shrink N and move
     # avgdl — frozen or pre-delete stats would mis-score every query
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     cand = index_base.subtract_tombstoned(
         spark, path,
-        _read_table(spark, path, _POSTINGS)
+        _read_table(spark, path, _POSTINGS, pin_id)
         .filter(F.col("term").isin(list(query_terms))),
-        [id_col])
+        [id_col], pin_id)
     w_term = Window.partitionBy("term")
     scored = (cand.withColumn("df", F.count(F.lit(1)).over(w_term))
               .join(dl, id_col).join(F.broadcast(stats))

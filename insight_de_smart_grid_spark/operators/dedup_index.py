@@ -446,15 +446,19 @@ def _verify_pairs(cand: DataFrame, docs_a: DataFrame, docs_b: DataFrame,
 
 
 def index_near_dup_pairs(spark: SparkSession, path: str,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         pin_id: "str | None" = None) -> DataFrame:
     """Verified near-dup pairs over the whole persisted index: band-bucket
     self-join on the packed keys (same candidacy as
     ``lsh_candidate_pairs``), exact-Jaccard verify from the stored
     ``docs/`` sets. Row-identical to ``minhash_lsh_near_dups`` over the
-    same corpus at the same geometry."""
-    meta = _read_meta(path)
+    same corpus at the same geometry. ``pin_id`` (round-11) runs the
+    whole query against one pinned snapshot — geometry, bands, docs,
+    and tombstones all as-of the pin, files protected from GC until
+    unpin (``index_base.pinned_index``)."""
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
-    bands_tbl = _read_table(spark, path, _BANDS)
+    bands_tbl = _read_table(spark, path, _BANDS, pin_id)
     a, b = bands_tbl.alias("a"), bands_tbl.alias("b")
     cond = (F.col("a.band_idx") == F.col("b.band_idx")) \
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -467,8 +471,8 @@ def index_near_dup_pairs(spark: SparkSession, path: str,
     # tombstoned docs (round-11) vanish from pair queries immediately —
     # broadcast anti-join on both endpoints, index-side plan unchanged
     cand = index_base.subtract_tombstoned(spark, path, cand,
-                                          ["doc_a", "doc_b"])
-    docs_tbl = _read_table(spark, path, _DOCS)
+                                          ["doc_a", "doc_b"], pin_id)
+    docs_tbl = _read_table(spark, path, _DOCS, pin_id)
     return _verify_pairs(cand, docs_tbl, docs_tbl, threshold, id_col)
 
 
@@ -476,8 +480,8 @@ def dedup_new_against_index(spark: SparkSession, path: str,
                             new_docs: DataFrame,
                             threshold: float = 0.5,
                             mode: str = "auto",
-                            broadcast_threshold: "int | None" = None
-                            ) -> DataFrame:
+                            broadcast_threshold: "int | None" = None,
+                            pin_id: "str | None" = None) -> DataFrame:
     """Near-dup pairs between an incoming delta and the persisted index —
     the incremental-ingest query. The delta's band buckets and shingle
     sets are computed once (never touching the index).
@@ -494,7 +498,7 @@ def dedup_new_against_index(spark: SparkSession, path: str,
     and as the exact semantics under an explicit ``broadcast_threshold``.
     Pairs are returned (least, greatest)-normalized so the output matches
     the inline pipeline's ``doc_a < doc_b`` convention."""
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     if mode == "auto":
         # zero-job pick (round-10): Catalyst size estimate over the
         # NARROW delta plan, count() only as the no-statistics fallback
@@ -506,12 +510,14 @@ def dedup_new_against_index(spark: SparkSession, path: str,
     # the mode pick so the caller decides whether to persist the delta
     sig = signature_shingle_sets(new_docs, meta["n_hashes"], meta["ngram"],
                                  meta["text_col"], meta["id_col"])
-    return _probe_with_sigs(spark, path, sig, threshold, meta, mode=mode)
+    return _probe_with_sigs(spark, path, sig, threshold, meta, mode=mode,
+                            pin_id=pin_id)
 
 
 def _probe_with_sigs(spark: SparkSession, path: str, sig: DataFrame,
                      threshold: float, meta: dict,
-                     mode: str = "broadcast") -> DataFrame:
+                     mode: str = "broadcast",
+                     pin_id: "str | None" = None) -> DataFrame:
     """The probe body over a precomputed delta ``(id, shingles, mh..)``
     frame — shared by the one-shot probe and the ingest loops (which pay
     the delta's shingle pass once for probe + append).
@@ -535,7 +541,7 @@ def _probe_with_sigs(spark: SparkSession, path: str, sig: DataFrame,
                    .withColumnRenamed(id_col, "new_id"))
     cand = (index_base.join_each_segment(
                 spark, path, _BANDS, small(delta_bands),
-                ["band_idx", *_p_cols(meta)], spec_b)
+                ["band_idx", *_p_cols(meta)], spec_b, pin_id=pin_id)
             .filter(F.col(id_col) != F.col("new_id"))
             .select(F.least(id_col, "new_id").alias("doc_a"),
                     F.greatest(id_col, "new_id").alias("doc_b"),
@@ -544,7 +550,8 @@ def _probe_with_sigs(spark: SparkSession, path: str, sig: DataFrame,
             .distinct())
     # a tombstoned index doc (round-11) must not pair with the delta —
     # subtract on the index-side id before the verify fetch
-    cand = index_base.subtract_tombstoned(spark, path, cand, ["idx_id"])
+    cand = index_base.subtract_tombstoned(spark, path, cand, ["idx_id"],
+                                          pin_id)
     delta_docs = sig.select(F.col(id_col).alias("new_id"),
                             F.col("shingles").alias("sh_new"))
     inter = F.size(F.array_intersect("sh_new", "sh_idx"))
@@ -557,7 +564,8 @@ def _probe_with_sigs(spark: SparkSession, path: str, sig: DataFrame,
                 spark, path, _DOCS, enriched, ["idx_id"], spec_d,
                 prepare=lambda d: d.select(
                     F.col(id_col).alias("idx_id"),
-                    F.col("shingles").alias("sh_idx")))
+                    F.col("shingles").alias("sh_idx")),
+                pin_id=pin_id)
             .withColumn("jaccard", inter.cast("double") / union)
             .filter(F.col("jaccard") >= F.lit(threshold))
             .select("doc_a", "doc_b", "jaccard")

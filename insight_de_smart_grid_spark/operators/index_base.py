@@ -99,7 +99,7 @@ def pick_join_mode(delta: DataFrame,
     return "broadcast" if delta.count() <= default_rows else "shuffle"
 
 
-def read_meta(path: str) -> dict:
+def read_meta(path: str, pin_id: "str | None" = None) -> dict:
     """The frozen creation-time geometry. Every maintenance entry point
     starts here: appends must signature/assign identically to the build
     or buckets/lists from different geometries silently never collide.
@@ -107,7 +107,18 @@ def read_meta(path: str) -> dict:
     Round-10: the authoritative copy lives IN the manifest (committed
     atomically with the segments that encode it — rebuild/retrain change
     geometry and segments in one bump); ``meta.json`` remains as the
-    human-readable mirror and the pre-round-10 fallback."""
+    human-readable mirror and the pre-round-10 fallback. ``pin_id``
+    (round-11) reads the geometry AS OF the pinned snapshot — a
+    rebuild/retrain landing after the pin must not make a pinned probe
+    hash into the new bucket/cluster space over the old segments."""
+    if pin_id:
+        from insight_de_smart_grid_spark.operators.index_manifest import (
+            read_pin,
+        )
+
+        pin = read_pin(path, pin_id)
+        if "meta" in pin:
+            return pin["meta"]
     man = read_manifest(path)
     if man and "meta" in man:
         return man["meta"]
@@ -140,6 +151,35 @@ def read_table(spark: SparkSession, path: str, table: str,
                   [spark.read.parquet(s) for s in segs])
 
 
+def pinned_index(path: str):
+    """Context manager over ``index_manifest.pin_snapshot``: every read
+    inside the block that passes the yielded pin id resolves the frozen
+    snapshot, and its segments survive any concurrent compact + GC until
+    the block exits (round-11). The family probe entry points accept
+    ``pin_id`` and thread it to their table reads::
+
+        with pinned_index(path) as pin:
+            df = query_bm25_index(spark, path, terms, pin_id=pin)
+            rows = df.collect()      # safe against compaction + GC
+    """
+    import contextlib
+
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        pin_snapshot,
+        unpin_snapshot,
+    )
+
+    @contextlib.contextmanager
+    def cm():
+        pin = pin_snapshot(path)
+        try:
+            yield pin
+        finally:
+            unpin_snapshot(path, pin)
+
+    return cm()
+
+
 def delete_ids(spark: SparkSession, path: str, ids, id_col: str) -> dict:
     """Stage a tombstone segment naming the deleted ids and make it
     visible with ONE atomic manifest bump — the delete path of all index
@@ -159,12 +199,16 @@ def delete_ids(spark: SparkSession, path: str, ids, id_col: str) -> dict:
     return commit(path, adds={TOMBSTONES: [seg]})
 
 
-def live_tombstones(spark: SparkSession, path: str) -> "DataFrame | None":
+def live_tombstones(spark: SparkSession, path: str,
+                    pin_id: "str | None" = None) -> "DataFrame | None":
     """The live deleted-id set, or None when nothing was ever deleted
     (or every delete was compacted away) — the None path keeps probe
-    plans on an undeleted index literally unchanged."""
-    segs = [s for s in live_segments(path, TOMBSTONES)
-            if any(Path(s).rglob("*.parquet"))]
+    plans on an undeleted index literally unchanged. Under a pin the
+    tombstone set is the PINNED one: the whole probe sees one
+    consistent snapshot."""
+    raw = (pinned_segments(path, pin_id, TOMBSTONES) if pin_id
+           else live_segments(path, TOMBSTONES))
+    segs = [s for s in raw if any(Path(s).rglob("*.parquet"))]
     if not segs:
         return None
     return reduce(DataFrame.unionByName,
@@ -172,13 +216,14 @@ def live_tombstones(spark: SparkSession, path: str) -> "DataFrame | None":
 
 
 def subtract_tombstoned(spark: SparkSession, path: str, df: DataFrame,
-                        cols: "list[str]") -> DataFrame:
+                        cols: "list[str]",
+                        pin_id: "str | None" = None) -> DataFrame:
     """Anti-join out rows whose value in ANY of ``cols`` is a live
     tombstoned id. The tombstone side is broadcast (deletes are tiny
     next to the corpus), so the probe's index-side plan — pruned scans,
     bucketed exchange-free joins — is untouched; with no live tombstones
     the input plan comes back identical."""
-    tombs = live_tombstones(spark, path)
+    tombs = live_tombstones(spark, path, pin_id)
     if tombs is None:
         return df
     id_col = tombs.columns[0]
@@ -275,7 +320,8 @@ def read_bucketed_segment(spark: SparkSession, seg: str, n_buckets: int,
 def join_each_segment(spark: SparkSession, path: str, table: str,
                       other: DataFrame, on: "list[str]",
                       bucket_spec: "dict | None" = None,
-                      prepare=None) -> DataFrame:
+                      prepare=None,
+                      pin_id: "str | None" = None) -> DataFrame:
     """``read_table(...).join(other, on)`` refactored so a BUCKETED index
     side stays exchange-free: an inner join distributes over union, so
     joining ``other`` against each live segment separately and unioning
@@ -289,8 +335,10 @@ def join_each_segment(spark: SparkSession, path: str, table: str,
     join; projections preserve the bucketed output partitioning."""
     prepare = prepare or (lambda df: df)
     if not bucket_spec:
-        return prepare(read_table(spark, path, table)).join(other, on)
-    segs = data_bearing(live_segments(path, table))
+        return prepare(read_table(spark, path, table, pin_id)) \
+            .join(other, on)
+    segs = data_bearing(pinned_segments(path, pin_id, table) if pin_id
+                        else live_segments(path, table))
     if not segs:
         raise FileNotFoundError(f"index table {table} has no live "
                                 f"segments under {path}")

@@ -258,21 +258,30 @@ def pin_snapshot(path: str) -> str:
         pdir = Path(path, _PINS)
         pdir.mkdir(parents=True, exist_ok=True)
         tmp = pdir / f"{pin_id}.tmp"
+        snap = {"version": man["version"], "tables": man["tables"]}
+        if "meta" in man:
+            # geometry rides the pin too: a rebuild/retrain between pin
+            # and probe must not make a pinned reader hash into the NEW
+            # bucket/cluster space over the OLD pinned segments
+            snap["meta"] = man["meta"]
         with open(tmp, "w") as f:
-            json.dump({"version": man["version"],
-                       "tables": man["tables"]}, f)
+            json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, pdir / f"{pin_id}.json")
     return pin_id
 
 
+def read_pin(path: str, pin_id: str) -> dict:
+    """The pinned snapshot document (version, tables, meta if any)."""
+    return json.loads(Path(path, _PINS, f"{pin_id}.json").read_text())
+
+
 def pinned_tables(path: str, pin_id: str) -> dict:
     """The pinned snapshot's ``{table: [relative segments]}`` map — the
     frozen view a pinned reader resolves through instead of the live
     manifest."""
-    return json.loads(
-        Path(path, _PINS, f"{pin_id}.json").read_text())["tables"]
+    return read_pin(path, pin_id)["tables"]
 
 
 def pinned_segments(path: str, pin_id: str, table: str) -> list[str]:

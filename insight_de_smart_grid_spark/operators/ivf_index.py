@@ -371,7 +371,8 @@ def auto_nprobe(sims: "list[tuple[int, float]]",
 def query_ivf_topk(spark: SparkSession, path: str, query_vec,
                    k: int = 10, nprobe: "int | str" = 4,
                    exclude_id: "int | None" = None,
-                   target_mass: float = 0.8) -> DataFrame:
+                   target_mass: float = 0.8,
+                   pin_id: "str | None" = None) -> DataFrame:
     """Top-k by exact cosine inside the ``nprobe`` nearest inverted
     lists. Probe selection runs over the k-row centroid table (same
     rounded-cosine + c_id ordering as the oracle) and collects nprobe
@@ -386,7 +387,7 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
     prefix clearing ``target_mass``); the collect is still bounded by
     n_centroids rows and the pruning plan is unchanged."""
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = _read_table(spark, path, _CENTS)
+    cents = _read_table(spark, path, _CENTS, pin_id)
     ranked = (cents.withColumn(
                   "q_sim", F.round(_dot(qv, F.col("cv"))
                                    / (_norm(qv) * _norm(F.col("cv"))), 6))
@@ -399,14 +400,15 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
     else:
         probes = [r.c_id for r in
                   ranked.limit(int(nprobe)).select("c_id").collect()]
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
-    lists = (_read_table(spark, path, _LISTS)
+    lists = (_read_table(spark, path, _LISTS, pin_id)
              .filter(F.col("cluster").isin(probes)))
     if exclude_id is not None:
         lists = lists.filter(F.col(id_col) != exclude_id)
     # tombstoned ids (round-11) leave the probed lists before the re-rank
-    lists = index_base.subtract_tombstoned(spark, path, lists, [id_col])
+    lists = index_base.subtract_tombstoned(spark, path, lists, [id_col],
+                                           pin_id)
     return (lists.select(
         F.col(id_col),
         F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)),
@@ -425,7 +427,8 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
                          exclude_self: bool = True,
                          mode: str = "auto",
                          broadcast_threshold: "int | None" = None,
-                         target_mass: float = 0.8) -> DataFrame:
+                         target_mass: float = 0.8,
+                         pin_id: "str | None" = None) -> DataFrame:
     """Top-k for a WHOLE DELTA of query vectors in one job — the IVF
     analog of ``ann_index.query_index_batch_topk``. Each query's nprobe
     probe list comes from the frozen k-row centroid broadcast (same
@@ -441,7 +444,7 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
     tests and by the registered ``sim_ivf_index_batch_probe`` oracle.
 
     Output: (query_id, <id_col>, cos_sim), k rows per query."""
-    meta = _read_meta(path)
+    meta = _read_meta(path, pin_id)
     id_col = meta["id_col"]
     if mode == "auto":
         # zero-job pick (round-10): Catalyst size estimate, count() only
@@ -453,7 +456,7 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
     emb_q = (_nonzero(queries, meta["vec_col"], id_col)
              .select(F.col(id_col).alias("query_id"),
                      F.col("v").alias("qv")))
-    cents = _read_table(spark, path, _CENTS)
+    cents = _read_table(spark, path, _CENTS, pin_id)
     wq = Window.partitionBy("query_id").orderBy(F.desc("q_sim"),
                                                 F.asc("c_id"))
     # probe set carries (query_id, cluster) only — the query vector
@@ -494,9 +497,10 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
     # the delta is — a driver-safe collect that buys PartitionFilters
     clusters = [r.cluster for r in
                 probe.select("cluster").distinct().collect()]
-    lists = (_read_table(spark, path, _LISTS)
+    lists = (_read_table(spark, path, _LISTS, pin_id)
              .filter(F.col("cluster").isin(clusters)))
-    lists = index_base.subtract_tombstoned(spark, path, lists, [id_col])
+    lists = index_base.subtract_tombstoned(spark, path, lists, [id_col],
+                                           pin_id)
     cand = lists.join(small(probe), "cluster")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
@@ -1167,6 +1171,38 @@ WHERE e.vec_id != {query_vec_id}
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def rebalance_ivf_index(spark: SparkSession, path: str,
+                        max_share: float = 0.5,
+                        max_passes: int = 6) -> dict:
+    """The monitor-facing rebalance loop: run ``split_hot_clusters``
+    passes until no cluster exceeds ``max_share`` (each pass halves the
+    hot clusters at their median cut, so convergence needs
+    ~log2(share/max_share) passes) or ``max_passes`` is hit — the
+    latter fails LOUDLY rather than leaving the operator believing the
+    bound holds. Each pass is one atomic lists+centroids rewrite; the
+    deployment cadence is 'when the share monitor trips', not per
+    ingest. Returns the final meta."""
+    meta = _read_meta(path)
+    for _ in range(max_passes):
+        counts = [r.n for r in
+                  _read_table(spark, path, _LISTS).groupBy("cluster")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()]
+        if max(counts) <= max_share * sum(counts):
+            return meta
+        meta = split_hot_clusters(spark, path, max_share=max_share)
+    counts = [r.n for r in
+              _read_table(spark, path, _LISTS).groupBy("cluster")
+              .agg(F.count(F.lit(1)).alias("n")).collect()]
+    if max(counts) > max_share * sum(counts):
+        raise RuntimeError(
+            f"rebalance of {path} still exceeds max_share={max_share} "
+            f"after {max_passes} passes (max cluster share "
+            f"{max(counts) / sum(counts):.3f}) — a cluster of "
+            "near-identical vectors cannot be median-split; dedup it "
+            "or raise the bound")
+    return meta
 
 
 def retrain_ivf_index(spark: SparkSession, path: str,

@@ -362,6 +362,64 @@ def test_retrain_racing_append_absorbed(spark, tmp_path, monkeypatch):
     assert got == want          # nothing dropped, nothing unfindable
 
 
+def test_pinned_family_probe_is_a_consistent_snapshot(spark, tmp_path):
+    """Round-11 pins threaded through the family probe APIs: a pair
+    query built under ``pinned_index`` answers AS OF the pin — the
+    pre-delete pair set, from the pre-compaction segments — even though
+    a delete + compaction + GC ran in between (the live query shows the
+    post-delete world, and the superseded files the pinned plan needs
+    were protected from the GC). Geometry rides the pin too: the meta
+    read under the pin is the pinned snapshot's."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    di.build_dedup_index(docs, path)
+    before = _pairs(spark, path)
+    tomb = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    gone = {r.doc_id for r in tomb.collect()}
+    assert any(a in gone or b in gone for a, b, _ in before)
+
+    with ib.pinned_index(path) as pin:
+        pinned_df = di.index_near_dup_pairs(spark, path, pin_id=pin)
+        di.delete_from_dedup_index(spark, path, tomb)
+        di.compact_dedup_index(spark, path)   # physical drop + GC
+        # live view: post-delete; pinned view: the full pre-delete set
+        live = _pairs(spark, path)
+        assert all(a not in gone and b not in gone for a, b, _ in live)
+        got = sorted((r.doc_a, r.doc_b, round(r.jaccard, 6))
+                     for r in pinned_df.collect())
+        assert got == before
+    # released: next GC drops the pinned-only segments
+    assert im.gc_unreferenced(path) > 0
+    assert _pairs(spark, path) == live
+
+
+def test_rebalance_loop_converges_or_fails_loudly(spark, tmp_path):
+    """``rebalance_ivf_index``: converges to the bound in
+    ~log2(share/bound) passes on a splittable corpus; on an
+    UNSPLITTABLE hot cluster (identical vectors — every projection
+    equal, the median cut is one-sided) it raises instead of silently
+    reporting the bound holds."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ok")
+    iv.build_ivf_index(emb, path, n_centroids=4)
+    iv.rebalance_ivf_index(spark, path, max_share=0.2)
+    counts = [r.n for r in
+              iv._read_table(spark, path, "lists").groupBy("cluster")
+              .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(counts) <= 0.2 * sum(counts)
+
+    same = emb.limit(1).select("embedding").head()[0]
+    rows = [(i, list(same)) for i in range(60)] + \
+        [(100 + i, [float(i + 1)] + [0.0] * (len(same) - 1))
+         for i in range(4)]
+    clone = spark.createDataFrame(rows,
+                                  "vec_id bigint, embedding array<double>")
+    bad = str(tmp_path / "bad")
+    iv.build_ivf_index(clone, bad, n_centroids=4)
+    with pytest.raises(RuntimeError, match="cannot be median-split"):
+        iv.rebalance_ivf_index(spark, bad, max_share=0.5, max_passes=2)
+
+
 def test_split_preserves_tombstone_masking(spark, tmp_path):
     """Geometry maintenance must not resurrect deleted ids: a split
     reads the live lists (tombstoned rows included — they are dropped
