@@ -173,7 +173,12 @@ def build_signature_index(embeddings: DataFrame, path: str,
     meta = {"n_tables": n_tables, "n_planes": int(resolved), "dim": dim,
             "vec_col": vec_col, "id_col": id_col,
             "depth_mode": "auto" if n_planes == "auto" else "pinned",
-            "layout": layout}
+            "layout": layout,
+            # bumped by every geometry change (rebuild) so an append's
+            # expect_meta guard conflicts even when the swapped-in
+            # geometry has identical PARAMETERS (same-depth rebuild:
+            # same meta dict, different band contents)
+            "geom_epoch": 0}
     if layout == "bucketed":
         meta["n_buckets"] = n_buckets
     staged = _stage_tables(sig, _vectors_frame(embeddings, vec_col, id_col),
@@ -201,18 +206,31 @@ def append_signatures(new_vectors: DataFrame, path: str,
     distinct explicit tags — the version-derived default would stage two
     same-snapshot writers into the same segment directory, silently
     losing one delta. Single writers (and their crash-retries) keep the
-    deterministic default."""
-    meta = _read_meta(path)
-    tag = tag or next_tag(path, "a")
-    sig = hyperplane_signatures(new_vectors, meta["n_tables"],
-                                meta["n_planes"], meta["dim"],
-                                vec_col=meta["vec_col"],
-                                id_col=meta["id_col"])
-    staged = _stage_tables(
-        sig, _vectors_frame(new_vectors, meta["vec_col"], meta["id_col"]),
-        path, meta["id_col"], tag, meta)
-    commit(path, adds=staged)
-    return meta
+    deterministic default.
+
+    The commit carries an ``expect_meta`` guard (round-11): a
+    rebuild swapping the LSH geometry between this append's signature
+    pass and its commit would leave the delta's bands keyed at the OLD
+    depth — silently unfindable under the new one. On conflict the
+    append re-reads the geometry and re-signatures."""
+    for _ in range(5):
+        meta, guard = index_base.snapshot_meta(path)
+        t = tag or next_tag(path, "a")
+        sig = hyperplane_signatures(new_vectors, meta["n_tables"],
+                                    meta["n_planes"], meta["dim"],
+                                    vec_col=meta["vec_col"],
+                                    id_col=meta["id_col"])
+        staged = _stage_tables(
+            sig, _vectors_frame(new_vectors, meta["vec_col"],
+                                meta["id_col"]),
+            path, meta["id_col"], t, meta)
+        try:
+            commit(path, adds=staged, expect_meta=guard)
+        except ManifestConflict:
+            continue
+        return meta
+    raise ManifestConflict(
+        f"append to {path} lost the geometry race 5 times")
 
 
 def compact_signature_index(spark: SparkSession, path: str) -> int:
@@ -249,8 +267,8 @@ def compact_signature_index(spark: SparkSession, path: str) -> int:
     return live_file_count(path, (_BANDS, _VECS))
 
 
-def delete_from_signature_index(spark: SparkSession, path: str,
-                                ids) -> dict:
+def delete_from_signature_index(spark: SparkSession, path: str, ids,
+                                tag: "str | None" = None) -> dict:
     """Tombstone vectors (round-11): one tiny id-list segment, one
     manifest bump. Probes anti-join the live tombstones immediately;
     ``compact_signature_index`` physically drops the band rows AND the
@@ -258,7 +276,7 @@ def delete_from_signature_index(spark: SparkSession, path: str,
     replace — delete + compact equals a rebuild without the deleted
     vectors (the ``sim_ann_index_deleted`` oracle)."""
     return index_base.delete_ids(spark, path, ids,
-                                 _read_meta(path)["id_col"])
+                                 _read_meta(path)["id_col"], tag)
 
 
 def index_bytes(path: str) -> int:
@@ -639,7 +657,8 @@ def rebuild_signature_index(spark: SparkSession, path: str,
              .write.mode("overwrite").partitionBy("table").parquet(seg_b))
         meta.update({"n_tables": want_tables, "n_planes": int(resolved),
                      "depth_mode": ("auto" if n_planes == "auto"
-                                    else "pinned")})
+                                    else "pinned"),
+                     "geom_epoch": meta.get("geom_epoch", 0) + 1})
         write_meta(path, meta)   # mirror; the manifest copy is authoritative
         try:
             commit(path, replaces={_BANDS: [seg_b]}, meta=meta,

@@ -110,11 +110,21 @@ def append_bm25_index(new_docs: DataFrame, path: str,
     collide because a doc lives in exactly one delta. ``tag``: the
     concurrent-appender lever (ADVICE r10) — distinct explicit tags for
     concurrent writers, deterministic default for a single writer."""
-    meta = _read_meta(path)
-    tag = tag or next_tag(path, "a")
-    staged = _stage_tables(_tokenized(new_docs, meta), path, meta, tag)
-    commit(path, adds=staged)
-    return meta
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        ManifestConflict,
+    )
+
+    for _ in range(5):
+        meta, guard = index_base.snapshot_meta(path)
+        t = tag or next_tag(path, "a")
+        staged = _stage_tables(_tokenized(new_docs, meta), path, meta, t)
+        try:
+            commit(path, adds=staged, expect_meta=guard)
+        except ManifestConflict:
+            continue
+        return meta
+    raise ManifestConflict(
+        f"append to {path} lost the geometry race 5 times")
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> int:
@@ -138,13 +148,14 @@ def compact_bm25_index(spark: SparkSession, path: str) -> int:
     return live_file_count(path, (_POSTINGS, _DOCLENS))
 
 
-def delete_from_bm25_index(spark: SparkSession, path: str, ids) -> dict:
+def delete_from_bm25_index(spark: SparkSession, path: str, ids,
+                           tag: "str | None" = None) -> dict:
     """Tombstone documents: one tiny id segment, one bump. Queries
     exclude the docs immediately AND recompute N/avgdl/df without them —
     BM25's global statistics must shrink with the corpus, which is the
     part a candidate-only mask would get wrong."""
     return index_base.delete_ids(spark, path, ids,
-                                 _read_meta(path)["id_col"])
+                                 _read_meta(path)["id_col"], tag)
 
 
 def query_bm25_index(spark: SparkSession, path: str,

@@ -213,13 +213,28 @@ def append_dedup_index(new_docs: DataFrame, path: str,
     would silently overwrite the other before either commits. A single
     writer (and any crash-retry of it) keeps the deterministic
     default."""
-    meta = _read_meta(path)
-    tag = tag or next_tag(path, "a")
-    sig = signature_shingle_sets(new_docs, meta["n_hashes"], meta["ngram"],
-                                 meta["text_col"], meta["id_col"])
-    staged = _stage_tables(sig, path, meta, tag)
-    commit(path, adds=staged)
-    return meta
+    from insight_de_smart_grid_spark.operators.index_manifest import (
+        ManifestConflict,
+    )
+
+    # expect_meta guard (round-11): the dedup geometry is frozen for the
+    # index's lifetime today, but the guard costs nothing and makes a
+    # future geometry-changing op safe against in-flight appends by
+    # construction (the ANN/IVF contract applied uniformly)
+    for _ in range(5):
+        meta, guard = index_base.snapshot_meta(path)
+        t = tag or next_tag(path, "a")
+        sig = signature_shingle_sets(new_docs, meta["n_hashes"],
+                                     meta["ngram"], meta["text_col"],
+                                     meta["id_col"])
+        staged = _stage_tables(sig, path, meta, t)
+        try:
+            commit(path, adds=staged, expect_meta=guard)
+        except ManifestConflict:
+            continue
+        return meta
+    raise ManifestConflict(
+        f"append to {path} lost the geometry race 5 times")
 
 
 def compact_dedup_index(spark: SparkSession, path: str) -> int:
@@ -258,7 +273,8 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
     return live_file_count(path, (_DOCS, _BANDS))
 
 
-def delete_from_dedup_index(spark: SparkSession, path: str, ids) -> dict:
+def delete_from_dedup_index(spark: SparkSession, path: str, ids,
+                            tag: "str | None" = None) -> dict:
     """Tombstone documents (round-11): one tiny id-list segment, one
     manifest bump. Probes and pair queries anti-join the live tombstones
     immediately; ``compact_dedup_index`` physically drops the doc rows,
@@ -267,7 +283,7 @@ def delete_from_dedup_index(spark: SparkSession, path: str, ids) -> dict:
     docs (the ``dedup_index_deleted`` oracle), with neither path ever
     re-reading the raw corpus."""
     return index_base.delete_ids(spark, path, ids,
-                                 _read_meta(path)["id_col"])
+                                 _read_meta(path)["id_col"], tag)
 
 
 def _ingest_batch(spark: SparkSession, batch: DataFrame, idx_path: str,

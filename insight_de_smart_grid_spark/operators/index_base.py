@@ -26,6 +26,7 @@ item 8 names). At 100 TB compaction and ingest genuinely overlap.
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 from functools import reduce
 from pathlib import Path
 from typing import Callable
@@ -129,6 +130,21 @@ def write_meta(path: str, meta: dict) -> None:
     Path(path, META).write_text(json.dumps(meta, indent=1) + "\n")
 
 
+def snapshot_meta(path: str) -> "tuple[dict, dict | None]":
+    """(geometry to use, ``expect_meta`` guard) from ONE manifest read —
+    the append-side half of the round-11 geometry-consistency contract:
+    an append signatures/assigns under the returned geometry and commits
+    with the guard, so a rebuild/retrain/split landing in between
+    conflicts the commit instead of leaving the delta keyed in a space
+    probes no longer rank. The guard is None for a pre-round-10 index
+    whose manifest carries no meta (nothing to compare against — legacy
+    behavior preserved)."""
+    man = read_manifest(path)
+    if man and "meta" in man:
+        return man["meta"], man["meta"]
+    return json.loads(Path(path, META).read_text()), None
+
+
 def read_table(spark: SparkSession, path: str, table: str,
                pin_id: "str | None" = None) -> DataFrame:
     """Union of the manifest's live segments — each segment is its own
@@ -151,6 +167,7 @@ def read_table(spark: SparkSession, path: str, table: str,
                   [spark.read.parquet(s) for s in segs])
 
 
+@contextmanager
 def pinned_index(path: str):
     """Context manager over ``index_manifest.pin_snapshot``: every read
     inside the block that passes the yielded pin id resolves the frozen
@@ -162,25 +179,20 @@ def pinned_index(path: str):
             df = query_bm25_index(spark, path, terms, pin_id=pin)
             rows = df.collect()      # safe against compaction + GC
     """
-    import contextlib
-
     from insight_de_smart_grid_spark.operators.index_manifest import (
         pin_snapshot,
         unpin_snapshot,
     )
 
-    @contextlib.contextmanager
-    def cm():
-        pin = pin_snapshot(path)
-        try:
-            yield pin
-        finally:
-            unpin_snapshot(path, pin)
-
-    return cm()
+    pin = pin_snapshot(path)
+    try:
+        yield pin
+    finally:
+        unpin_snapshot(path, pin)
 
 
-def delete_ids(spark: SparkSession, path: str, ids, id_col: str) -> dict:
+def delete_ids(spark: SparkSession, path: str, ids, id_col: str,
+               tag: "str | None" = None) -> dict:
     """Stage a tombstone segment naming the deleted ids and make it
     visible with ONE atomic manifest bump — the delete path of all index
     families (round-11). ``ids`` is a DataFrame carrying ``id_col`` or a
@@ -188,11 +200,18 @@ def delete_ids(spark: SparkSession, path: str, ids, id_col: str) -> dict:
     read or rewritten here (probes anti-join the tombstones lazily;
     ``compact_tables(..., tombstone_col=...)`` is the physical drop).
     A crash before the bump leaves the index unchanged — the staged
-    orphan is invisible and GC-able."""
+    orphan is invisible and GC-able.
+
+    ``tag``: the same concurrent-writer lever as the append APIs —
+    two deleters snapshotting the same version would stage into the
+    same version-derived segment and one id set would silently
+    overwrite the other (un-deleting documents); concurrent deleters
+    pass distinct explicit tags, a single writer (and its crash-retry)
+    keeps the deterministic default."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids],
                                     f"{id_col} bigint")
-    tag = next_tag(path, "d")
+    tag = tag or next_tag(path, "d")
     seg = stage_segment(f"{path}/{TOMBSTONES}", tag)
     (ids.select(id_col).distinct().coalesce(1)
      .write.mode("overwrite").parquet(seg))

@@ -131,7 +131,8 @@ def commit(path: str, adds: "dict[str, list[str]] | None" = None,
            replaces: "dict[str, list[str]] | None" = None,
            marks: "list[str] | None" = None,
            expect_version: "int | None" = None,
-           meta: "dict | None" = None) -> dict:
+           meta: "dict | None" = None,
+           expect_meta: "dict | None" = None) -> dict:
     """One atomic manifest bump: ``adds`` appends segment dirs to a
     table's live list (the append path), ``replaces`` swaps a table's
     entire list (the compaction path). Segment paths may be absolute or
@@ -155,10 +156,20 @@ def commit(path: str, adds: "dict[str, list[str]] | None" = None,
     it — a geometry file written beside the manifest could otherwise
     disagree with the live segments across a crash, and probes would
     silently hash into the wrong bucket space. Omitted, the previous
-    manifest meta is carried forward."""
+    manifest meta is carried forward.
+
+    ``expect_meta`` (round-11): the geometry-consistency check for ADD
+    commits. ``expect_version`` is too strong for appends (concurrent
+    appends are commutative and must not conflict with each other), but
+    an append that signatured/assigned its delta under one geometry
+    must not land AFTER a rebuild/retrain/split swapped in another —
+    its rows would be keyed in a space probes no longer rank, silently
+    unfindable. The commit applies only while the live manifest meta
+    still EQUALS ``expect_meta``; else ``ManifestConflict``, and the
+    appender re-reads the geometry and re-stages."""
     with _manifest_lock(path):
         return _commit_locked(path, adds, replaces, marks, expect_version,
-                              meta)
+                              meta, expect_meta)
 
 
 def _manifest_lock(path: str):
@@ -183,12 +194,16 @@ def _manifest_lock(path: str):
 
 
 def _commit_locked(path, adds, replaces, marks, expect_version,
-                   meta=None) -> dict:
+                   meta=None, expect_meta=None) -> dict:
     man = read_manifest(path) or {"version": 0, "tables": {}}
     if expect_version is not None and man["version"] != expect_version:
         raise ManifestConflict(
             f"manifest at {path} is at version {man['version']}, "
             f"writer expected {expect_version}")
+    if expect_meta is not None and man.get("meta") != expect_meta:
+        raise ManifestConflict(
+            f"manifest at {path} swapped its geometry meta since this "
+            "writer's snapshot (rebuild/retrain/split landed mid-append)")
     tables = {t: list(segs) for t, segs in man["tables"].items()}
 
     def rel(seg: str) -> str:
@@ -296,6 +311,34 @@ def unpin_snapshot(path: str, pin_id: str) -> None:
     p = Path(path, _PINS, f"{pin_id}.json")
     if p.exists():
         p.unlink()
+
+
+def expire_pins(path: str, max_age_seconds: float) -> int:
+    """Remove pins older than ``max_age_seconds`` — the abandoned-pin
+    lever (round-11): a reader that crashed between ``pin_snapshot`` and
+    ``unpin_snapshot`` leaves its pin file on disk forever, and every
+    subsequent GC would silently retain the dead pin's segments
+    unboundedly. Maintenance runs this with an age far above any real
+    reader's lifetime (the expire-snapshots half of the Iceberg pin
+    contract the pin docstring cites); a pin a live reader still holds
+    past that age loses its protection — the age IS the deployment's
+    declared maximum read duration. Returns the number of pins
+    expired."""
+    import time
+
+    pdir = Path(path, _PINS)
+    if not pdir.is_dir():
+        return 0
+    cutoff = time.time() - max_age_seconds
+    removed = 0
+    for pin in pdir.glob("pin-*.json"):
+        try:
+            if pin.stat().st_mtime <= cutoff:
+                pin.unlink()
+                removed += 1
+        except OSError:
+            continue        # racing unpin: already gone
+    return removed
 
 
 def _pinned_live(path: str) -> "set[str]":

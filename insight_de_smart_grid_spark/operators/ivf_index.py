@@ -269,7 +269,12 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     staged = _stage_lists(_assign(emb, cents, id_col), path, id_col,
                           "base")
     meta = {"n_centroids": n_centroids, "vec_col": vec_col,
-            "id_col": id_col, "quantizer": quantizer}
+            "id_col": id_col, "quantizer": quantizer,
+            # bumped by every geometry change (retrain/split) so an
+            # append's expect_meta guard conflicts even when the new
+            # quantizer has identical PARAMETERS (same-k retrain: same
+            # meta dict, different centroid rows)
+            "geom_epoch": 0}
     if quantizer == "kmeans":
         meta.update({"n_iter": n_iter, "train_rows": train_rows})
     write_meta(path, meta)   # mirror; the manifest copy is authoritative
@@ -289,16 +294,28 @@ def append_ivf_index(new_vectors: DataFrame, path: str,
     ``tag`` (round-11, ADVICE r10): CONCURRENT appenders must pass
     distinct explicit tags — the version-derived default would stage two
     same-snapshot writers into one segment directory, silently losing a
-    delta. Single writers (and crash-retries) keep the default."""
-    meta = _read_meta(path)
+    delta. Single writers (and crash-retries) keep the default.
+
+    The commit carries an ``expect_meta`` guard (round-11): a retrain or
+    hot-cluster split swapping the quantizer between this append's
+    assignment and its commit would leave the delta in obsolete cluster
+    ids probes no longer rank. On conflict the append re-reads the
+    centroids and re-assigns."""
     spark = new_vectors.sparkSession
-    tag = tag or next_tag(path, "a")
-    emb = _nonzero(new_vectors, meta["vec_col"], meta["id_col"])
-    cents = _read_table(spark, path, _CENTS)
-    staged = _stage_lists(_assign(emb, cents, meta["id_col"]), path,
-                          meta["id_col"], tag)
-    commit(path, adds=staged)
-    return meta
+    for _ in range(5):
+        meta, guard = index_base.snapshot_meta(path)
+        t = tag or next_tag(path, "a")
+        emb = _nonzero(new_vectors, meta["vec_col"], meta["id_col"])
+        cents = _read_table(spark, path, _CENTS)
+        staged = _stage_lists(_assign(emb, cents, meta["id_col"]), path,
+                              meta["id_col"], t)
+        try:
+            commit(path, adds=staged, expect_meta=guard)
+        except ManifestConflict:
+            continue
+        return meta
+    raise ManifestConflict(
+        f"append to {path} lost the geometry race 5 times")
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> int:
@@ -319,7 +336,8 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     return live_file_count(path, (_CENTS, _LISTS))
 
 
-def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
+def delete_from_ivf_index(spark: SparkSession, path: str, ids,
+                          tag: "str | None" = None) -> dict:
     """Tombstone vectors (round-11): one tiny id-list segment, one
     manifest bump. Probes anti-join the live tombstones immediately;
     ``compact_ivf_index`` physically drops the list rows and clears the
@@ -327,7 +345,7 @@ def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
     corpus rows — a deleted vector's centroid stays (retrain is the
     geometry lever)."""
     return index_base.delete_ids(spark, path, ids,
-                                 _read_meta(path)["id_col"])
+                                 _read_meta(path)["id_col"], tag)
 
 
 def auto_nprobe(sims: "list[tuple[int, float]]",
@@ -356,16 +374,25 @@ def auto_nprobe(sims: "list[tuple[int, float]]",
     trick applied to the probe-count decision. Input: (c_id, q_sim
     rounded to 6dp) for ALL centroids; driver cost is k ints — bounded
     by n_centroids regardless of corpus size."""
+    return len(auto_probe_prefix(sims, target_mass))
+
+
+def auto_probe_prefix(sims: "list[tuple[int, float]]",
+                      target_mass: float = 0.8) -> "list[int]":
+    """The derived probe SET: the (sim desc, c_id asc)-ranked centroid
+    prefix ``auto_nprobe`` counts — single source of truth for both the
+    ordering and the count, so a caller can never pair the derived
+    count with a differently-ordered prefix."""
     order = sorted(sims, key=lambda t: (-t[1], t[0]))
     tot = round(sum(max(s, 0.0) for _, s in order), 6)
     if tot <= 0:
-        return 1
+        return [c for c, _ in order[:1]]
     cum = 0.0
     for n, (_, s) in enumerate(order, start=1):
         cum += max(s, 0.0)
         if round(round(cum, 6) / tot, 6) >= target_mass:
-            return n
-    return len(order)
+            return [c for c, _ in order[:n]]
+    return [c for c, _ in order]
 
 
 def query_ivf_topk(spark: SparkSession, path: str, query_vec,
@@ -395,8 +422,7 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
     if nprobe == "auto":
         sims = [(r.c_id, r.q_sim) for r in
                 ranked.select("c_id", "q_sim").collect()]  # k rows, bounded
-        order = sorted(sims, key=lambda t: (-t[1], t[0]))
-        probes = [c for c, _ in order[:auto_nprobe(sims, target_mass)]]
+        probes = auto_probe_prefix(sims, target_mass)
     else:
         probes = [r.c_id for r in
                   ranked.limit(int(nprobe)).select("c_id").collect()]
@@ -978,7 +1004,8 @@ def split_hot_clusters(spark: SparkSession, path: str,
         if not hot:
             return meta
         cents = _read_table(spark, path, _CENTS)
-        max_id = max(r.c_id for r in cents.select("c_id").collect())
+        c_ids = [r.c_id for r in cents.select("c_id").collect()]  # k rows
+        max_id = max(c_ids)
         dim = len(lists.select("v").head().v)
 
         # side of each hot member: one narrow projection column — the
@@ -987,6 +1014,12 @@ def split_hot_clusters(spark: SparkSession, path: str,
         # shared 6-decimal grid (Spark `percentile` and DuckDB `median`
         # both average the two middle values), materialized via
         # withColumn BEFORE any filter (window-after-filter pitfall).
+        # ``moved`` is consumed by the survivor check, the lists write,
+        # and the centroid means — persisted so the broadcast-join +
+        # windowed-percentile over the hot majority of the corpus runs
+        # ONCE, not once per consumer.
+        from pyspark.storagelevel import StorageLevel
+
         plane_rows = [(c, _split_plane(c, dim), max_id + 1 + i)
                       for i, c in enumerate(hot)]
         planes = spark.createDataFrame(
@@ -997,54 +1030,63 @@ def split_hot_clusters(spark: SparkSession, path: str,
                                                   F.col("w")), 6))
                  .withColumn("t", F.round(
                      F.expr("percentile(proj, 0.5)").over(w_cl), 6))
-                 .withColumn("side", F.col("proj") > F.col("t")))
-        # a one-sided cut keeps the cluster intact (both halves must be
-        # nonempty or the split is dropped for that cluster)
-        two_sided = (moved.groupBy("cluster")
-                     .agg(F.count_distinct("side").alias("ns"))
-                     .filter(F.col("ns") == 2).select("cluster"))
-        moved = moved.join(F.broadcast(two_sided), "cluster")
-        reassigned = moved.select(
-            F.when(F.col("side"), F.col("new_id"))
-            .otherwise(F.col("cluster")).alias("cluster"),
-            F.col(id_col), F.col("v"))
-        kept = (lists.join(F.broadcast(two_sided.withColumnRenamed(
-                    "cluster", "c_hot")),
-                    lists["cluster"] == F.col("c_hot"), "left_anti")
-                .select("cluster", id_col, "v"))
-        new_lists = kept.unionByName(reassigned)
+                 .withColumn("side", F.col("proj") > F.col("t"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            # a one-sided cut keeps the cluster intact (both halves must
+            # be nonempty or the split is dropped for that cluster);
+            # collected ONCE — bounded by the hot-cluster count
+            survivor_hot = sorted(
+                r.cluster for r in moved.groupBy("cluster")
+                .agg(F.count_distinct("side").alias("ns"))
+                .filter(F.col("ns") == 2).select("cluster").collect())
+            if not survivor_hot:      # every cut was one-sided: no-op
+                return meta
+            reassigned = (moved.filter(F.col("cluster")
+                                       .isin(survivor_hot))
+                          .select(F.when(F.col("side"), F.col("new_id"))
+                                  .otherwise(F.col("cluster"))
+                                  .alias("cluster"),
+                                  F.col(id_col), F.col("v")))
+            # static NOT-IN on the partition column: PartitionFilters
+            # prune the survivors' directories out of the kept scan
+            kept = (lists.filter(~F.col("cluster").isin(survivor_hot))
+                    .select("cluster", id_col, "v"))
+            new_lists = kept.unionByName(reassigned)
 
-        survivor_hot = {r.cluster for r in two_sided.collect()}
-        if not survivor_hot:          # every cut was one-sided: no-op
-            return meta
+            # replacement centroids: normalized 6dp means of each half
+            # (the kmeans mean step); cold centroids pass through
+            comp = (reassigned.select("cluster",
+                                      F.posexplode("v").alias("d", "x"))
+                    .groupBy("cluster", "d").agg(F.avg("x").alias("m")))
+            mean_vecs = (comp.groupBy("cluster")
+                         .agg(F.array_sort(F.collect_list(
+                             F.struct("d", "m"))).alias("dm"))
+                         .select("cluster",
+                                 F.transform("dm", lambda s: s["m"])
+                                 .alias("m")))
+            norm_m = _norm(F.col("m"))
+            new_cents = (mean_vecs
+                         .select(F.col("cluster").alias("c_id"),
+                                 F.transform(
+                                     "m",
+                                     lambda x: F.round(x / norm_m, 6))
+                                 .alias("cv")))
+            old_cents = cents.filter(
+                ~F.col("c_id").isin(survivor_hot))
+            cents_out = old_cents.unionByName(new_cents)
 
-        # replacement centroids: normalized 6dp means of each half (the
-        # kmeans mean step); cold centroids pass through unchanged
-        comp = (reassigned.select("cluster",
-                                  F.posexplode("v").alias("d", "x"))
-                .groupBy("cluster", "d").agg(F.avg("x").alias("m")))
-        mean_vecs = (comp.groupBy("cluster")
-                     .agg(F.array_sort(F.collect_list(
-                         F.struct("d", "m"))).alias("dm"))
-                     .select("cluster",
-                             F.transform("dm", lambda s: s["m"])
-                             .alias("m")))
-        norm_m = _norm(F.col("m"))
-        new_cents = (mean_vecs
-                     .select(F.col("cluster").alias("c_id"),
-                             F.transform(
-                                 "m", lambda x: F.round(x / norm_m, 6))
-                             .alias("cv")))
-        old_cents = cents.filter(
-            ~F.col("c_id").isin(sorted(survivor_hot)))
-        cents_out = old_cents.unionByName(new_cents)
-
-        tag = next_tag(path, "s")
-        seg_c = stage_segment(f"{path}/{_CENTS}", tag)
-        cents_out.coalesce(1).write.mode("overwrite").parquet(seg_c)
-        staged = _stage_lists(new_lists, path, id_col, tag)
-        meta["n_centroids"] = int(cents_out.count())
-        write_meta(path, meta)   # mirror; the manifest copy is authoritative
+            tag = next_tag(path, "s")
+            seg_c = stage_segment(f"{path}/{_CENTS}", tag)
+            cents_out.coalesce(1).write.mode("overwrite").parquet(seg_c)
+            staged = _stage_lists(new_lists, path, id_col, tag)
+            # arithmetic, not a count() job: each surviving hot cluster
+            # contributes exactly one extra centroid
+            meta["n_centroids"] = len(c_ids) + len(survivor_hot)
+            meta["geom_epoch"] = meta.get("geom_epoch", 0) + 1
+            write_meta(path, meta)   # mirror; manifest copy authoritative
+        finally:
+            moved.unpersist()
         try:
             commit(path, replaces={**staged, _CENTS: [seg_c]}, meta=meta,
                    expect_version=version)
@@ -1183,25 +1225,38 @@ def rebalance_ivf_index(spark: SparkSession, path: str,
     latter fails LOUDLY rather than leaving the operator believing the
     bound holds. Each pass is one atomic lists+centroids rewrite; the
     deployment cadence is 'when the share monitor trips', not per
-    ingest. Returns the final meta."""
-    meta = _read_meta(path)
-    for _ in range(max_passes):
+    ingest. Convergence is detected from the geometry epoch — a pass
+    that commits nothing (no cluster over the bound, or only
+    unsplittable ones) leaves the epoch unchanged, and one counts scan
+    then distinguishes 'converged' from 'stuck'. Returns the final
+    meta."""
+    def shares_ok() -> "tuple[bool, float]":
         counts = [r.n for r in
                   _read_table(spark, path, _LISTS).groupBy("cluster")
                   .agg(F.count(F.lit(1)).alias("n")).collect()]
-        if max(counts) <= max_share * sum(counts):
-            return meta
+        share = max(counts) / sum(counts)
+        return share <= max_share, share
+
+    meta = _read_meta(path)
+    for _ in range(max_passes):
+        before = meta.get("geom_epoch", 0)
         meta = split_hot_clusters(spark, path, max_share=max_share)
-    counts = [r.n for r in
-              _read_table(spark, path, _LISTS).groupBy("cluster")
-              .agg(F.count(F.lit(1)).alias("n")).collect()]
-    if max(counts) > max_share * sum(counts):
+        if meta.get("geom_epoch", 0) == before:
+            # nothing committed: either the bound already holds, or a
+            # hot cluster's every projection is identical (one-sided cut)
+            ok, share = shares_ok()
+            if not ok:
+                raise RuntimeError(
+                    f"rebalance of {path} is stuck at max cluster share "
+                    f"{share:.3f} > {max_share} — a cluster of "
+                    "near-identical vectors cannot be median-split; "
+                    "dedup it or raise the bound")
+            return meta
+    ok, share = shares_ok()
+    if not ok:
         raise RuntimeError(
             f"rebalance of {path} still exceeds max_share={max_share} "
-            f"after {max_passes} passes (max cluster share "
-            f"{max(counts) / sum(counts):.3f}) — a cluster of "
-            "near-identical vectors cannot be median-split; dedup it "
-            "or raise the bound")
+            f"after {max_passes} passes (max cluster share {share:.3f})")
     return meta
 
 
@@ -1225,10 +1280,6 @@ def retrain_ivf_index(spark: SparkSession, path: str,
     replaced table and its files GC'd. On ``ManifestConflict`` the whole
     retrain retries from the fresh live set, absorbing the append — the
     ``compact_tables`` contract applied to geometry changes."""
-    from insight_de_smart_grid_spark.operators.index_manifest import (
-        ManifestConflict,
-    )
-
     for _ in range(max_attempts):
         man = index_base.read_manifest(path)
         version = man["version"] if man else 0
@@ -1255,7 +1306,8 @@ def retrain_ivf_index(spark: SparkSession, path: str,
         cents.coalesce(1).write.mode("overwrite").parquet(seg_c)
         staged = _stage_lists(_assign(vecs, cents, id_col), path, id_col,
                               tag)
-        meta.update({"n_centroids": want, "quantizer": quantizer})
+        meta.update({"n_centroids": want, "quantizer": quantizer,
+                     "geom_epoch": meta.get("geom_epoch", 0) + 1})
         if quantizer == "kmeans":
             meta.update({"n_iter": n_iter, "train_rows": train_rows})
         write_meta(path, meta)   # mirror; the manifest copy is authoritative

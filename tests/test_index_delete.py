@@ -328,6 +328,108 @@ def test_pinned_reader_survives_cross_process_gc(spark, tmp_path):
     assert not P(old_seg).exists()
 
 
+def test_concurrent_delete_tags(spark, tmp_path, monkeypatch):
+    """The append-tag hazard applies to deletes too: two deleters from
+    the same snapshot derive the same tombstone segment name and one id
+    set silently overwrites the other — UN-deleting documents. Explicit
+    distinct tags keep both sets."""
+    docs = _docs(spark).limit(200)
+    lost = str(tmp_path / "lost")
+    di.build_dedup_index(docs, lost)
+    monkeypatch.setattr(ib, "next_tag", lambda p, pre: f"{pre}same")
+    di.delete_from_dedup_index(spark, lost, [1, 2])
+    di.delete_from_dedup_index(spark, lost, [3, 4])   # overwrites {1,2}
+    monkeypatch.undo()
+    live = {r.doc_id for r in ib.live_tombstones(spark, lost).collect()}
+    assert live == {3, 4}          # the hazard: 1 and 2 resurfaced
+
+    ok = str(tmp_path / "ok")
+    di.build_dedup_index(docs, ok)
+    di.delete_from_dedup_index(spark, ok, [1, 2], tag="w1")
+    di.delete_from_dedup_index(spark, ok, [3, 4], tag="w2")
+    live = {r.doc_id for r in ib.live_tombstones(spark, ok).collect()}
+    assert live == {1, 2, 3, 4}
+
+
+def test_append_committing_after_geometry_swap_conflicts_and_retries(
+        spark, tmp_path, monkeypatch):
+    """The OTHER ordering of the geometry race (round-11 review): an
+    append that assigned its delta under the OLD quantizer must not
+    commit AFTER a retrain swapped the geometry — its rows would sit in
+    obsolete cluster ids probes never rank, silently unfindable. The
+    expect_meta commit guard conflicts the stale append, which re-reads
+    the NEW centroids and re-assigns."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    iv.build_ivf_index(base, path, n_centroids=8)
+
+    state = {"raced": False}
+    real_stage = iv._stage_lists
+
+    def racing_stage(assigned, p, id_col, tag):
+        out = real_stage(assigned, p, id_col, tag)
+        if not state["raced"]:
+            state["raced"] = True
+            # geometry swaps AFTER the append staged, BEFORE it commits
+            iv.retrain_ivf_index(spark, p, quantizer="kmeans")
+        return out
+
+    monkeypatch.setattr(iv, "_stage_lists", racing_stage)
+    iv.append_ivf_index(delta, path)
+    monkeypatch.undo()
+
+    assert state["raced"]
+    live_clusters = {r.cluster for r in
+                     iv._read_table(spark, path, "lists")
+                     .select("cluster").distinct().collect()}
+    cents = {r.c_id for r in iv._read_table(spark, path, "centroids")
+             .select("c_id").collect()}
+    assert live_clusters <= cents   # no orphaned (unfindable) lists
+    got = {r.vec_id for r in iv._read_table(spark, path, "lists")
+           .select("vec_id").collect()}
+    want = {r.vec_id for r in
+            emb.filter(iv._norm(F.col("embedding").cast("array<double>"))
+                       > 0).select("vec_id").collect()}
+    assert got == want
+
+
+def test_ann_append_after_rebuild_conflicts_and_retries(
+        spark, tmp_path, monkeypatch):
+    """ANN twin: an append signatured at the old depth committing after
+    a rebuild would strand its bands at a depth probes no longer hash —
+    the expect_meta guard forces a re-signature at the new depth."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    ai.build_signature_index(base, path, n_tables=4, n_planes=6)
+
+    state = {"raced": False}
+    real_stage = ai._stage_tables
+
+    def racing_stage(sig, vectors, p, id_col, tag, meta=None):
+        out = real_stage(sig, vectors, p, id_col, tag, meta)
+        if not state["raced"]:
+            state["raced"] = True
+            ai.rebuild_signature_index(spark, p, n_planes=9)
+        return out
+
+    monkeypatch.setattr(ai, "_stage_tables", racing_stage)
+    ai.append_signatures(delta, path)
+    monkeypatch.undo()
+
+    assert state["raced"]
+    meta = ai._read_meta(path)
+    assert meta["n_planes"] == 9
+    bands = ai._read_table(spark, path, "bands")
+    # every vector's bands exist and live inside the NEW bucket space
+    assert bands.select("vec_id").distinct().count() \
+        == ai._read_table(spark, path, "vectors").count()
+    assert bands.agg(F.max("bucket")).head()[0] < 2 ** 9
+
+
 def test_retrain_racing_append_absorbed(spark, tmp_path, monkeypatch):
     """ADVICE r10 (medium): an append landing between the retrain's read
     of the live lists and its replace-commit must NOT be dropped — the

@@ -208,6 +208,54 @@ def test_pinned_snapshot_survives_gc(tmp_path):
     im.unpin_snapshot(p, pin)               # idempotent
 
 
+def test_expire_pins_unblocks_gc(tmp_path):
+    """Round-11 review: a reader that crashes between pin and unpin
+    leaves its pin file forever, silently blocking GC of its segments
+    unboundedly. ``expire_pins(max_age)`` is the maintenance lever —
+    age 0 expires everything now; a fresh pin under a generous age
+    survives."""
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]})
+    pin = im.pin_snapshot(p)        # then the reader 'crashes'
+    b = _mk_seg(p, "bands", "c1")
+    im.commit(p, replaces={"bands": [b]})
+    assert im.gc_unreferenced(p) == 0       # dead pin blocks GC
+    assert im.expire_pins(p, max_age_seconds=3600) == 0   # young: kept
+    assert im.expire_pins(p, max_age_seconds=0) == 1      # expired
+    assert im.gc_unreferenced(p) == 1       # unblocked
+    assert not Path(a).exists() and Path(b).exists()
+    im.unpin_snapshot(p, pin)               # idempotent on expired pin
+
+
+def test_commit_expect_meta_guard(tmp_path):
+    """Round-11: an ADD commit carrying ``expect_meta`` applies only
+    while the live geometry meta is unchanged — the append-vs-geometry-
+    swap ordering ``expect_version`` deliberately does not cover
+    (concurrent appends must not conflict with each other)."""
+    p = str(tmp_path)
+    a = _mk_seg(p, "bands", "base")
+    im.commit(p, replaces={"bands": [a]}, meta={"depth": 4, "epoch": 0})
+    b = _mk_seg(p, "bands", "a1")
+    # two appends under the same geometry: both pass (no version check)
+    im.commit(p, adds={"bands": [b]}, expect_meta={"depth": 4, "epoch": 0})
+    c = _mk_seg(p, "bands", "a2")
+    im.commit(p, adds={"bands": [c]}, expect_meta={"depth": 4, "epoch": 0})
+    # geometry swap, then a stale append: conflicts
+    im.commit(p, replaces={"bands": [a]}, meta={"depth": 9, "epoch": 1})
+    d = _mk_seg(p, "bands", "a3")
+    try:
+        im.commit(p, adds={"bands": [d]},
+                  expect_meta={"depth": 4, "epoch": 0})
+        raise AssertionError("stale-geometry append must conflict")
+    except im.ManifestConflict:
+        pass
+    assert im.live_segments(p, "bands") == [a]   # unchanged
+    im.commit(p, adds={"bands": [d]},
+              expect_meta={"depth": 9, "epoch": 1})   # fresh guard: ok
+    assert im.live_segments(p, "bands") == [a, d]
+
+
 def test_gc_retention_window(tmp_path):
     """Round-10: ``retention_seconds`` keeps just-superseded segments on
     disk until in-flight readers whose plans predate the swap have
