@@ -157,6 +157,8 @@ def read_table(spark: SparkSession, path: str, table: str,
     lever for a long-lived reader whose lazy scan must survive a
     concurrent compact + zero-retention GC — the pinned segments stay
     referenced until the caller unpins."""
+    from insight_de_smart_grid_spark.sources.pq import read_parquet
+
     raw = (pinned_segments(path, pin_id, table) if pin_id
            else live_segments(path, table))
     segs = data_bearing(raw)
@@ -164,7 +166,7 @@ def read_table(spark: SparkSession, path: str, table: str,
         raise FileNotFoundError(f"index table {table} has no live "
                                 f"segments under {path}")
     return reduce(DataFrame.unionByName,
-                  [spark.read.parquet(s) for s in segs])
+                  [read_parquet(spark, s) for s in segs])
 
 
 @contextmanager
@@ -225,13 +227,15 @@ def live_tombstones(spark: SparkSession, path: str,
     plans on an undeleted index literally unchanged. Under a pin the
     tombstone set is the PINNED one: the whole probe sees one
     consistent snapshot."""
+    from insight_de_smart_grid_spark.sources.pq import read_parquet
+
     raw = (pinned_segments(path, pin_id, TOMBSTONES) if pin_id
            else live_segments(path, TOMBSTONES))
     segs = [s for s in raw if any(Path(s).rglob("*.parquet"))]
     if not segs:
         return None
     return reduce(DataFrame.unionByName,
-                  [spark.read.parquet(s) for s in segs]).distinct()
+                  [read_parquet(spark, s) for s in segs]).distinct()
 
 
 def subtract_tombstoned(spark: SparkSession, path: str, df: DataFrame,
@@ -322,9 +326,11 @@ def read_bucketed_segment(spark: SparkSession, seg: str, n_buckets: int,
     naming the writer produced, so registration is pure metadata."""
     import os
 
+    from insight_de_smart_grid_spark.sources.pq import parquet_schema
+
     name = bucket_table_name(seg)
     if not spark.catalog.tableExists(name):
-        schema = spark.read.parquet(seg).schema
+        schema = parquet_schema(spark, seg)
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                          for f in schema.fields)
         sort = ", ".join(sort_keys or keys)

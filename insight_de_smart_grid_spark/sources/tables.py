@@ -36,12 +36,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (session tz is pinned to UTC, so NTZ wall-time == the same instant) —
     JVM-side casts, no UDF.
     """
+    from insight_de_smart_grid_spark.sources.pq import read_parquet
+
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if "ts" in df.columns:
-        df = normalize_event_ts(df)
+    # the normalized relation is a pure lazy plan over an immutable
+    # fixture — memoized per session (round-11 optimization) so the
+    # ~100 ms/scan footer sniff + projection build is paid once per
+    # process, not once per query plan build; every action on the
+    # returned frame still scans the parquet data itself
+    from insight_de_smart_grid_spark.sources.pq import _key
+
+    try:
+        cache = spark._table_df_cache
+    except AttributeError:
+        cache = spark._table_df_cache = {}
+    # mtime in the key: a rewritten fixture (tests that regenerate a
+    # table in place) misses and re-plans
+    key = _key(spark, f"{sf_dir}/{name}.parquet") or (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        if "ts" in df.columns:
+            df = normalize_event_ts(df)
+        cache[key] = df
     return df
 
 

@@ -172,8 +172,10 @@ def run_stream_over_parquet(spark: SparkSession, parquet_path: str,
         panes = bool(pk["slide"] and w_s and s_s and w_s % s_s == 0
                      and w_s != s_s)
         if panes:
+            from insight_de_smart_grid_spark.sources.pq import read_parquet
+
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            readings = to_readings(spark.read.parquet(parquet_path))
+            readings = to_readings(read_parquet(spark, parquet_path))
             panes = (pane_density(
                 readings, s_s, time_col=pk["time_col"], keys=pk["keys"],
                 sample_fraction=PROBE_SAMPLE_FRACTION)

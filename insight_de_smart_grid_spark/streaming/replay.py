@@ -49,7 +49,15 @@ def parquet_stream_source(spark: SparkSession, parquet_path: str,
     without no-data batches, but note ``max_files_per_trigger=1`` also
     puts every REAL file in its own stateful micro-batch — measured 2x
     slower on the outer joins at sf0.1."""
+    from insight_de_smart_grid_spark.sources.pq import parquet_schema
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # resolve the schema from the ORIGINAL path (round-11 optimization):
+    # the staged dir is symlinks to the same files plus sentinels built
+    # from them, so the schema is identical — and the original path is
+    # immutable, so the footer sniff is paid once per process instead of
+    # once per replay invocation (fresh tmp dirs can never cache-hit)
+    schema = parquet_schema(spark, parquet_path)
     p = Path(parquet_path)
     if p.is_file() or flush_sentinel:
         # always stage when adding a sentinel: the source dir may be
@@ -62,8 +70,7 @@ def parquet_stream_source(spark: SparkSession, parquet_path: str,
         for i in range(sentinel_count):
             parquet_path = _stage_flush_sentinel(
                 spark, parquet_path, sentinel_margin_s * (i + 1), seq=i,
-                all_types=sentinel_all_types)
-    schema = spark.read.parquet(parquet_path).schema
+                all_types=sentinel_all_types, schema=schema)
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -73,7 +80,8 @@ def parquet_stream_source(spark: SparkSession, parquet_path: str,
 
 def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
                           margin_s: int, seq: int = 0,
-                          all_types: bool = False) -> str:
+                          all_types: bool = False,
+                          schema=None) -> str:
     """Write the watermark-flush sentinel row beside the staged source files.
 
     ``ts`` at this layer is whatever the parquet surfaces: a nanos-since-epoch
@@ -84,7 +92,8 @@ def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
     process it first."""
     from pyspark.sql import functions as F
 
-    batch = spark.read.parquet(staged_dir)
+    batch = (spark.read.schema(schema).parquet(staged_dir) if schema
+             else spark.read.parquet(staged_dir))
     ts_type = batch.schema["ts"].dataType.typeName()
     if ts_type in ("long", "bigint"):
         bumped = (F.col("ts") + F.lit(margin_s * 1_000_000_000)).cast("long")

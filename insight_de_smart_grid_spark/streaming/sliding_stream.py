@@ -99,10 +99,12 @@ def run_sliding_stats_stream(spark: SparkSession, parquet_path: str,
         panes = bool(pk["slide"] and w_s and s_s and w_s % s_s == 0
                      and w_s != s_s)
         if panes:
+            from insight_de_smart_grid_spark.sources.pq import read_parquet
+
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             panes = (pane_density(
                 (pre or (lambda s: s))(
-                    normalize_event_ts(spark.read.parquet(parquet_path))),
+                    normalize_event_ts(read_parquet(spark, parquet_path))),
                 s_s, time_col=pk["time_col"], keys=pk["keys"],
                 sample_fraction=PROBE_SAMPLE_FRACTION)
                 >= PANE_DENSITY_CROSSOVER)
