@@ -290,21 +290,27 @@ def dup_clusters(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
              # this the (expensive) upstream pair computation replays per
              # round — measured 24 s -> ~4 s at sf0.1.
              .localCheckpoint(eager=True))
+    # lazy checkpoint: the first round's convergence count is the
+    # materializing action, so init costs no job of its own (round-11
+    # optimization — each eager checkpoint at this scale is a whole
+    # scheduler round-trip; lineage truncation is identical either way)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     for _ in range(max_rounds):
         nbr = (edges.join(labels, edges.src == labels.node)
                .groupBy(F.col("dst").alias("nbr_node"))
                .agg(F.min("lbl").alias("nbr_lbl")))
         # Carry the pre-round label through the checkpoint so the
         # convergence check is a filter over already-materialized
-        # partitions — not another join+shuffle per round.
+        # partitions — not another join+shuffle per round. The checkpoint
+        # is LAZY and the count below is its materializing action: one
+        # job per round where eager+count paid two.
         new = (labels.join(nbr, labels.node == nbr.nbr_node, "left")
                .select(F.col("node"), F.col("lbl").alias("old_lbl"),
                        F.least(F.col("lbl"),
                                F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         changed = new.filter(F.col("lbl") < F.col("old_lbl")).count()
         labels = new.select("node", "lbl")
         if changed == 0:
