@@ -375,16 +375,23 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _min_hash_exprs(n_hashes: int, x_sql: str) -> list[Column]:
+    """The n_hashes ``min((a*x + b) % P)`` aggregates as single-parse SQL
+    expressions — the Column-operator form paid ~6 py4j roundtrips per
+    hash per plan build (round-11 optimization; the parsed expression
+    tree is identical, all literals < 2^31 so types match F.lit's)."""
+    return [F.expr(f"min(({a} * {x_sql} + {b}) % {_MINHASH_P}) AS mh{i}")
+            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, ngram: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """n_hashes minhash values per doc over word-ngram shingles."""
-    sh = word_ngrams(docs, ngram, text_col, id_col)
-    x = portable_hash60(F.col("g")) % F.lit(_MINHASH_P)
-    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
-            .alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
-    return sh.groupBy(id_col).agg(*mins)
+    sh = (word_ngrams(docs, ngram, text_col, id_col)
+          .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
+    return sh.groupBy(id_col).agg(
+        *_min_hash_exprs(n_hashes, f"(gh % {_MINHASH_P})"))
 
 
 def packed_band_width(n_hashes: int, bands: int) -> int:
@@ -410,24 +417,29 @@ def banded_signatures(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
             "change the band geometry the caller asked for")
     rows = n_hashes // bands
 
-    def packed(b: int) -> list[Column]:
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+    def packed(b: int) -> list[str]:
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
         out = []
         for i in range(0, rows, 2):
             if i + 1 < rows:
-                out.append(F.shiftleft(cols[i], 31) + cols[i + 1])
+                out.append(f"shiftleft({cols[i]}, 31) + {cols[i + 1]}")
             else:
                 out.append(cols[i])
         return out
     n_packed = packed_band_width(n_hashes, bands)
-    # long format: (doc_id, band_idx, packed band key)
-    stack = F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band_idx"),
-                 *[p.alias(f"p{j}") for j, p in enumerate(packed(b))])
-        for b in range(bands)])).alias("e")
-    return sig.select(F.col(id_col), stack).select(
-        F.col(id_col), F.col("e.band_idx"),
-        *[F.col(f"e.p{j}") for j in range(n_packed)])
+    # long format: (doc_id, band_idx, packed band key) — built as ONE
+    # parsed SQL expression (round-11: the Column-operator form paid a
+    # py4j roundtrip per struct field per band, ~300 per plan build; the
+    # parsed tree and output schema are identical)
+    structs = ", ".join(
+        "named_struct('band_idx', {b}, {fields})".format(
+            b=b, fields=", ".join(f"'p{j}', {p}"
+                                  for j, p in enumerate(packed(b))))
+        for b in range(bands))
+    return (sig.select(F.col(id_col),
+                       F.expr(f"explode(array({structs})) AS e"))
+            .select(F.col(id_col), F.col("e.band_idx"),
+                    *[F.col(f"e.p{j}") for j in range(n_packed)]))
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
@@ -438,10 +450,9 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 32, bands: int = 8,
     longf = banded_signatures(sig, n_hashes, bands, id_col)
     a = longf.alias("a")
     b2 = longf.alias("b")
-    cond = (F.col("a.band_idx") == F.col("b.band_idx")) \
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for j in range(n_packed):
-        cond = cond & (F.col(f"a.p{j}") == F.col(f"b.p{j}"))
+    cond = F.expr(" AND ".join(
+        ["a.band_idx = b.band_idx", f"a.{id_col} < b.{id_col}"]
+        + [f"a.p{j} = b.p{j}" for j in range(n_packed)]))
     return (
         a.join(b2, cond)
         .select(F.col(f"a.{id_col}").alias("doc_a"),
@@ -461,12 +472,9 @@ def signature_shingle_sets(docs: DataFrame, n_hashes: int = 32,
     (``operators/dedup_index.py``)."""
     sh = (word_ngrams(docs, ngram, text_col, id_col)
           .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
-    x = F.col("gh") % F.lit(_MINHASH_P)
-    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
-            .alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
     return (sh.groupBy(id_col)
-            .agg(F.collect_set("gh").alias("shingles"), *mins))
+            .agg(F.collect_set("gh").alias("shingles"),
+                 *_min_hash_exprs(n_hashes, f"(gh % {_MINHASH_P})")))
 
 
 def minhash_lsh_near_dups(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
@@ -1092,13 +1100,11 @@ def containment_pairs_lsh(docs: DataFrame, n: int = 3,
         word_ngrams(docs, n, text_col, id_col)
         .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")),
         materialize)
-    x = F.col("gh") % F.lit(_MINHASH_P)
-    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
-            .alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
     sig_sets = stage(
         gh_tbl.groupBy(id_col)
-        .agg(F.collect_set("gh").alias("shingles"), *mins), materialize)
+        .agg(F.collect_set("gh").alias("shingles"),
+             *_min_hash_exprs(n_hashes, f"(gh % {_MINHASH_P})")),
+        materialize)
     band_cands = lsh_candidate_pairs(sig_sets, n_hashes, bands, id_col)
     rare = (gh_tbl.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= F.lit(max_df))
@@ -1189,11 +1195,8 @@ def winnow_near_dups_lsh(docs: DataFrame, k: int = 8, w: int = 4,
 
     sh = (word_ngrams(docs, ngram, text_col, id_col)
           .select(F.col(id_col), portable_hash60(F.col("g")).alias("gh")))
-    x = F.col("gh") % F.lit(_MINHASH_P)
-    mins = [F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MINHASH_P))
-            .alias(f"mh{i}")
-            for i, (a, b) in enumerate(_minhash_ab(n_hashes))]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = sh.groupBy(id_col).agg(
+        *_min_hash_exprs(n_hashes, f"(gh % {_MINHASH_P})"))
     cands = lsh_candidate_pairs(sig, n_hashes, bands, id_col)
 
     fps = winnow_fps_arrow(docs, text_col=text_col, k=k, w=w, id_col=id_col)

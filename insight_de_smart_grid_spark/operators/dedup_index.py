@@ -476,10 +476,9 @@ def index_near_dup_pairs(spark: SparkSession, path: str,
     id_col = meta["id_col"]
     bands_tbl = _read_table(spark, path, _BANDS, pin_id)
     a, b = bands_tbl.alias("a"), bands_tbl.alias("b")
-    cond = (F.col("a.band_idx") == F.col("b.band_idx")) \
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for p in _p_cols(meta):
-        cond = cond & (F.col(f"a.{p}") == F.col(f"b.{p}"))
+    cond = F.expr(" AND ".join(
+        ["a.band_idx = b.band_idx", f"a.{id_col} < b.{id_col}"]
+        + [f"a.{p} = b.{p}" for p in _p_cols(meta)]))
     cand = (a.join(b, cond)
             .select(F.col(f"a.{id_col}").alias("doc_a"),
                     F.col(f"b.{id_col}").alias("doc_b"))
