@@ -102,7 +102,7 @@ def _nonzero(embeddings: DataFrame, vec_col: str,
     engine) — excluded outright, mirrored in the shared oracle."""
     return (embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .filter(_norm(F.col("v")) > 0))
+        .filter(_norm("v") > 0))
 
 
 def _assign(emb: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
@@ -116,9 +116,9 @@ def _assign(emb: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     the window shuffled AND sorted delta x k rows (VERDICT r9)."""
     scored = (emb.join(F.broadcast(cents))
               .withColumn("c_sim",
-                          F.round(_dot(F.col("v"), F.col("cv"))
-                                  / (_norm(F.col("v"))
-                                     * _norm(F.col("cv"))), 6)))
+                          F.round(_dot("v", "cv")
+                                  / (_norm("v")
+                                     * _norm("cv")), 6)))
     best = (scored.groupBy(id_col)
             .agg(F.max(F.struct(F.col("c_sim"),
                                 (-F.col("c_id")).alias("neg_c")))
@@ -417,7 +417,7 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
     cents = _read_table(spark, path, _CENTS, pin_id)
     ranked = (cents.withColumn(
                   "q_sim", F.round(_dot(qv, F.col("cv"))
-                                   / (_norm(qv) * _norm(F.col("cv"))), 6))
+                                   / (_norm(qv) * _norm("cv")), 6))
               .orderBy(F.desc("q_sim"), F.asc("c_id")))
     if nprobe == "auto":
         sims = [(r.c_id, r.q_sim) for r in
@@ -437,7 +437,7 @@ def query_ivf_topk(spark: SparkSession, path: str, query_vec,
                                            pin_id)
     return (lists.select(
         F.col(id_col),
-        F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * _norm(qv)),
+        F.round(_dot(F.col("v"), qv) / (_norm("v") * _norm(qv)),
                 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k))
@@ -490,9 +490,9 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
     # (VERDICT r9 item 4); it joins back per query before the re-rank
     scored_c = (emb_q.join(F.broadcast(cents))
                 .withColumn("q_sim",
-                            F.round(_dot(F.col("qv"), F.col("cv"))
-                                    / (_norm(F.col("qv"))
-                                       * _norm(F.col("cv"))), 6))
+                            F.round(_dot("qv", "cv")
+                                    / (_norm("qv")
+                                       * _norm("cv")), 6))
                 .withColumn("rn", F.row_number().over(wq)))
     if nprobe == "auto":
         # per-query derived nprobe (round-11): the auto_nprobe mass rule
@@ -533,8 +533,8 @@ def query_ivf_batch_topk(spark: SparkSession, path: str,
     cand = cand.join(small(emb_q), "query_id")
     scored = cand.select(
         "query_id", id_col,
-        F.round(_dot(F.col("v"), F.col("qv"))
-                / (_norm(F.col("v")) * _norm(F.col("qv"))),
+        F.round(_dot("v", "qv")
+                / (_norm("v") * _norm("qv")),
                 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                F.asc(id_col))
@@ -1026,8 +1026,7 @@ def split_hot_clusters(spark: SparkSession, path: str,
             plane_rows, "cluster bigint, w array<double>, new_id bigint")
         w_cl = Window.partitionBy("cluster")
         moved = (lists.join(F.broadcast(planes), "cluster")
-                 .withColumn("proj", F.round(_dot(F.col("v"),
-                                                  F.col("w")), 6))
+                 .withColumn("proj", F.round(_dot("v", "w"), 6))
                  .withColumn("t", F.round(
                      F.expr("percentile(proj, 0.5)").over(w_cl), 6))
                  .withColumn("side", F.col("proj") > F.col("t"))
@@ -1065,7 +1064,7 @@ def split_hot_clusters(spark: SparkSession, path: str,
                          .select("cluster",
                                  F.transform("dm", lambda s: s["m"])
                                  .alias("m")))
-            norm_m = _norm(F.col("m"))
+            norm_m = _norm("m")
             new_cents = (mean_vecs
                          .select(F.col("cluster").alias("c_id"),
                                  F.transform(

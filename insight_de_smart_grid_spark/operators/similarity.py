@@ -27,12 +27,22 @@ from pyspark.sql import functions as F
 from insight_de_smart_grid_spark.operators.staging import stage
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: "Column | str", b: "Column | str") -> Column:
+    """Vector dot product. String args take the single-parse SQL path —
+    the lambda-Column form pays ~10 py4j roundtrips per call at plan
+    build (round-11 optimization; the parsed Catalyst tree computes the
+    identical float sum, same fold order)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                      "0.0D, (acc, x) -> acc + x)")
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: "Column | str") -> Column:
+    if isinstance(a, str):
+        return F.sqrt(F.expr(
+            f"aggregate({a}, 0.0D, (acc, x) -> acc + x * x)"))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
@@ -54,8 +64,8 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(_dot(F.col("v"), F.col("qv"))
-                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            F.round(_dot("v", "qv")
+                    / (_norm("v") * _norm("qv")), 6)
             .alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -124,8 +134,8 @@ def cosine_pairs_blocked(embeddings: DataFrame, threshold: float = 0.9,
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     ea = emb.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
     eb = emb.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
-    raw = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va"))
-                                            * _norm(F.col("vb")))
+    raw = _dot("va", "vb") / (_norm("va")
+                                            * _norm("vb"))
     return (cands.join(ea, "vec_a").join(eb, "vec_b")
             .withColumn("raw_sim", raw)
             .filter(F.col("raw_sim") >= F.lit(threshold))
@@ -206,7 +216,7 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
         # byte-equality semantics.
         v = embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        keyed = (v.filter(_norm(F.col("v")) > 0)
+        keyed = (v.filter(_norm("v") > 0)
                  .select("vec_id",
                          F.sha2(F.to_json(F.struct("v")), 256)
                          .alias("vkey")))
@@ -446,8 +456,8 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(_dot(F.col("v"), F.col("qv"))
-                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            F.round(_dot("v", "qv")
+                    / (_norm("v") * _norm("qv")), 6)
             .alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -485,8 +495,8 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     return (
         cands.select(
             F.col(id_col),
-            F.round(_dot(F.col("v"), F.col("qv"))
-                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            F.round(_dot("v", "qv")
+                    / (_norm("v") * _norm("qv")), 6)
             .alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -769,8 +779,8 @@ def lsh_multiprobe_topk(embeddings: DataFrame, query_vec_id: int,
     return (
         cands.select(
             F.col(id_col),
-            F.round(_dot(F.col("v"), F.col("qv"))
-                    / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+            F.round(_dot("v", "qv")
+                    / (_norm("v") * _norm("qv")), 6)
             .alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -920,8 +930,8 @@ def lsh_hard_negatives(embeddings: DataFrame, k: int = 3,
     eb = emb.select(F.col(id_col).alias("neg_id"), F.col("v").alias("vb"))
     scored = (diff.join(ea, "anchor_id").join(eb, "neg_id")
               .select("anchor_id", "neg_id",
-                      F.round(_dot(F.col("va"), F.col("vb"))
-                              / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                      F.round(_dot("va", "vb")
+                              / (_norm("va") * _norm("vb")),
                               6).alias("cos_sim")))
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"),
                                                 F.asc("neg_id"))
@@ -1015,7 +1025,7 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     # (mirrored in the oracle)
     emb = (embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .filter(_norm(F.col("v")) > 0))
+        .filter(_norm("v") > 0))
     # the n_centroids LOWEST-id nonzero vectors (round-10, ADVICE r9:
     # the old `id < n_centroids` predicate silently yielded few or zero
     # centroids on a corpus whose ids don't start near 0)
@@ -1023,8 +1033,8 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
              .select(F.col(id_col).alias("c_id"), F.col("v").alias("cv")))
     scored = (emb.join(F.broadcast(cents))
               .withColumn("c_sim",
-                          F.round(_dot(F.col("v"), F.col("cv"))
-                                  / (_norm(F.col("v")) * _norm(F.col("cv"))),
+                          F.round(_dot("v", "cv")
+                                  / (_norm("v") * _norm("cv")),
                                   6)))
     w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("c_id"))
     assigned = (scored.withColumn("rn", F.row_number().over(w))
@@ -1035,9 +1045,9 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
          .select(F.col("v").alias("qv")))
     probe_set = (cents.join(F.broadcast(q))
                  .withColumn("q_sim",
-                             F.round(_dot(F.col("qv"), F.col("cv"))
-                                     / (_norm(F.col("qv"))
-                                        * _norm(F.col("cv"))), 6))
+                             F.round(_dot("qv", "cv")
+                                     / (_norm("qv")
+                                        * _norm("cv")), 6))
                  .orderBy(F.desc("q_sim"), F.asc("c_id")).limit(nprobe)
                  .select(F.col("c_id").alias("cluster")))
     return (assigned
@@ -1045,8 +1055,8 @@ def ivf_portable_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
             .filter(F.col(id_col) != query_vec_id)
             .join(F.broadcast(q))
             .select(F.col(id_col),
-                    F.round(_dot(F.col("v"), F.col("qv"))
-                            / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)
+                    F.round(_dot("v", "qv")
+                            / (_norm("v") * _norm("qv")), 6)
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc(id_col))
             .limit(k))
@@ -1194,15 +1204,15 @@ def quantized_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     cand = (quant.filter(F.col(id_col) != query_vec_id)
             .join(F.broadcast(q))
             .select(F.col(id_col), "v", "qfull",
-                    F.round(_dot(F.col("qv"), F.col("qqv"))
-                            / (_norm(F.col("qv")) * _norm(F.col("qqv"))), 6)
+                    F.round(_dot("qv", "qqv")
+                            / (_norm("qv") * _norm("qqv")), 6)
                     .alias("qcos"))
             .orderBy(F.desc("qcos"), F.asc(id_col))
             .limit(k * oversample))
     return (cand.select(
         F.col(id_col),
-        F.round(_dot(F.col("v"), F.col("qfull"))
-                / (_norm(F.col("v")) * _norm(F.col("qfull"))), 6)
+        F.round(_dot("v", "qfull")
+                / (_norm("v") * _norm("qfull")), 6)
         .alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k))
@@ -1264,15 +1274,15 @@ def matryoshka_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     cand = (pre.filter(F.col(id_col) != query_vec_id)
             .join(F.broadcast(q))
             .select(F.col(id_col), "v", "qfull",
-                    F.round(_dot(F.col("pv"), F.col("qpv"))
-                            / (_norm(F.col("pv")) * _norm(F.col("qpv"))), 6)
+                    F.round(_dot("pv", "qpv")
+                            / (_norm("pv") * _norm("qpv")), 6)
                     .alias("pcos"))
             .orderBy(F.desc("pcos"), F.asc(id_col))
             .limit(k * oversample))
     return (cand.select(
         F.col(id_col),
-        F.round(_dot(F.col("v"), F.col("qfull"))
-                / (_norm(F.col("v")) * _norm(F.col("qfull"))), 6)
+        F.round(_dot("v", "qfull")
+                / (_norm("v") * _norm("qfull")), 6)
         .alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k))
@@ -1326,8 +1336,8 @@ def _bucket_scored_pairs(embeddings: DataFrame, n_tables: int,
     eb = emb.select(F.col(id_col).alias("nbr_id"), F.col("v").alias("vb"))
     return (cands.join(ea, "anchor_id").join(eb, "nbr_id")
             .select("anchor_id", "nbr_id",
-                    F.round(_dot(F.col("va"), F.col("vb"))
-                            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                    F.round(_dot("va", "vb")
+                            / (_norm("va") * _norm("vb")),
                             6).alias("cos_sim")))
 
 
@@ -1403,7 +1413,7 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     # collapsible = finite positive norm (NaN fails n < inf in Spark's
     # NaN-greatest ordering); everything else is its own representative
-    n = _norm(F.col("v"))
+    n = _norm("v")
     keyed = (emb.filter((n > 0) & (n < F.lit(float("inf"))))
              .select(F.col(id_col),
                      F.sha2(F.to_json(F.struct("v")), 256).alias("vkey")))
