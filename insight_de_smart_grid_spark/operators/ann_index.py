@@ -115,23 +115,33 @@ def _stage_tables(sig: DataFrame, vectors: DataFrame, path: str,
     bands_frame = sig.select(F.col(id_col), F.col("table"),
                              F.col("bucket"))
     if meta.get("layout") == "bucketed":
-        index_base.write_bucketed_segment(
-            bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
-        index_base.write_bucketed_segment(
-            vectors, seg_v, **_bucket_spec(meta, _VECS))
-        return {_BANDS: [seg_b], _VECS: [seg_v]}
-    (bands_frame
-     .repartition("table")
-     .sortWithinPartitions("table", "bucket")
-     .write.mode("overwrite").partitionBy("table").parquet(seg_b))
-    # sorted by CONTENT hash, not id: the candidate fetch is a broadcast
-    # join (id order buys no pruning there), while content order packs
-    # identical/duplicate vectors into adjacent rows where parquet's
-    # page compression collapses them — on a duplicate-heavy corpus the
-    # id-sorted form measured LARGER than the bucket-sorted round-8
-    # layout, whose sort incidentally adjacency-grouped duplicates
-    (vectors.sortWithinPartitions(F.xxhash64("v"), F.col(id_col))
-     .write.mode("overwrite").parquet(seg_v))
+        def w_bands() -> None:
+            index_base.write_bucketed_segment(
+                bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
+
+        def w_vecs() -> None:
+            index_base.write_bucketed_segment(
+                vectors, seg_v, **_bucket_spec(meta, _VECS))
+    else:
+        def w_bands() -> None:
+            (bands_frame
+             .repartition("table")
+             .sortWithinPartitions("table", "bucket")
+             .write.mode("overwrite").partitionBy("table").parquet(seg_b))
+
+        # sorted by CONTENT hash, not id: the candidate fetch is a
+        # broadcast join (id order buys no pruning there), while content
+        # order packs identical/duplicate vectors into adjacent rows where
+        # parquet's page compression collapses them — on a duplicate-heavy
+        # corpus the id-sorted form measured LARGER than the bucket-sorted
+        # round-8 layout, whose sort incidentally adjacency-grouped
+        # duplicates
+        def w_vecs() -> None:
+            (vectors.sortWithinPartitions(F.xxhash64("v"), F.col(id_col))
+             .write.mode("overwrite").parquet(seg_v))
+    # the two segments share no lineage beyond the batch scan — overlap
+    # the fixed-overhead-dominated write jobs (round-11, guide §2.6)
+    index_base.stage_concurrently(w_bands, w_vecs)
     return {_BANDS: [seg_b], _VECS: [seg_v]}
 
 
@@ -389,13 +399,17 @@ def _ann_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
     probe = query_index_batch_topk(spark, path, batch, k=k,
                                    probe_radius=probe_radius)
     seg_p = stage_segment(f"{path}/{_PROBES}", tag)
-    probe.write.mode("overwrite").parquet(seg_p)   # reads index AS-OF now
     sig = hyperplane_signatures(batch, meta["n_tables"], meta["n_planes"],
                                 meta["dim"], vec_col=meta["vec_col"],
                                 id_col=meta["id_col"])
-    staged = _stage_tables(
-        sig, _vectors_frame(batch, meta["vec_col"], meta["id_col"]),
-        path, meta["id_col"], tag, meta)
+    # the probe write reads the index AS-OF now (the staged segments are
+    # invisible until the commit below) — overlap it with the batch's
+    # own table staging (round-11, guide §2.6)
+    _, staged = index_base.stage_concurrently(
+        lambda: probe.write.mode("overwrite").parquet(seg_p),
+        lambda: _stage_tables(
+            sig, _vectors_frame(batch, meta["vec_col"], meta["id_col"]),
+            path, meta["id_col"], tag, meta))
     commit(path, adds={**staged, _PROBES: [seg_p]}, marks=[mark])
 
 

@@ -77,14 +77,22 @@ def _stage_tables(base: DataFrame, path: str, meta: dict, tag: str) -> dict:
     id_col = meta["id_col"]
     seg_p = stage_segment(f"{path}/{_POSTINGS}", tag)
     seg_d = stage_segment(f"{path}/{_DOCLENS}", tag)
-    (base.select(F.col(id_col), F.explode("t").alias("term"))
-     .groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-     .repartition("term")
-     .sortWithinPartitions("term", id_col)
-     .write.mode("overwrite").parquet(seg_p))
-    (base.select(id_col, F.size("t").alias("dl"))
-     .sortWithinPartitions(id_col)
-     .write.mode("overwrite").parquet(seg_d))
+
+    def w_postings() -> None:
+        (base.select(F.col(id_col), F.explode("t").alias("term"))
+         .groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+         .repartition("term")
+         .sortWithinPartitions("term", id_col)
+         .write.mode("overwrite").parquet(seg_p))
+
+    def w_doclens() -> None:
+        (base.select(id_col, F.size("t").alias("dl"))
+         .sortWithinPartitions(id_col)
+         .write.mode("overwrite").parquet(seg_d))
+
+    # both tables derive from the one tokenize pass and share no other
+    # lineage — overlap the two write jobs (round-11, guide §2.6)
+    index_base.stage_concurrently(w_postings, w_doclens)
     return {_POSTINGS: [seg_p], _DOCLENS: [seg_d]}
 
 

@@ -136,7 +136,13 @@ def _stage_tables(sig: DataFrame, path: str, meta: dict, tag: str) -> dict:
     the candidate join."""
     id_col = meta["id_col"]
     seg_d = stage_segment(f"{path}/{_DOCS}", tag)
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist only if the caller doesn't already own a persist: the
+    # ingest body runs this concurrently with its pairs write, and an
+    # unconditional unpersist here would drop the shared cache under a
+    # sibling job mid-flight (forcing a full shingle recompute)
+    owns_persist = not sig.is_cached
+    if owns_persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         docs_frame = sig.select(F.col(id_col), F.col("shingles"),
                                 F.size("shingles").alias("n_sh"))
@@ -147,20 +153,30 @@ def _stage_tables(sig: DataFrame, path: str, meta: dict, tag: str) -> dict:
             # round-10 big-delta layout (VERDICT r9 item 3): both tables
             # bucket-written on their probe join keys so a shuffle-mode
             # probe never shuffles the index side
-            index_base.write_bucketed_segment(
-                docs_frame, seg_d, **_bucket_spec(meta, _DOCS))
-            index_base.write_bucketed_segment(
-                bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
+            def w_docs() -> None:
+                index_base.write_bucketed_segment(
+                    docs_frame, seg_d, **_bucket_spec(meta, _DOCS))
+
+            def w_bands() -> None:
+                index_base.write_bucketed_segment(
+                    bands_frame, seg_b, **_bucket_spec(meta, _BANDS))
         else:
-            (docs_frame.sortWithinPartitions(id_col)
-             .write.mode("overwrite").parquet(seg_d))
-            (bands_frame
-             .repartition("band_idx")
-             .sortWithinPartitions("band_idx", *_p_cols(meta))
-             .write.mode("overwrite").partitionBy("band_idx")
-             .parquet(seg_b))
+            def w_docs() -> None:
+                (docs_frame.sortWithinPartitions(id_col)
+                 .write.mode("overwrite").parquet(seg_d))
+
+            def w_bands() -> None:
+                (bands_frame
+                 .repartition("band_idx")
+                 .sortWithinPartitions("band_idx", *_p_cols(meta))
+                 .write.mode("overwrite").partitionBy("band_idx")
+                 .parquet(seg_b))
+        # both segments derive from the persisted sig — overlap the two
+        # fixed-overhead-dominated write jobs (round-11, guide §2.6)
+        index_base.stage_concurrently(w_docs, w_bands)
     finally:
-        sig.unpersist()
+        if owns_persist:
+            sig.unpersist()
     return {_DOCS: [seg_d], _BANDS: [seg_b]}
 
 
@@ -328,8 +344,12 @@ def _ingest_batch(spark: SparkSession, batch: DataFrame, idx_path: str,
                 _probe_with_sigs(spark, idx_path, sig, threshold, meta,
                                  mode=mode))
         seg_p = stage_segment(f"{idx_path}/{_PAIRS}", tag)
-        pairs.write.mode("overwrite").parquet(seg_p)
-        staged = _stage_tables(sig, idx_path, meta, tag)
+        # the pairs write (probe reads the standing index, no staged
+        # segment visible yet) and the batch's own table staging share
+        # only the persisted sig — overlap them (round-11, guide §2.6)
+        _, staged = index_base.stage_concurrently(
+            lambda: pairs.write.mode("overwrite").parquet(seg_p),
+            lambda: _stage_tables(sig, idx_path, meta, tag))
         if first:
             write_meta(idx_path, meta)
         commit(idx_path, adds={**staged, _PAIRS: [seg_p]}, marks=[mark],

@@ -47,6 +47,44 @@ from insight_de_smart_grid_spark.operators.index_manifest import (
 
 META = "meta.json"
 
+
+def stage_concurrently(*thunks: "Callable[[], object]") -> list:
+    """Run independent staging jobs from a small thread pool (round-11,
+    guide §2.6 "overlap independent jobs"): a staged segment write at
+    sf0.1 is dominated by fixed per-job cost (scheduling, parquet writer
+    init, task commit), so N sequential writes pay the fixed cost N
+    times while most cores idle. The families' per-append writes (docs +
+    bands, vectors + bands, postings + doclens, pairs + tables) share no
+    lineage beyond an already-persisted upstream frame — Spark's FIFO
+    scheduler back-fills the tail of one job with the next job's tasks.
+
+    ``inheritable_thread_target`` propagates the JVM-thread-local job
+    group/description into each worker thread (pinned-thread mode is the
+    PySpark default). Exceptions propagate from ``result()``; overwrite
+    staging semantics make a half-written sibling segment a replayable
+    orphan, exactly as in the sequential order."""
+    import os
+
+    if len(thunks) == 1 or os.environ.get("SPARK_GRAFT_SEQ_STAGING"):
+        # SPARK_GRAFT_SEQ_STAGING: measurement/debug escape hatch — run
+        # the stages in their original sequential order (same jobs, same
+        # segments) for interleaved A/B timing of the overlap itself
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import SparkSession
+    from pyspark.util import inheritable_thread_target
+
+    session = SparkSession.getActiveSession()
+    # session form propagates job group/description AND session tags into
+    # the worker threads; the bare-callable form warns and copies only
+    # the local properties
+    wrap = (inheritable_thread_target(session) if session is not None
+            else inheritable_thread_target)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(wrap(t)) for t in thunks]
+        return [f.result() for f in futures]
+
 # Shared tombstone table (round-11, VERDICT r10 item 2): the curation ops
 # this engine exists for (keep-best, semantic dedup, decontamination)
 # REMOVE documents, but until round 11 the persisted indexes could only

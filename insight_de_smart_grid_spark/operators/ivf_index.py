@@ -265,9 +265,12 @@ def build_ivf_index(embeddings: DataFrame, path: str,
                 f"nonzero corpus vectors, got {n_got}")
     Path(path).mkdir(parents=True, exist_ok=True)
     seg_c = stage_segment(f"{path}/{_CENTS}", "base")
-    cents.coalesce(1).write.mode("overwrite").parquet(seg_c)
-    staged = _stage_lists(_assign(emb, cents, id_col), path, id_col,
-                          "base")
+    # the k-row centroid write and the full assignment write share only
+    # the cents plan — overlap them (round-11, guide §2.6)
+    _, staged = index_base.stage_concurrently(
+        lambda: cents.coalesce(1).write.mode("overwrite").parquet(seg_c),
+        lambda: _stage_lists(_assign(emb, cents, id_col), path, id_col,
+                             "base"))
     meta = {"n_centroids": n_centroids, "vec_col": vec_col,
             "id_col": id_col, "quantizer": quantizer,
             # bumped by every geometry change (retrain/split) so an
@@ -561,11 +564,15 @@ def _ivf_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
     meta = _read_meta(path)
     probe = query_ivf_batch_topk(spark, path, batch, k=k, nprobe=nprobe)
     seg_p = stage_segment(f"{path}/{_PROBES}", tag)
-    probe.write.mode("overwrite").parquet(seg_p)   # reads index AS-OF now
     emb = _nonzero(batch, meta["vec_col"], meta["id_col"])
     cents = _read_table(spark, path, _CENTS)
-    staged = _stage_lists(_assign(emb, cents, meta["id_col"]), path,
-                          meta["id_col"], tag)
+    # the probe write reads the index AS-OF now (staged lists invisible
+    # until the commit below) — overlap it with the slice's own list
+    # staging (round-11, guide §2.6)
+    _, staged = index_base.stage_concurrently(
+        lambda: probe.write.mode("overwrite").parquet(seg_p),
+        lambda: _stage_lists(_assign(emb, cents, meta["id_col"]), path,
+                             meta["id_col"], tag))
     commit(path, adds={**staged, _PROBES: [seg_p]}, marks=[mark])
 
 

@@ -92,6 +92,16 @@ def get_spark(app_name: str = "insight_de_smart_grid_spark",
     # Runtime-settable confs, applied even on an inherited session so oracle
     # comparisons stay stable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # FileOutputCommitter v2: task outputs promote at task commit instead
+    # of a serial job-commit rename pass — measured ~20% off every staged
+    # partitioned write (round-11 optimization; the index families stage
+    # dozens of small segments per ingest lifecycle). Safe here because
+    # atomic visibility comes from the manifest pointer commit (a staged
+    # dir is invisible until its bump) and non-index sinks use overwrite
+    # semantics; speculative execution is off (the v2 caveat).
+    spark.conf.set(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
     # tolerant arithmetic (NULL on div-by-zero / overflow), matching the
     # reference's coerce-don't-fail ingestion policy (producer_GREEND_avro.py:
     # 138-146); Spark 4 defaults ANSI on
