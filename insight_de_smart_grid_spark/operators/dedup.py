@@ -71,9 +71,17 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     downstream ``distinct`` needs anyway."""
     from pyspark.sql import Window
 
+    from insight_de_smart_grid_spark.operators.layout import spread
+
     toks = tokens(text_col)
     w = Window.partitionBy(id_col).orderBy("pos")
-    tok = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "t0"))
+    # spread raw docs BEFORE the posexplode (round-11, guide §2.2/§2.3):
+    # tokenization parallelizes past a narrow scan, and the id_col
+    # partitioning satisfies the lead() window's clustering so its
+    # exchange of the ~10x-wider exploded token stream disappears —
+    # the raw rows are the cheaper thing to move at every scale
+    tok = spread(docs, id_col).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "t0"))
     for j in range(1, n):
         tok = tok.withColumn(f"t{j}", F.lead("t0", j).over(w))
     out = (tok.filter(F.col(f"t{n - 1}").isNotNull())

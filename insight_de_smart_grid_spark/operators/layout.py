@@ -30,6 +30,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Raise a narrow input's parallelism to the session's level before
+    CPU-heavy per-row expansion (shingle/bigram explode, signature
+    hashing) — round-11 optimization, guide §2.2/§6.
+
+    The test fixtures are single-row-group parquet files, so their scan
+    is one task and everything up to the first exchange runs serially;
+    the same happens on any cluster whose input has fewer splits than
+    cores. Repartitioning the RAW rows is also the cheaper exchange at
+    every scale: the expansion multiplies bytes ~10-20x, so moving rows
+    before it beats letting the first groupBy move the exploded stream
+    (guide §2.3 "shuffle fewer bytes", §3.3 "explode multiplies the
+    shuffle").
+
+    Mechanics: explicit numPartitions (REPARTITION_BY_NUM) because AQE
+    happily coalesces a keyed repartition back to one partition on byte
+    estimates — this exchange's purpose is CPU spread, not byte balance
+    (measured: the keyed form without N lost the whole win). Keyed by a
+    high-cardinality id when given — deterministic placement (no
+    sort-before-repartition pass, no SPARK-38388 hazard) and a downstream
+    groupBy whose keys are a superset reuses the partitioning, deleting
+    that exchange. No-op when the input already has at least that many
+    partitions (the 100 TB case: scans arrive with thousands of splits;
+    never repartition DOWN)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        # measurement/debug escape hatch, mirroring SPARK_GRAFT_SEQ_STAGING:
+        # lets an interleaved A/B time the spread itself in one session
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def compact(df: DataFrame, target_rows_per_file: int,
             sort_cols: tuple[str, ...] = ()) -> DataFrame:
     """Return ``df`` re-arranged to land in ``ceil(n / target)`` files when

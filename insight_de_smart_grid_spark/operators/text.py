@@ -664,17 +664,33 @@ def char_lm_cross_entropy(docs: DataFrame, text_col: str = "text",
     the driver."""
     from pyspark.sql import Window
 
+    from insight_de_smart_grid_spark.operators.layout import spread
+
     c = F.col(text_col)
     bigrams = F.transform(F.sequence(F.lit(1), F.length(c) - 1),
                           lambda i: c.substr(i, F.lit(2)))
-    per_doc = (docs.filter(F.length(c) >= 2)
+    # spread the raw docs BEFORE the explode: parallelizes the bigram
+    # expansion when the scan has fewer splits than cores, and the
+    # doc_id partitioning makes the (doc_id, bg) groupBy exchange-free
+    # (subset clustering) — the raw rows are ~17x fewer bytes than the
+    # exploded pair stream this replaces on the wire (round-11)
+    per_doc = (spread(docs.filter(F.length(c) >= 2), id_col)
                .select(F.col(id_col), F.explode(bigrams).alias("bg"))
                .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt")))
-    w_bg = Window.partitionBy("bg")
-    w_pfx = Window.partitionBy(F.substring("bg", 1, 1))
-    scored = per_doc.withColumn(
-        "ln_p", F.log(F.sum("cnt").over(w_bg)
-                      / F.sum("cnt").over(w_pfx)))
+    # The two corpus windows share one exchange (round-11, guide §2.4):
+    # the prefix window is planned below, and the bigram window partitions
+    # by (pfx, bg) — identical sums, since pfx is a function of bg — so
+    # HashPartitioning(pfx) satisfies its ClusteredDistribution and only
+    # a sub-sort is added (4 Exchanges + 2 full-stream Sorts -> 3 + 1).
+    # Worst-case skew is unchanged: the coarse prefix partitioning was
+    # already the stage's distribution; the bg sums now run inside it.
+    w_pfx = Window.partitionBy("pfx")
+    w_bg = Window.partitionBy("pfx", "bg")
+    scored = (per_doc
+              .withColumn("pfx", F.substring("bg", 1, 1))
+              .withColumn("c_pfx", F.sum("cnt").over(w_pfx))
+              .withColumn("ln_p", F.log(F.sum("cnt").over(w_bg)
+                                        / F.col("c_pfx"))))
     return (scored.groupBy(id_col)
             .agg(F.sum("cnt").cast("bigint").alias("n_bigrams"),
                  F.round(-F.sum(F.col("cnt") * F.col("ln_p"))
