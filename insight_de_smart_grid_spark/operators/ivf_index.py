@@ -1084,8 +1084,12 @@ def split_hot_clusters(spark: SparkSession, path: str,
 
             tag = next_tag(path, "s")
             seg_c = stage_segment(f"{path}/{_CENTS}", tag)
-            cents_out.coalesce(1).write.mode("overwrite").parquet(seg_c)
-            staged = _stage_lists(new_lists, path, id_col, tag)
+            # the k-row centroid write and the moved-lists write share
+            # only the cents plan — overlap them (round-11, guide §2.6)
+            _, staged = index_base.stage_concurrently(
+                lambda: (cents_out.coalesce(1).write.mode("overwrite")
+                         .parquet(seg_c)),
+                lambda: _stage_lists(new_lists, path, id_col, tag))
             # arithmetic, not a count() job: each surviving hot cluster
             # contributes exactly one extra centroid
             meta["n_centroids"] = len(c_ids) + len(survivor_hot)
@@ -1309,9 +1313,13 @@ def retrain_ivf_index(spark: SparkSession, path: str,
                                  "vectors in the index")
         tag = next_tag(path, "r")
         seg_c = stage_segment(f"{path}/{_CENTS}", tag)
-        cents.coalesce(1).write.mode("overwrite").parquet(seg_c)
-        staged = _stage_lists(_assign(vecs, cents, id_col), path, id_col,
-                              tag)
+        # retrain twin of the build-path overlap: centroid write and
+        # reassigned-lists write share only the cents plan (guide §2.6)
+        _, staged = index_base.stage_concurrently(
+            lambda: cents.coalesce(1).write.mode("overwrite")
+            .parquet(seg_c),
+            lambda: _stage_lists(_assign(vecs, cents, id_col), path,
+                                 id_col, tag))
         meta.update({"n_centroids": want, "quantizer": quantizer,
                      "geom_epoch": meta.get("geom_epoch", 0) + 1})
         if quantizer == "kmeans":
