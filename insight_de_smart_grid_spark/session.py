@@ -102,6 +102,19 @@ def get_spark(app_name: str = "insight_de_smart_grid_spark",
     spark.conf.set(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
         "2")
+    # AQE coalescing floor (round-11 optimization, guide §2.2): with the
+    # default 1m floor AQE folds every sub-core-count-MB shuffle to ONE
+    # partition, serializing CPU-dense post-shuffle stages (window sorts,
+    # pair verifies, re-ranks). 64k keeps those stages parallel. Scale-
+    # neutral by construction: parallelismFirst (default on) sizes
+    # partitions at bytes/parallelism bounded below by this floor, so it
+    # only binds when a shuffle carries less than cores x 1 MB — a large
+    # job's exchanges never feel it. Interleaved A/B on a 10-query mixed
+    # batch subset: 25.6 -> 17.5 s (0.68x), no batch regressions,
+    # streaming neutral. Env-overridable for A/B and cluster tuning.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     # tolerant arithmetic (NULL on div-by-zero / overflow), matching the
     # reference's coerce-don't-fail ingestion policy (producer_GREEND_avro.py:
     # 138-146); Spark 4 defaults ANSI on
