@@ -89,7 +89,25 @@ def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
     (NTZ or LTZ) gets an INTERVAL added — either way the sentinel keeps the
     source schema bit-identical. It copies the latest real row and lands in a
     file written AFTER the real data so mtime-ordered micro-batching can never
-    process it first."""
+    process it first.
+
+    Round-11 optimization (guide §1.2 "remove passes"/§6): the max-ts row
+    is located from parquet ROW-GROUP STATISTICS and read back as one
+    bounded row-group Arrow read in the driver — replacing a full-scan
+    TakeOrdered Spark job plus a one-row write job per replay with
+    metadata work. That is also the scale-correct algorithm: footer
+    min/max stats bound the work by one row group however large the
+    table. Any surprise (missing stats, nested ts, unexpected type)
+    falls back to the original Spark path; ``SPARK_GRAFT_SPARK_SENTINEL``
+    forces the fallback for A/B."""
+    import os as _os
+
+    if not _os.environ.get("SPARK_GRAFT_SPARK_SENTINEL"):
+        try:
+            return _stage_flush_sentinel_arrow(staged_dir, margin_s, seq,
+                                               all_types)
+        except Exception:
+            pass  # fall through to the Spark path
     from pyspark.sql import functions as F
 
     batch = (spark.read.schema(schema).parquet(staged_dir) if schema
@@ -132,6 +150,93 @@ def _stage_flush_sentinel(spark: SparkSession, staged_dir: str,
     # strictly increasing mtimes: the file source orders batches by
     # modification time, and sentinel N must process after sentinel N-1
     import os
+    now = os.stat(staged_dir).st_mtime + 10 * (seq + 1)
+    os.utime(dest, (now, now))
+    return staged_dir
+
+
+def _stage_flush_sentinel_arrow(staged_dir: str, margin_s: int,
+                                seq: int = 0,
+                                all_types: bool = False) -> str:
+    """Driver-side sentinel staging via parquet footer statistics (see
+    ``_stage_flush_sentinel``). Semantics are identical to the Spark
+    path: copy the max-``ts`` row, bump ``ts`` by ``margin_s``, mark
+    ``user_id`` -1, coalesce a NULL ``value`` to 0, optionally fan out
+    one row per distinct ``event_type``; write after the real files with
+    a strictly increasing mtime. Raises on anything unexpected — the
+    caller falls back to the Spark path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(p for p in Path(staged_dir).iterdir()
+                   if p.suffix == ".parquet" and p.stat().st_size > 0)
+    if not files:
+        raise ValueError("no parquet files staged")
+    # 1. locate the row group holding the global max ts (metadata only)
+    best = None  # (max_stat, file, rg_index)
+    for f in files:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            col = next((rgm.column(ci) for ci in range(rgm.num_columns)
+                        if rgm.column(ci).path_in_schema == "ts"), None)
+            if col is None:
+                raise ValueError("no flat ts column")
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("ts statistics missing")
+            if best is None or st.max > best[0]:
+                best = (st.max, f, rg)
+    _, src, rg = best
+    tbl = pq.ParquetFile(src).read_row_group(rg)
+    names = tbl.schema.names
+    if "user_id" not in names:
+        raise ValueError("no user_id column")
+    # 2. one-row slice at the max ts (ties: any max row, same contract as
+    #    the Spark orderBy-desc-limit-1)
+    i = pc.sort_indices(
+        tbl.select(["ts"]), sort_keys=[("ts", "descending")])[0].as_py()
+    one = tbl.slice(i, 1)
+
+    def put(t: pa.Table, name: str, arr) -> pa.Table:
+        idx = t.schema.get_field_index(name)
+        return t.set_column(idx, t.schema.field(idx), arr)
+
+    # 3. bump ts (duration add for timestamps, integer nanos for the
+    #    legacy nanos-as-long long form), mark user_id, patch value
+    ts_type = one.schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+        bump = pa.scalar(margin_s * mult, pa.duration(ts_type.unit))
+    elif pa.types.is_integer(ts_type):
+        bump = pa.scalar(margin_s * 1_000_000_000, ts_type)
+    else:
+        raise ValueError(f"unexpected ts type {ts_type}")
+    one = put(one, "ts", pc.add(one.column("ts"), bump).cast(ts_type))
+    one = put(one, "user_id",
+              pa.array([-1], type=one.schema.field("user_id").type))
+    if "value" in names:
+        vt = one.schema.field("value").type
+        one = put(one, "value",
+                  pc.coalesce(one.column("value"), pa.scalar(0).cast(vt)))
+    if all_types and "event_type" in names:
+        et = one.schema.field("event_type").type
+        vals = set()
+        has_null = False
+        for f in files:
+            col = pq.read_table(f, columns=["event_type"]).column(0)
+            vals.update(v for v in col.to_pylist() if v is not None)
+            has_null = has_null or col.null_count > 0
+        types = sorted(vals) + ([None] if has_null else [])
+        one = pa.concat_tables(
+            [put(one, "event_type", pa.array([v], type=et)) for v in types])
+    # 4. land it after the real data with a strictly increasing mtime
+    dest = Path(staged_dir) / f"zz_flush_sentinel_{seq}.parquet"
+    pq.write_table(one, dest, version="2.6")
     now = os.stat(staged_dir).st_mtime + 10 * (seq + 1)
     os.utime(dest, (now, now))
     return staged_dir
