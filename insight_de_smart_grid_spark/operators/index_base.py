@@ -249,8 +249,14 @@ def delete_ids(spark: SparkSession, path: str, ids, id_col: str,
     pass distinct explicit tags, a single writer (and its crash-retry)
     keeps the deterministic default."""
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids],
-                                    f"{id_col} bigint")
+        from insight_de_smart_grid_spark.sources.local_rows import (
+            local_rows_df,
+        )
+
+        # Arrow-batch local frame (round-11, guide §4): no Python-RDD
+        # partitions under the tombstone segment's coalesce(1) write
+        ids = local_rows_df(spark, [(int(i),) for i in ids],
+                            f"{id_col} bigint")
     tag = tag or next_tag(path, "d")
     seg = stage_segment(f"{path}/{TOMBSTONES}", tag)
     (ids.select(id_col).distinct().coalesce(1)

@@ -84,6 +84,7 @@ from insight_de_smart_grid_spark.operators.index_manifest import (
     stage_segment,
 )
 from insight_de_smart_grid_spark.operators.similarity import _dot, _norm
+from insight_de_smart_grid_spark.sources.local_rows import local_rows_df
 
 _META = index_base.META
 _CENTS = "centroids"
@@ -253,7 +254,12 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     if quantizer == "kmeans":
         rows = train_kmeans_centroids(embeddings, n_centroids, n_iter,
                                       train_rows, vec_col, id_col)
-        cents = spark.createDataFrame(rows, "c_id int, cv array<double>")
+        # Arrow-batch local frame (round-11, guide §4): the plain
+        # list-of-rows createDataFrame parallelizes into Python-RDD
+        # partitions whose coalesce(1) staged write pays one SEQUENTIAL
+        # Python-worker roundtrip per partition — measured 5.5-6.7 s
+        # for this 8-row write vs ~0.2 s through one JVM-held batch
+        cents = local_rows_df(spark, rows, "c_id int, cv array<double>")
     else:
         cents = (emb.orderBy(id_col).limit(n_centroids)
                  .select(F.col(id_col).alias("c_id"),
@@ -1029,8 +1035,9 @@ def split_hot_clusters(spark: SparkSession, path: str,
 
         plane_rows = [(c, _split_plane(c, dim), max_id + 1 + i)
                       for i, c in enumerate(hot)]
-        planes = spark.createDataFrame(
-            plane_rows, "cluster bigint, w array<double>, new_id bigint")
+        planes = local_rows_df(
+            spark, plane_rows,
+            "cluster bigint, w array<double>, new_id bigint")
         w_cl = Window.partitionBy("cluster")
         moved = (lists.join(F.broadcast(planes), "cluster")
                  .withColumn("proj", F.round(_dot("v", "w"), 6))
@@ -1302,8 +1309,10 @@ def retrain_ivf_index(spark: SparkSession, path: str,
             rows = train_kmeans_centroids(vecs, want, n_iter,
                                           train_rows, vec_col="v",
                                           id_col=id_col)
-            cents = spark.createDataFrame(rows,
-                                          "c_id int, cv array<double>")
+            # Arrow-batch local frame — same rationale as the build
+            # path (a Python-RDD-backed coalesce(1) write costs ~5.5 s)
+            cents = local_rows_df(spark, rows,
+                                  "c_id int, cv array<double>")
         else:
             cents = (vecs.orderBy(id_col).limit(int(want))
                      .select(F.col(id_col).alias("c_id"),

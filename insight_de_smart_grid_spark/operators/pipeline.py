@@ -300,8 +300,10 @@ def weighted_mix(docs: DataFrame, weights: dict[str, int] | None = None,
     default to 0 (dropped). Per-row filter after a broadcast join — no
     shuffle of the fact table."""
     weights = MIX_WEIGHTS if weights is None else weights
-    wdf = docs.sparkSession.createDataFrame(
-        sorted(weights.items()), f"{lang_col} string, keep_pct int")
+    from insight_de_smart_grid_spark.sources.local_rows import local_rows_df
+
+    wdf = local_rows_df(docs.sparkSession, sorted(weights.items()),
+                        f"{lang_col} string, keep_pct int")
     key = F.concat_ws("|", F.col(lang_col), F.col(id_col).cast("string"))
     return (docs.join(F.broadcast(wdf), lang_col, "left")
             .filter(_hash_bucket(key) < F.coalesce("keep_pct", F.lit(0)))

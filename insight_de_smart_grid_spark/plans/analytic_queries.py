@@ -576,8 +576,10 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         static_enrich_totals_plan,
     )
 
-    labels = spark.createDataFrame(_ENRICH_LABELS,
-                                   "appliance_name string, label string")
+    from insight_de_smart_grid_spark.sources.local_rows import local_rows_df
+
+    labels = local_rows_df(spark, _ENRICH_LABELS,
+                           "appliance_name string, label string")
     from insight_de_smart_grid_spark.streaming.stream_ops import (
         run_complete_mode,
     )

@@ -215,7 +215,10 @@ def q_enrich_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 broadcast lookup join + 'unknown' default (producer_REDD_avro.py:
     92-97; producer_GREEND_avro.py:199)."""
     r = readings_view(spark, sf_dir)
-    labels = spark.createDataFrame(_LABELS, "appliance_name string, label string")
+    from insight_de_smart_grid_spark.sources.local_rows import local_rows_df
+
+    labels = local_rows_df(spark, _LABELS,
+                           "appliance_name string, label string")
     enriched = enrich_with_labels(r, labels, on=["appliance_name"])
     return (enriched.groupBy("house_id", "appliance_id", "label")
             .agg(F.sum(F.col("power").cast("double")).alias("sum_power")))
