@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+def spread(df: DataFrame, *key_cols: str, force: bool = False) -> DataFrame:
     """Raise a narrow input's parallelism to the session's level before
     CPU-heavy per-row expansion (shingle/bigram explode, signature
     hashing) — round-11 optimization, guide §2.2/§6.
@@ -61,7 +61,16 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
         # lets an interleaved A/B time the spread itself in one session
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # ``force``: a POST-SHUFFLE frame statically reports the full shuffle
+    # width here, but AQE coalesces its exchange to ~1 partition at
+    # runtime when it carries few bytes — the static count lies exactly
+    # when the frame is tiny. Call sites whose downstream per-row cost
+    # dwarfs the bytes (a fan-out join feeding a levenshtein verify)
+    # force the AQE-exempt repartition instead of trusting the estimate;
+    # the exchange they add is one narrow pass over rows that were about
+    # to be shuffled anyway (round-11, guide §2.2 "AQE balances bytes,
+    # not CPU").
+    if not force and df.rdd.getNumPartitions() >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from insight_de_smart_grid_spark.operators.layout import spread
 from insight_de_smart_grid_spark.operators.staging import stage
 
 
@@ -137,8 +138,18 @@ def fuzzy_match(dirty: DataFrame, clean: DataFrame,
     # threshold-bounded levenshtein: banded DP, O(max_dist * len) per pair
     # instead of O(len^2), returning -1 above the bound — the verify is the
     # hot loop when a uniform-prefix catalog degenerates the first-char
-    # block into one big bucket, so the bounded form matters
-    cands = (keyed(dirty.select(dirty_col).distinct(), dirty_col, True)
+    # block into one big bucket, so the bounded form matters.
+    # spread the probe side (round-11, guide §2.5/§2.2): the clean side
+    # broadcasts, so the verify runs in the PROBE side's tasks — a
+    # single-split dirty scan would evaluate every candidate pair's
+    # levenshtein serially in one task (the uniform-prefix catalog makes
+    # the block a single bucket: |dirty| x |clean| pairs). The spread key
+    # is (name, band) — keying by the name alone would make the exchange
+    # redundant with the distinct's own hash(name) exchange, Catalyst
+    # would drop it, and AQE would coalesce the survivor back to one
+    # partition (the bytes-vs-CPU blind spot again).
+    cands = (spread(keyed(dirty.select(dirty_col).distinct(), dirty_col,
+                          True), dirty_col, "blk_b", force=True)
              .join(keyed(clean.select(clean_col).distinct(),
                          clean_col, False),
                    ["blk_c", "blk_b"])
@@ -193,8 +204,12 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
 
     # both unions below re-read these distinct-projected sides once per
     # segment — materialize each once (at scale: the persisted segment
-    # index build input)
-    cl = stage(clean.select(clean_col).distinct()
+    # index build input). spread BEFORE the checkpoint (round-11, guide
+    # §2.2): the checkpointed blocks inherit the partitioning, so a
+    # single-split catalog scan would otherwise run every per-segment
+    # substring explode AND the probe join serially in one task.
+    cl = stage(spread(clean.select(clean_col).distinct(), clean_col,
+                      force=True)
                .withColumn("l", F.length(clean_col).cast("int")),
                materialize)
     idx_parts = []
@@ -219,7 +234,8 @@ def passjoin_fuzzy_match(dirty: DataFrame, clean: DataFrame,
     for p in idx_parts[1:]:
         idx = idx.unionByName(p)
 
-    base_dirty = stage(dirty.select(dirty_col).distinct(), materialize)
+    base_dirty = stage(spread(dirty.select(dirty_col).distinct(),
+                              dirty_col, force=True), materialize)
     dr = base_dirty.withColumn("m", F.length(dirty_col).cast("int"))
     # candidate clean lengths l in [m-d, m+d]
     dr = dr.select(dirty_col, "m",
