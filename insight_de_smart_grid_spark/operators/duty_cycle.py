@@ -220,6 +220,19 @@ def duty_cycle(readings: DataFrame,
             pane_density(readings, s_s, time_col, keys,
                          sample_fraction=PROBE_SAMPLE_FRACTION)
             >= PANE_DENSITY_CROSSOVER)
+    if slide is not None and not (panes and decomposable):
+        # spread the raw readings before the window/slide EXPLOSION
+        # (round-11, guide §2.2/§3.3): a single-split scan otherwise
+        # runs the w/s-fold explode and the partial aggregate serially
+        # in one task (interleaved A/B: duty_cycle_sliding 1.07 ->
+        # 0.85 s). Keyed by (ts, keys) for deterministic placement;
+        # no-op when the scan already has enough splits. Neither the
+        # tumbling form (slide=None — no explosion) nor the pane form
+        # (pre-aggregate touches each event once) is spread: the A/B
+        # read the added exchange as a small net loss there.
+        from insight_de_smart_grid_spark.operators.layout import spread
+
+        readings = spread(readings, time_col, *keys)
     if panes and decomposable:
         n_panes = w_s // s_s
         pane = (
