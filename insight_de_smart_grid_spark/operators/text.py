@@ -370,8 +370,16 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     al., MOSS) guaranteeing any shared substring of length >= k+w-1 yields a
     shared fingerprint. All higher-order functions (sequence / transform /
     slice / array_min), zero UDFs, one pass at scan speed; md5 keeps the
-    k-gram hash portable across engines for the oracle."""
-    docs = docs.select("doc_id", kgram_hashes(text_col, k).alias("grams"))
+    k-gram hash portable across engines for the oracle.
+
+    The raw docs are spread before the per-position md5 pass (round-11,
+    guide §2.2): one md5 per character position makes this the repo's
+    densest per-row expression, and a single-split scan would run all of
+    it in one task (measured 2 tasks/1.5 s at sf0.1)."""
+    from insight_de_smart_grid_spark.operators.layout import spread
+
+    docs = spread(docs, "doc_id").select(
+        "doc_id", kgram_hashes(text_col, k).alias("grams"))
     winnowed = winnowed_of(F.col("grams"), w)
     return docs.select(
         "doc_id",
@@ -466,7 +474,13 @@ def winnow_fps_arrow(docs: DataFrame, text_col: str = "text",
                 fps_out.extend(fps)
             yield pd.DataFrame({id_col: ids_out, "fp": fps_out})
 
-    return (docs.select(id_col, text_col)
+    # spread before the opaque Python map (round-11, guide §2.2/§4): a
+    # single-split scan would run the whole numpy fingerprint pass in one
+    # task; the projection stays ahead of the map so only (id, text)
+    # cross the Arrow boundary
+    from insight_de_smart_grid_spark.operators.layout import spread
+
+    return (spread(docs.select(id_col, text_col), id_col)
             .mapInPandas(gen, f"{id_col} long, fp string"))
 
 
