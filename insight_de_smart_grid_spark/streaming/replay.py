@@ -16,6 +16,28 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def resolve_state_partitions(requested: "int | None") -> "int | None":
+    """Stateful-shuffle width with an env override
+    (``SPARK_GRAFT_STATE_PARTITIONS``) for A/B measurement and cluster
+    sizing. ``None`` stays ``None`` (the caller opted out of touching the
+    shuffle width); an unset or unparsable env returns ``requested``
+    unchanged. The width = the number of state-store instances a stateful
+    query opens/commits per micro-batch, fixed at first start — per-store
+    overhead dominates when state is small (local replays), key
+    cardinality when it is not (cluster), which is why it is a parameter
+    and not a constant."""
+    if requested is None:
+        return None
+    import os
+    v = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            pass
+    return requested
+
+
 def parquet_stream_source(spark: SparkSession, parquet_path: str,
                           flush_sentinel: bool = False,
                           sentinel_margin_s: int = 3600,
@@ -272,6 +294,7 @@ def replay_parquet_stream(spark: SparkSession, parquet_path: str,
     cardinality. Scoped to this query — the session conf is restored after.
     """
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    state_partitions = resolve_state_partitions(state_partitions)
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     plan = plan_fn(parquet_stream_source(

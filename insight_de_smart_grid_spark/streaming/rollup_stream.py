@@ -20,6 +20,9 @@ live cluster the same query runs with a processing-time trigger unchanged.
 
 from __future__ import annotations
 
+from insight_de_smart_grid_spark.streaming.replay import (
+    resolve_state_partitions,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +64,7 @@ def materialize_rollup_stream(spark: SparkSession, parquet_path: str,
         parquet_stream_source,
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    state_partitions = resolve_state_partitions(state_partitions)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         stream = parquet_stream_source(spark, parquet_path,
@@ -117,6 +121,7 @@ def materialize_hll_rollup_stream(spark: SparkSession, parquet_path: str,
         parquet_stream_source,
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    state_partitions = resolve_state_partitions(state_partitions)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         stream = normalize_event_ts(

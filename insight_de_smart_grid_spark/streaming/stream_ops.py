@@ -19,6 +19,9 @@ Scale notes:
 
 from __future__ import annotations
 
+from insight_de_smart_grid_spark.streaming.replay import (
+    resolve_state_partitions,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,6 +169,7 @@ def run_complete_mode(spark, plan_fn, query_name: str,
     full result) with the state shuffle sized and the session conf
     restored — the one shared copy of the drain boilerplate."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    state_partitions = resolve_state_partitions(state_partitions)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (plan_fn().writeStream.outputMode("complete")
