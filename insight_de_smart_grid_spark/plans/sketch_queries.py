@@ -451,12 +451,18 @@ def q_streaming_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # runs); drive with a fast processing-time trigger and stop once a
         # no-data batch has fired after the sentinel (that empty batch is
         # what emits the finalized windows under the advanced watermark).
+        # The cadence is dead time between the replay's few micro-batches
+        # (the aggregation is slicing-invariant and watermark-gated, so
+        # the result does not depend on it); env-overridable for A/B and
+        # for hosts where a slower poll is kinder.
+        import os
         import time
 
+        trig_ms = os.environ.get("SPARK_GRAFT_KAFKA_TRIGGER_MS", "200")
         q = (plan.writeStream.outputMode("append")
              .format("parquet").option("path", f"{base}/out")
              .option("checkpointLocation", f"{base}/ckpt")
-             .trigger(processingTime="200 milliseconds").start())
+             .trigger(processingTime=f"{trig_ms} milliseconds").start())
         deadline = time.time() + 180
         while time.time() < deadline:
             time.sleep(0.15)

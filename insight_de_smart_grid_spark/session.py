@@ -115,18 +115,22 @@ def get_spark(app_name: str = "insight_de_smart_grid_spark",
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize",
         os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
-    # AQE sort-merge -> shuffled-hash rewrite (round-11 optimization,
-    # guide §3.1): a post-shuffle partition under this threshold builds a
-    # hash table instead of paying the two sort passes. Runtime-only (AQE
+    # AQE sort-merge -> shuffled-hash rewrite (round-11, guide §3.1/§9):
+    # a post-shuffle partition under this threshold builds a hash table
+    # instead of paying the two sort passes. Runtime-only (AQE
     # re-planning), so static plans — PLANS.md, every explain-based plan
-    # test, and the oracle results — are untouched. Interleaved A/B over
-    # the 11 SortMergeJoin queries: 9 of 11 at or under 1.0x (sim_pagerank
-    # 0.88x, star_small_qty_revenue 0.78x, dedup_winnow_lsh 0.86x), none
-    # slower beyond noise. Scale-safe: the rewrite fires only when EVERY
-    # post-shuffle partition of the build side is under the threshold, so
-    # a 100 TB exchange keeps sort-merge unless its partitions genuinely
-    # fit in task memory; 128m matches the default advisory partition
-    # size ceiling. Env-overridable for A/B and cluster tuning.
+    # test, and the oracle results — are untouched. Honest local verdict
+    # (plans/r11/*_shj_runtime.txt): at sf0.1 this never fires — AQE's
+    # broadcast promotion converts every runtime SortMergeJoin to
+    # BroadcastHashJoin first (final-plan SMJ count 0 across the SMJ
+    # queries), and the interleaved A/B read neutral (0.94-1.00x totals,
+    # consistent with an inert knob). Verified live on a synthetic
+    # non-broadcastable join (SMJ -> SHJ at runtime with the threshold
+    # set, SMJ kept at 0). It is adopted as the SCALE posture: on a
+    # cluster, joins whose build side exceeds the broadcast cap but whose
+    # post-shuffle partitions fit in task memory skip the sorts; the
+    # rewrite only fires when EVERY build partition is under the
+    # threshold, so large exchanges keep sort-merge. Env-overridable.
     spark.conf.set(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "128m"))
