@@ -290,6 +290,7 @@ def dup_clusters(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
     The per-round convergence check is a scalar ``count`` — driver control
     flow, not data collection.
     """
+    spark = pairs.sparkSession
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -298,38 +299,74 @@ def dup_clusters(pairs: DataFrame, max_rounds: int = 15) -> DataFrame:
              # this the (expensive) upstream pair computation replays per
              # round — measured 24 s -> ~4 s at sf0.1.
              .localCheckpoint(eager=True))
-    # lazy checkpoint: the first round's convergence count is the
-    # materializing action, so init costs no job of its own (round-11
-    # optimization — each eager checkpoint at this scale is a whole
-    # scheduler round-trip; lineage truncation is identical either way)
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("lbl", F.col("node"))
-              .localCheckpoint(eager=False))
-    for _ in range(max_rounds):
-        nbr = (edges.join(labels, edges.src == labels.node)
-               .groupBy(F.col("dst").alias("nbr_node"))
-               .agg(F.min("lbl").alias("nbr_lbl")))
-        # Carry the pre-round label through the checkpoint so the
-        # convergence check is a filter over already-materialized
-        # partitions — not another join+shuffle per round. The checkpoint
-        # is LAZY and the count below is its materializing action: one
-        # job per round where eager+count paid two.
-        new = (labels.join(nbr, labels.node == nbr.nbr_node, "left")
-               .select(F.col("node"), F.col("lbl").alias("old_lbl"),
-                       F.least(F.col("lbl"),
-                               F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
-               .localCheckpoint(eager=False))
-        changed = new.filter(F.col("lbl") < F.col("old_lbl")).count()
-        labels = new.select("node", "lbl")
-        if changed == 0:
-            break
+    # Loop width sized by DATA, not core count (round-12, VERDICT r11
+    # item 1 / guide §2.2 "right-size partitions"): the checkpointed edge
+    # blocks inherit the upstream pair pipeline's post-AQE widths (46
+    # partitions for 520 rows at sf0.1), and every loop shuffle inherits
+    # spark.sql.shuffle.partitions (= core count) — so each of the
+    # rounds' join/agg/count stages schedules ~core-count tasks over
+    # KB-scale frames, the exact tiny-task storm that read 2-3x over the
+    # frozen medians at 32 cores while clean at 8. The count is
+    # metadata-cheap (blocks are already materialized) and the width rule
+    # is the cluster-correct one too: a billion-edge graph gets
+    # ceil(rows/500k) partitions however many cores the host has.
+    import os
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if os.environ.get("SPARK_GRAFT_NO_LOOP_WIDTH"):
+        # measurement/debug escape hatch (the SPARK_GRAFT_NO_SPREAD
+        # convention): keep the inherited widths so an interleaved A/B
+        # can time the width rule itself in one session
+        w = int(prev_parts)
     else:
-        # silent unconverged labels would split true clusters — fail loud
-        # (near-dup components are dense; hitting this means a chain-shaped
-        # graph that needs a larger max_rounds or the large-star variant)
-        raise RuntimeError(
-            f"dup_clusters did not converge in {max_rounds} rounds "
-            f"({changed} labels still moving)")
+        n_edges = edges.count()
+        width_cap = max(spark.sparkContext.defaultParallelism,
+                        int(prev_parts))
+        w = max(1, min(width_cap, -(-n_edges // 500_000)))
+    if w < edges.rdd.getNumPartitions():
+        # narrow coalesce over the pinned blocks: every round's edge scan
+        # becomes w tasks instead of the inherited post-AQE width
+        edges = edges.coalesce(w)
+    spark.conf.set("spark.sql.shuffle.partitions", str(w))
+    try:
+        # lazy checkpoint: the first round's convergence count is the
+        # materializing action, so init costs no job of its own (round-11
+        # optimization — each eager checkpoint at this scale is a whole
+        # scheduler round-trip; lineage truncation is identical either way)
+        labels = (edges.select(F.col("src").alias("node")).distinct()
+                  .withColumn("lbl", F.col("node"))
+                  .localCheckpoint(eager=False))
+        for _ in range(max_rounds):
+            nbr = (edges.join(labels, edges.src == labels.node)
+                   .groupBy(F.col("dst").alias("nbr_node"))
+                   .agg(F.min("lbl").alias("nbr_lbl")))
+            # Carry the pre-round label through the checkpoint so the
+            # convergence check is a filter over already-materialized
+            # partitions — not another join+shuffle per round. The
+            # checkpoint is LAZY and the count below is its materializing
+            # action: one job per round where eager+count paid two.
+            new = (labels.join(nbr, labels.node == nbr.nbr_node, "left")
+                   .select(F.col("node"), F.col("lbl").alias("old_lbl"),
+                           F.least(F.col("lbl"),
+                                   F.coalesce("nbr_lbl", "lbl"))
+                           .alias("lbl"))
+                   .localCheckpoint(eager=False))
+            changed = new.filter(F.col("lbl") < F.col("old_lbl")).count()
+            labels = new.select("node", "lbl")
+            if changed == 0:
+                break
+        else:
+            # silent unconverged labels would split true clusters — fail
+            # loud (near-dup components are dense; hitting this means a
+            # chain-shaped graph that needs a larger max_rounds or the
+            # large-star variant)
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_rounds} rounds "
+                f"({changed} labels still moving)")
+    finally:
+        # the scoped width is session conf (this operator runs on the
+        # driver's query thread, never inside stage_concurrently pools)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

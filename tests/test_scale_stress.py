@@ -49,6 +49,11 @@ from tests.stress_corpus import (
     build_stress_corpus,
 )
 
+# whole-module slow mark (round-12): the 10x stress sweep is the longest
+# single file in the suite; it runs under SPARK_GRAFT_FULL_TESTS=1 (the
+# builder's pre-commit sweep), not in the bounded default verify window
+pytestmark = pytest.mark.slow
+
 FULL = os.environ.get("SPARK_GRAFT_STRESS", "") == "full"
 BASE = os.environ.get("SPARK_GRAFT_STRESS_BASE",
                       "/root/testdata/sf0.1" if FULL else SF_ORACLE)
