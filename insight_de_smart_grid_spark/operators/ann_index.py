@@ -158,7 +158,7 @@ def build_signature_index(embeddings: DataFrame, path: str,
                           auto_occupancy: int = 32,
                           marks: "list[str] | None" = None,
                           layout: str = "partitioned",
-                          n_buckets: int = 32) -> dict:
+                          n_buckets: "int | None" = None) -> dict:
     """Create the index at ``path`` from the full corpus; returns the
     frozen meta. ``n_planes="auto"`` resolves the depth from THIS corpus
     (``auto_n_planes``) and freezes it for the index's lifetime — appends
@@ -190,7 +190,11 @@ def build_signature_index(embeddings: DataFrame, path: str,
             # same meta dict, different band contents)
             "geom_epoch": 0}
     if layout == "bucketed":
-        meta["n_buckets"] = n_buckets
+        # default derives from the corpus size estimate (round-12,
+        # VERDICT r11 item 1): buckets sized by bytes, not core count —
+        # frozen in meta with the rest of the geometry
+        meta["n_buckets"] = (n_buckets if n_buckets is not None
+                             else index_base.adaptive_n_buckets(embeddings))
     staged = _stage_tables(sig, _vectors_frame(embeddings, vec_col, id_col),
                            path, id_col, "base", meta)
     write_meta(path, meta)   # human-readable mirror; manifest is authoritative

@@ -104,6 +104,44 @@ TOMBSTONES = "tombstones"
 BROADCAST_DELTA_MAX_BYTES = 512 * 1024 * 1024
 
 
+def adaptive_n_buckets(corpus: DataFrame, target_bytes: int = 64 * 1024,
+                       lo: int = 4, hi: int = 1024) -> int:
+    """Bucket count for a ``layout="bucketed"`` index when the caller
+    doesn't pin one: Catalyst's zero-job size estimate of the corpus
+    frame divided by a per-bucket byte target, clamped (round-12,
+    VERDICT r11 item 1 — width from BYTES, not cores).
+
+    The old fixed default (32 = local core count) made every bucketed
+    segment write and every shuffle-mode probe join schedule 32 tasks
+    over KB-scale buckets — the tiny-task shape behind the bimodal
+    32-core readings on the `_bucketed` queries — and was simultaneously
+    far too SMALL for a real multi-TB corpus. ``target_bytes`` is
+    deliberately low (64 KiB of compressed parquet ~ a few hundred KB in
+    memory): buckets also bound the probe join's parallelism, and the
+    per-row verify work (jaccard over shingle sets, cosine re-ranks) is
+    CPU-dense relative to its bytes. ``hi`` caps metadata blowup; a
+    cluster-sized corpus should pin ``n_buckets`` explicitly (it is a
+    frozen layout property of the index). ``SPARK_GRAFT_N_BUCKETS``
+    overrides for A/B."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_N_BUCKETS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    size = None
+    try:
+        stats = corpus._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        pass
+    if size is None or not (0 < size < (1 << 62)):
+        return 32  # no estimate: the old fixed default
+    return max(lo, min(hi, -(-size // target_bytes)))
+
+
 def pick_join_mode(delta: DataFrame,
                    row_threshold: "int | None" = None,
                    default_rows: int = 1_000_000) -> str:
