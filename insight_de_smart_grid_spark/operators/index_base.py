@@ -233,7 +233,10 @@ def read_table(spark: SparkSession, path: str, table: str,
     lever for a long-lived reader whose lazy scan must survive a
     concurrent compact + zero-retention GC — the pinned segments stay
     referenced until the caller unpins."""
-    from insight_de_smart_grid_spark.sources.pq import read_parquet
+    from insight_de_smart_grid_spark.sources.pq import (
+        parquet_schema,
+        read_parquet,
+    )
 
     raw = (pinned_segments(path, pin_id, table) if pin_id
            else live_segments(path, table))
@@ -241,8 +244,16 @@ def read_table(spark: SparkSession, path: str, table: str,
     if not segs:
         raise FileNotFoundError(f"index table {table} has no live "
                                 f"segments under {path}")
+    # schema-by-example (round-12, guide §1/§6): every segment of one
+    # index table shares the creation-time schema (the geometry — and
+    # with it the column set — is frozen for the index's lifetime), so
+    # ONE footer sniff per table covers all segments. An ingest loop
+    # previously paid the ~80-100 ms driver-side sniff once per NEWLY
+    # COMMITTED segment per batch (fresh paths can never hit the
+    # (path, mtime) schema cache).
+    schema = parquet_schema(spark, segs[0])
     return reduce(DataFrame.unionByName,
-                  [read_parquet(spark, s) for s in segs])
+                  [read_parquet(spark, s, schema=schema) for s in segs])
 
 
 @contextmanager
@@ -477,18 +488,27 @@ def stage_id_slices(embeddings: DataFrame, staging: str, n_batches: int,
     if Path(staging, "_STAGED").exists():
         return
     Path(staging).mkdir(parents=True, exist_ok=True)
-    base_mtime = None
-    for i in range(n_batches):
+
+    def stage_slice(i: int) -> None:
         tmp = tempfile.mkdtemp(prefix="slice_")
         (embeddings.filter(
             F.pmod(F.col(id_col), F.lit(n_batches)) == i)
          .coalesce(1).write.mode("overwrite").parquet(tmp))
         part = next(Path(tmp).glob("part-*.parquet"))
-        dest = Path(staging) / f"slice_{i}.parquet"
-        shutil.move(str(part), dest)
+        shutil.move(str(part), Path(staging) / f"slice_{i}.parquet")
         shutil.rmtree(tmp, ignore_errors=True)
-        if base_mtime is None:
-            base_mtime = os.stat(dest).st_mtime
+
+    # the N one-file slice writes share no lineage — overlap them
+    # (round-12, guide §2.6; each is a fixed-overhead-dominated tiny job
+    # that previously ran serially). Slice ORDER comes from the explicit
+    # utime pass below, not write completion order, so concurrency cannot
+    # reorder micro-batches; the _STAGED marker still lands only after
+    # every slice and every mtime is in place.
+    stage_concurrently(*[(lambda i=i: stage_slice(i))
+                         for i in range(n_batches)])
+    base_mtime = os.stat(Path(staging) / "slice_0.parquet").st_mtime
+    for i in range(n_batches):
+        dest = Path(staging) / f"slice_{i}.parquet"
         os.utime(dest, (base_mtime + 10 * i, base_mtime + 10 * i))
     Path(staging, "_STAGED").touch()
 

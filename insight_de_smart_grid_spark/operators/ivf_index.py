@@ -568,15 +568,23 @@ def _ivf_ingest_batch(spark: SparkSession, batch: DataFrame, path: str,
         build_ivf_index(batch, path, marks=[mark], **build_kwargs)
         return
     meta = _read_meta(path)
-    probe = query_ivf_batch_topk(spark, path, batch, k=k, nprobe=nprobe)
     seg_p = stage_segment(f"{path}/{_PROBES}", tag)
     emb = _nonzero(batch, meta["vec_col"], meta["id_col"])
     cents = _read_table(spark, path, _CENTS)
-    # the probe write reads the index AS-OF now (staged lists invisible
-    # until the commit below) — overlap it with the slice's own list
-    # staging (round-11, guide §2.6)
+
+    def w_probe() -> None:
+        # built INSIDE the thunk (round-12): query_ivf_batch_topk runs a
+        # probed-cluster collect job at plan-build time, which previously
+        # serialized ahead of the overlap — both the collect and the
+        # write now back-fill the list staging (guide §2.6). Reads the
+        # index AS-OF now either way: staged lists are invisible until
+        # the commit below.
+        probe = query_ivf_batch_topk(spark, path, batch, k=k,
+                                     nprobe=nprobe)
+        probe.write.mode("overwrite").parquet(seg_p)
+
     _, staged = index_base.stage_concurrently(
-        lambda: probe.write.mode("overwrite").parquet(seg_p),
+        w_probe,
         lambda: _stage_lists(_assign(emb, cents, meta["id_col"]), path,
                              meta["id_col"], tag))
     commit(path, adds={**staged, _PROBES: [seg_p]}, marks=[mark])

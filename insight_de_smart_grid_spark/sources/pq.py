@@ -54,7 +54,8 @@ def parquet_schema(spark: SparkSession, path: str) -> StructType:
     return schema
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(spark: SparkSession, path: str,
+                 schema: "StructType | None" = None) -> DataFrame:
     """``spark.read.parquet`` with the footer sniff skipped via the
     schema cache, and the analyzed base relation itself reused per
     session. Plan-identical to the plain read (same relation, same
@@ -62,16 +63,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     the same base relation to many queries shares no computed results —
     every action still scans the parquet data. The relation cache lives
     ON the session object (dies with it) and keys on (path, mtime), so
-    a rewritten path gets a fresh relation."""
+    a rewritten path gets a fresh relation.
+
+    ``schema`` (round-12): schema-by-example for callers that KNOW the
+    path's schema from a sibling (an index table's segments share one
+    frozen schema by construction) — skips the footer sniff entirely for
+    paths the schema cache has never seen. The caller owns the claim's
+    correctness; the scan itself still validates columns against the
+    files."""
     key = _key(spark, path)
     if key is None:
-        return spark.read.schema(parquet_schema(spark, path)).parquet(path)
+        return spark.read.schema(
+            schema or parquet_schema(spark, path)).parquet(path)
     try:
         cache = spark._pq_df_cache
     except AttributeError:
         cache = spark._pq_df_cache = {}
     df = cache.get(key)
     if df is None:
-        df = spark.read.schema(parquet_schema(spark, path)).parquet(path)
+        df = spark.read.schema(
+            schema or parquet_schema(spark, path)).parquet(path)
         cache[key] = df
     return df
